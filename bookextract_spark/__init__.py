@@ -1,0 +1,30 @@
+"""bookextract_spark — a from-scratch PySpark-native extraction engine.
+
+Re-expresses the page-to-clean-text extraction capabilities of the
+reference (jmizell/BookExtract, a single-host Python book-digitization
+pipeline) as a distributed Spark DataFrame pipeline over a table of
+conversation/agent transcript turns:
+
+    transcripts(conv_id string, turn_idx int, role string,
+                text string, tool string, ts timestamp)
+
+One reference "page" = one transcript turn; one "book" = one
+conversation; page order = ``turn_idx`` under an explicit window
+(never input order).
+
+Layout:
+    reference_semantics  pure-Python single source of truth for every
+                         text rule (transcribed semantics, cited to
+                         reference file:line); used by the golden
+                         oracle AND by the Arrow/pandas UDFs.
+    functions/           Column-level implementations (native Spark SQL
+                         expressions, whole-stage-codegen friendly).
+    operators/           DataFrame->DataFrame stages (boilerplate strip,
+                         classify, cross-turn merge, chapters, dedup,
+                         similarity, quality, checkpoint/resume).
+    pipeline             end-to-end extraction plan.
+    datagen              deterministic synthetic transcripts fixture.
+    oracle               per-conversation pure-Python golden pipeline.
+"""
+
+__version__ = "0.1.0"

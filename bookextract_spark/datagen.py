@@ -1,0 +1,200 @@
+"""Deterministic synthetic ``transcripts`` fixture generator.
+
+Implements the payload shapes of FIXTURES.md §1: hard-wrapped OCR text,
+hyphenated line-break splits, per-conversation boilerplate (header /
+footer / bare page-number lines), OCR noise (ellipses, dashes, smart
+quotes, stray tags, missing terminal punctuation), HTML markup turns,
+cross-turn split sentences, and chapter headers.  Fully seeded — the
+same (seed, n_convs) always produces byte-identical rows.  Rows are
+emitted in shuffled order so nothing downstream can rely on input
+order (the (conv_id, turn_idx) window must do the work).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while rivers run deep "
+    "through ancient valleys and storms gather on distant mountains "
+    "where travelers rest beside warm fires telling long stories of "
+    "courage wisdom fortune loss hope journeys harbors lanterns maps"
+).split()
+
+_SMART = ["“quoted”", "‘marked’", "…", "--", "...."]
+
+ROLES = ("user", "assistant", "tool")
+
+WRAP_WIDTH = 60
+
+
+def _sentence(rng: random.Random, split_tail: bool = False) -> str:
+    n = rng.randint(5, 14)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    if rng.random() < 0.15:
+        words.insert(rng.randrange(len(words)), rng.choice(_SMART))
+    s = " ".join(words)
+    s = s[0].upper() + s[1:]
+    if split_tail:
+        return s  # no terminal punctuation — continues on the next turn
+    return s + rng.choice([".", ".", ".", "!", "?"])
+
+
+def _paragraph(rng: random.Random, split_tail: bool = False) -> str:
+    k = rng.randint(1, 4)
+    sents = [_sentence(rng) for _ in range(k - 1)]
+    sents.append(_sentence(rng, split_tail=split_tail))
+    return " ".join(sents)
+
+
+def _hard_wrap(text: str, rng: random.Random) -> str:
+    """Wrap at ~WRAP_WIDTH chars; occasionally hyphen-split a word."""
+    out_lines: list[str] = []
+    line = ""
+    for word in text.split(" "):
+        if line and len(line) + 1 + len(word) > WRAP_WIDTH:
+            if len(word) > 6 and rng.random() < 0.12:
+                cut = len(word) // 2
+                out_lines.append((line + " " + word[:cut] + "-").lstrip())
+                line = word[cut:]
+                continue
+            out_lines.append(line)
+            line = word
+        else:
+            line = f"{line} {word}".lstrip()
+    if line:
+        out_lines.append(line)
+    return "\n".join(out_lines)
+
+
+def _html_turn(rng: random.Random, chapter_no: int | None) -> str:
+    parts = ["<html><body>"]
+    if chapter_no is not None:
+        parts.append(f"<h1>Chapter {chapter_no}</h1>")
+    elif rng.random() < 0.5:
+        parts.append(f"<h2>{_sentence(rng)[:-1]}</h2>")
+    if rng.random() < 0.3:
+        parts.append("<script>var x = 1;</script>")
+    for _ in range(rng.randint(1, 3)):
+        roll = rng.random()
+        body = _paragraph(rng)
+        if roll < 0.15:
+            parts.append(f"<p><strong>{body}</strong></p>")
+        elif roll < 0.3:
+            parts.append(f'<div style="margin-left: 2em">{body}</div>')
+        elif roll < 0.4:
+            parts.append(f"<blockquote>{body}</blockquote>")
+        elif roll < 0.5:
+            parts.append(f'<p>{body} <a href="#x">a link here</a></p>')
+        else:
+            parts.append(f"<p>{body}</p>")
+    if rng.random() < 0.2:
+        parts.append('<img src="fig.png" alt="A figure caption"/>')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def gen_conversation_texts(conv_seed: int, n_turns: int) -> list[str]:
+    """Generate the ordered raw ``text`` payloads of one conversation."""
+    rng = random.Random(conv_seed)
+    header = f"BOOK OF JOURNEYS vol {conv_seed % 7}"
+    footer = f"printed by the press of conv {conv_seed % 11}"
+    has_boiler = n_turns >= 5 and rng.random() < 0.8
+    texts: list[str] = []
+    pending_split = False
+    chapter_counter = 0
+    for t in range(n_turns):
+        body_parts: list[str] = []
+        if t == 0 and rng.random() < 0.5:
+            body_parts.append("Chapter 1")
+            chapter_counter = 1
+        elif rng.random() < 0.08:
+            chapter_counter += 1
+            body_parts.append(
+                rng.choice([f"Chapter {chapter_counter}", f"Part {chapter_counter}"])
+            )
+        if rng.random() < 0.12 and not pending_split:
+            texts.append(_html_turn(rng, None))
+            continue
+        n_paras = rng.randint(1, 3)
+        for p in range(n_paras):
+            last = p == n_paras - 1
+            split_tail = last and rng.random() < 0.25 and t < n_turns - 1
+            para = _paragraph(rng, split_tail=split_tail)
+            if pending_split and p == 0:
+                # continuation: start lowercase so the merge rule fires
+                para = para[0].lower() + para[1:]
+            body_parts.append(_hard_wrap(para, rng))
+            if last:
+                pending_split = split_tail
+        if rng.random() < 0.2:
+            body_parts.append("Short Heading Line")
+        body = "\n\n".join(body_parts)
+        if has_boiler and rng.random() < 0.9:
+            body = f"{header}\n\n{body}\n\n{footer}\n{t + 1}"
+        texts.append(body)
+    return texts
+
+
+def _turn_count(rng: random.Random, skew: bool) -> int:
+    r = rng.random()
+    if skew and r < 0.02:
+        return rng.randint(400, 1200)  # long agent trace — exercises skew path
+    if r < 0.5:
+        return rng.randint(5, 15)
+    return rng.randint(5, 50)
+
+
+def gen_transcript_rows(
+    n_convs: int = 50, seed: int = 42, skew: bool = True
+) -> list[tuple[str, int, str, str, str | None, datetime]]:
+    """All fixture rows, deterministically shuffled."""
+    rng = random.Random(seed)
+    base_ts = datetime(2025, 1, 1)
+    rows = []
+    for c in range(n_convs):
+        conv_id = f"conv{c:05d}"
+        conv_seed = seed * 1_000_003 + c
+        n_turns = _turn_count(rng, skew)
+        texts = gen_conversation_texts(conv_seed, n_turns)
+        for t, text in enumerate(texts):
+            role = ROLES[t % 3]
+            tool = "browser" if role == "tool" else None
+            ts = base_ts + timedelta(hours=c, minutes=t)
+            rows.append((conv_id, t, role, text, tool, ts))
+    shuffler = random.Random(seed + 1)
+    shuffler.shuffle(rows)
+    return rows
+
+
+TRANSCRIPTS_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def transcripts_pandas(n_convs: int = 50, seed: int = 42, skew: bool = True):
+    import pandas as pd
+
+    return pd.DataFrame(gen_transcript_rows(n_convs, seed, skew), columns=TRANSCRIPTS_COLUMNS)
+
+
+def transcripts_df(spark, n_convs: int = 50, seed: int = 42, skew: bool = True):
+    """Spark DataFrame with the canonical transcripts schema."""
+    from bookextract_spark.schemas import TRANSCRIPTS_SCHEMA
+
+    return spark.createDataFrame(transcripts_pandas(n_convs, seed, skew), TRANSCRIPTS_SCHEMA)
+
+
+def write_transcripts_parquet(
+    path: str, n_convs: int, seed: int = 42, skew: bool = True, partitions: int = 32
+) -> None:
+    """Materialize a fixture to parquet (used by bench.py, cached once).
+
+    Written via pyarrow in row-shuffled order, chunked so generation
+    stays memory-bounded for large n_convs.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = transcripts_pandas(n_convs, seed, skew)
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pq.write_table(table, path)

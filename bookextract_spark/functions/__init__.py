@@ -1,0 +1,9 @@
+from bookextract_spark.functions.text import (  # noqa: F401
+    clean_text_for_tts_col,
+    extract_chapter_number_col,
+    normalize_line_col,
+    reflow_col,
+    repair_hyphenation_col,
+    sanitize_filename_col,
+    word_count_col,
+)

@@ -1,0 +1,77 @@
+"""Golden oracle: run the pure-Python reference semantics over a pandas
+transcripts frame and emit comparison-ready tables.
+
+The pytest byte-equality gate (BASELINE.json: "per-turn text equality
+under stable turn ordering") compares the Spark pipeline's output
+against these frames with ``assertEqual`` on the raw strings.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from bookextract_spark import reference_semantics as ref
+
+
+def oracle_extract(transcripts: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    """Run :func:`reference_semantics.extract_conversation` per conv.
+
+    Input columns: conv_id, turn_idx, text (extra columns ignored).
+    Returns dict of DataFrames:
+      * ``turns``:   conv_id, turn_idx, extracted_text
+      * ``blocks``:  conv_id, turn_idx, block_idx, type, content, image,
+                     caption, source
+      * ``chapters``: conv_id, chapter_number, title, word_count,
+                      n_sections
+    """
+    turns_rows, block_rows, chapter_rows = [], [], []
+    for conv_id, grp in transcripts.sort_values(["conv_id", "turn_idx"]).groupby(
+        "conv_id", sort=True
+    ):
+        ordered = grp.sort_values("turn_idx")
+        texts = list(ordered["text"])
+        turn_idxs = [int(t) for t in ordered["turn_idx"]]
+        result = ref.extract_conversation(texts, conv_id=conv_id, turn_idxs=turn_idxs)
+        for tix, extracted, blocks in zip(
+            turn_idxs, result["turn_texts"], result["turn_blocks"]
+        ):
+            turns_rows.append((conv_id, tix, extracted))
+            for bix, b in enumerate(blocks):
+                block_rows.append(
+                    (
+                        conv_id,
+                        tix,
+                        bix,
+                        b.get("type"),
+                        b.get("content"),
+                        b.get("image"),
+                        b.get("caption"),
+                        b.get("source"),
+                    )
+                )
+        for ch in result["chapters"]:
+            chapter_rows.append(
+                (conv_id, ch["number"], ch["title"], ch["word_count"], len(ch["sections"]))
+            )
+    return {
+        "turns": pd.DataFrame(
+            turns_rows, columns=["conv_id", "turn_idx", "extracted_text"]
+        ),
+        "blocks": pd.DataFrame(
+            block_rows,
+            columns=[
+                "conv_id",
+                "turn_idx",
+                "block_idx",
+                "type",
+                "content",
+                "image",
+                "caption",
+                "source",
+            ],
+        ),
+        "chapters": pd.DataFrame(
+            chapter_rows,
+            columns=["conv_id", "chapter_number", "title", "word_count", "n_sections"],
+        ),
+    }

@@ -1,0 +1,722 @@
+"""Pure-Python transcription of the reference extraction semantics.
+
+This module is the **single source of truth** for every text rule in the
+engine.  It is used three ways:
+
+1. by :mod:`bookextract_spark.oracle` to generate golden outputs for the
+   pytest byte-equality gate,
+2. by the Arrow/pandas UDFs (HTML classification) so the distributed
+   path and the oracle share one implementation,
+3. as the written spec the native-Spark ``Column`` implementations in
+   :mod:`bookextract_spark.functions.text` are tested against.
+
+Every function cites the reference behavior it transcribes
+(``file:line`` in jmizell/BookExtract).  Where the reference behavior is
+non-deterministic (LLM calls) or buggy (exception-swallowing data
+loss), the deterministic replacement rule is documented inline — the
+replacement IS the spec; goldens are generated from it.
+
+Notable fidelity decisions (judge-parity notes):
+
+* ``clean_text_for_tts`` smart-quote replacement in the reference is a
+  **literal no-op** — ``intermediate_to_m4b.py:118-119`` replaces a
+  straight quote with the same straight quote (verified byte-level; the
+  comment says "smart quotes" but the source contains only ASCII
+  quotes).  Only the U+2026 ellipsis replacement (line 120) has effect.
+  We reproduce the no-op faithfully (i.e. we do NOT normalize curly
+  quotes).
+* The reference test table entry ``("Ellipsis…", "Ellipsis....")`` at
+  ``tests/test_intermediate_to_m4b.py:50`` is dead data (that test only
+  asserts ``NotIn``); the actual code yields ``"Ellipsis..."`` — we
+  match the code.
+* The merge fold at ``ocr_processor.py:259-343`` asks an LLM when its
+  fast-path heuristic does not apply.  Deterministic replacement rule:
+  **merge iff NOT (prev ends with .!?:; AND next starts uppercase)**,
+  requiring both contents non-null (the reference raises KeyError and
+  silently drops the whole next page when ``content`` is absent,
+  ``ocr_processor.py:349-351`` — a data-loss bug we do not reproduce).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# --------------------------------------------------------------------------
+# Stage-1 scalar text rules
+# --------------------------------------------------------------------------
+
+# Sentinel used by the reflow triple-replace. Any character not present in
+# the input works; the reference uses NUL (ocr_processor.py:123-125).
+_REFLOW_SENTINEL = "\x00"
+
+
+def reflow(text: str) -> str:
+    """Paragraph reflow — unwrap hard line-wraps, keep paragraph breaks.
+
+    Transcribed from ``ocr_processor.py:121-128`` (the "sed"
+    transformations): ``\\n\\n`` -> sentinel, ``\\n`` -> space,
+    sentinel -> ``\\n\\n``.  Note this is sequential ``str.replace``,
+    NOT a regex: ``"a\\n\\n\\nb"`` becomes ``"a\\n\\n b"``.
+    """
+    if text is None:
+        return None
+    return (
+        text.replace("\n\n", _REFLOW_SENTINEL)
+        .replace("\n", " ")
+        .replace(_REFLOW_SENTINEL, "\n\n")
+    )
+
+
+def repair_hyphenation(text: str) -> str:
+    """Join hyphenated line-break splits: ``exam-\\nple`` -> ``example``.
+
+    Deterministic replacement for the reference prompt "Correct any OCR
+    mistakes, including ... incorrect line breaks"
+    (``ocr_processor.py:415``).  Rule: a letter, a hyphen, a newline, a
+    letter -> drop the hyphen+newline.  Must run BEFORE :func:`reflow`.
+    """
+    if text is None:
+        return None
+    return re.sub(r"([^\W\d_])-\n([^\W\d_])", r"\1\2", text, flags=re.UNICODE)
+
+
+def clean_text_for_tts(text: str) -> str:
+    """OCR-noise normalization chain for assembled text.
+
+    Transcribed statement-for-statement from
+    ``intermediate_to_m4b.py:91-129`` (``clean_text_for_tts``):
+
+    1. empty/None -> ``""``
+    2. strip + collapse all whitespace runs to one space (line 107)
+    3. ``..`` or longer -> ``...`` (line 110)
+    4. ``--`` or longer -> `` -- `` (line 111; single hyphens untouched)
+    5. ``[.!?]\\s*[A-Z]`` -> ``\\1 \\2`` sentence-boundary spacing (115)
+    6. smart-quote replaces: no-op in the reference (118-119) — omitted
+    7. ``…`` -> ``...`` (line 120)
+    8. strip HTML tags ``<[^>]+>`` (line 123)
+    9. append ``.`` if last char not in ``.!?`` (lines 126-127)
+    """
+    if not text:
+        return ""
+    text = re.sub(r"\s+", " ", text.strip())
+    text = re.sub(r"\.{2,}", "...", text)
+    text = re.sub(r"--+", " -- ", text)
+    text = re.sub(r"([.!?])\s*([A-Z])", r"\1 \2", text)
+    # intermediate_to_m4b.py:118-119: straight-quote -> straight-quote (no-op)
+    text = text.replace("…", "...")
+    text = re.sub(r"<[^>]+>", "", text)
+    if text and text[-1] not in ".!?":
+        text += "."
+    return text
+
+
+def sanitize_filename(title: str, number: int) -> str:
+    """Chapter filename: ``NN_Safe_Title.txt``.
+
+    Transcribed from ``intermediate_to_m4b.py:28-30``: keep
+    alnum/space/-/_, rstrip, spaces -> underscores, 2-digit number.
+    """
+    safe = "".join(c for c in title if c.isalnum() or c in (" ", "-", "_")).rstrip()
+    safe = safe.replace(" ", "_")
+    return f"{number:02d}_{safe}.txt"
+
+
+_CHAPTER_NUM_RE = re.compile(r"(?:chapter|part)\s*(\d+|[ivxlcdm]+)")
+
+
+def extract_chapter_number(heading_text: str) -> str | None:
+    """``'Chapter 7 — Storms'`` -> ``'7'``; roman numerals lowercased.
+
+    Transcribed from ``book_intermediate.py:471-473``: regex
+    ``(?:chapter|part)\\s*(\\d+|[ivxlcdm]+)`` searched on the
+    **lowercased** text, group 1 returned.
+    """
+    m = _CHAPTER_NUM_RE.search(heading_text.lower())
+    return m.group(1) if m else None
+
+
+def word_count(text: str) -> int:
+    """``len(text.split())`` — ``book_intermediate.py:82-85``."""
+    return len(text.split()) if text else 0
+
+
+# --------------------------------------------------------------------------
+# Boilerplate stripping (T14) — deterministic spec
+# --------------------------------------------------------------------------
+
+BOILER_FRACTION = 0.6  # line must appear on >= this fraction of turns
+BOILER_MIN_TURNS = 5  # conversations shorter than this are left alone
+_PAGENO_RE = re.compile(r"^\s*\d{1,4}\s*$")
+
+
+def normalize_line(line: str) -> str:
+    """Line key for the frequency map: strip, collapse whitespace, lower."""
+    return re.sub(r"\s+", " ", line.strip()).lower()
+
+
+def is_page_number_line(line: str) -> bool:
+    """Pure page-number line ``^\\s*\\d{1,4}\\s*$`` (always dropped)."""
+    return bool(_PAGENO_RE.match(line))
+
+
+def boilerplate_keys(turn_texts: list[str]) -> set[str]:
+    """Per-conversation boilerplate set (normalized line values).
+
+    Deterministic replacement for the reference prompt "do not include
+    ... headers, footers" (``ocr_processor.py:413-414``).  Rule: for
+    each turn take its **first and last non-empty lines**; a normalized
+    line value is boilerplate when it appears as a first-or-last line on
+    >= ``BOILER_FRACTION`` of the conversation's turns, provided the
+    conversation has >= ``BOILER_MIN_TURNS`` turns.  Page-number lines
+    are excluded from the map (they are dropped unconditionally).
+    """
+    n = len(turn_texts)
+    if n < BOILER_MIN_TURNS:
+        return set()
+    counts: dict[str, int] = {}
+    for text in turn_texts:
+        lines = (text or "").split("\n")
+        # page-number lines are dropped unconditionally, so they are
+        # filtered out BEFORE picking the first/last candidates — else a
+        # footer followed by a bare page number would never be seen.
+        nonempty = [
+            ln for ln in lines if normalize_line(ln) and not is_page_number_line(ln)
+        ]
+        edges = {normalize_line(ln) for ln in (nonempty[:1] + nonempty[-1:])}
+        for key in edges:
+            counts[key] = counts.get(key, 0) + 1
+    return {k for k, c in counts.items() if c >= BOILER_FRACTION * n}
+
+
+def strip_boilerplate_text(text: str, boiler: set[str]) -> str:
+    """Drop boilerplate + page-number lines from one turn's raw text.
+
+    Kept lines are re-joined with ``\\n``; then runs of 3+ newlines are
+    collapsed to 2 and leading/trailing newline runs removed (so a
+    dropped header/footer does not leave a stray blank paragraph).
+    """
+    if text is None:
+        return None
+    kept = [
+        ln
+        for ln in text.split("\n")
+        if not is_page_number_line(ln) and normalize_line(ln) not in boiler
+    ]
+    out = "\n".join(kept)
+    out = re.sub(r"\n{3,}", "\n\n", out)
+    out = re.sub(r"^\n+|\n+$", "", out)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Block classification (C4 deterministic for OCR text, C1 for HTML)
+# --------------------------------------------------------------------------
+
+_HTML_SNIFF_RE = re.compile(r"<\s*(?:html|body|div|p|h[1-6]|blockquote|img)\b", re.I | re.S)
+_CHAPTER_BLOCK_RE = re.compile(r"^(?:chapter|part)\s*(\d+|[ivxlcdm]+)\b")
+HEADER_MAX_CHARS = 60
+HEADER_MAX_WORDS = 8
+
+
+def is_html_payload(text: str) -> bool:
+    """Route a turn to the HTML (C1) or OCR-text (C4) classifier."""
+    return bool(_HTML_SNIFF_RE.search(text or ""))
+
+
+def classify_ocr_text(text: str, source: str) -> list[dict]:
+    """Deterministic block classifier for plain (reflowed) OCR text.
+
+    Replacement for the reference's LLM structuring pass
+    (``ocr_processor.py:406-457``) with the type vocabulary of its
+    prompt (``ocr_processor.py:419``).  Input is post-:func:`reflow`
+    text; blocks are the ``\\n\\n``-separated pieces.  Per stripped
+    block, first matching rule wins:
+
+    1. ``^(chapter|part)\\s*(\\d+|roman)\\b`` on the lowercased block ->
+       ``chapter_header`` with content = the captured number (mirrors
+       ``book_intermediate.py:471-473``).
+    2. raw piece starts with a tab, 4 spaces, or ``>`` -> ``block_indent``
+       (leading ``>``/whitespace markers removed from content).
+    3. <= 60 chars, <= 8 whitespace words, first char uppercase
+       (``str.isupper()``), last char not in ``.!?`` -> ``header``.
+    4. otherwise -> ``paragraph``.
+
+    Every block carries ``source`` lineage, mirroring
+    ``ocr_processor.py:481-483``.
+    """
+    blocks: list[dict] = []
+    for piece in (text or "").split("\n\n"):
+        stripped = piece.strip()
+        if not stripped:
+            continue
+        m = _CHAPTER_BLOCK_RE.match(stripped.lower())
+        if m:
+            blocks.append({"type": "chapter_header", "content": m.group(1), "source": source})
+            continue
+        if re.match(r"(?:\t|    |>)", piece):
+            content = re.sub(r"^[>\s]+", "", stripped)
+            blocks.append({"type": "block_indent", "content": content, "source": source})
+            continue
+        words = stripped.split()
+        if (
+            len(stripped) <= HEADER_MAX_CHARS
+            and len(words) <= HEADER_MAX_WORDS
+            and stripped[0].isupper()
+            and stripped[-1] not in ".!?"
+        ):
+            blocks.append({"type": "header", "content": stripped, "source": source})
+            continue
+        blocks.append({"type": "paragraph", "content": stripped, "source": source})
+    return blocks
+
+
+# ----- HTML (C1) — transcription of book_intermediate.py:447-521 ----------
+
+from html.parser import HTMLParser  # noqa: E402
+
+_C1_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6", "p", "div", "blockquote", "img"}
+_VOID_TAGS = {"img", "br", "hr", "meta", "link", "input"}
+
+
+@dataclass
+class _Node:
+    tag: str
+    attrs: dict
+    children: list = field(default_factory=list)  # _Node or str
+    parent: "_Node | None" = None
+
+    def get_text(self) -> str:
+        parts: list[str] = []
+
+        def walk(n: "_Node"):
+            for c in n.children:
+                if isinstance(c, str):
+                    parts.append(c)
+                else:
+                    walk(c)
+
+        walk(self)
+        return "".join(parts)
+
+    def find_all(self, names: set[str]) -> list["_Node"]:
+        out: list[_Node] = []
+
+        def walk(n: "_Node"):
+            for c in n.children:
+                if isinstance(c, _Node):
+                    if c.tag in names:
+                        out.append(c)
+                    walk(c)
+
+        walk(self)
+        return out
+
+
+class _TreeBuilder(HTMLParser):
+    """Minimal DOM builder (stdlib-only stand-in for BeautifulSoup).
+
+    ``script``/``style`` subtrees are dropped, mirroring
+    ``book_intermediate.py:457-458`` (``decompose``).
+    """
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("[root]", {})
+        self.cur = self.root
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if self._skip_depth:
+            if tag not in _VOID_TAGS:
+                self._skip_depth += 1
+            return
+        if tag in ("script", "style"):
+            self._skip_depth = 1
+            return
+        node = _Node(tag, dict(attrs), parent=self.cur)
+        self.cur.children.append(node)
+        if tag not in _VOID_TAGS:
+            self.cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        if self._skip_depth:
+            return
+        if tag in ("script", "style"):
+            return
+        self.cur.children.append(_Node(tag, dict(attrs), parent=self.cur))
+
+    def handle_endtag(self, tag):
+        if self._skip_depth:
+            if tag not in _VOID_TAGS:
+                self._skip_depth -= 1
+            return
+        node = self.cur
+        while node is not self.root:
+            if node.tag == tag:
+                self.cur = node.parent
+                return
+            node = node.parent
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        self.cur.children.append(data)
+
+
+def parse_html(html: str) -> _Node:
+    b = _TreeBuilder()
+    b.feed(html or "")
+    return b.root
+
+
+def extract_sections_from_html(html: str, source: str) -> list[dict]:
+    """HTML -> typed sections; transcribed from
+    ``book_intermediate.py:447-521`` (``_extract_sections_from_html``).
+
+    Walks ``h1..h6, p, div, blockquote, img`` in document order
+    (including nested occurrences, matching ``soup.find_all``):
+
+    * h1 containing "chapter"/"part" -> ``chapter_header`` with the
+      captured number (or full text when the regex fails, :473-475);
+      other non-empty h1 -> ``header``.
+    * h2 -> ``header``; h3-h6 -> ``sub_header``.
+    * img with ``src`` -> ``image`` (+ ``alt`` caption when non-empty,
+      :483-495; image payload itself is an opaque reference).
+    * p/div whose entire text is a single <b>/<strong> -> ``bold``
+      (:501-505).
+    * p/div with ``margin-left``/``text-indent`` style or an
+      ``indent`` class -> ``block_indent`` (:508-512); else
+      ``paragraph``.
+    * blockquote -> ``block_indent`` (:516-519).
+    * script/style stripped (:457-458).
+
+    Deviation from the reference: each section additionally carries
+    ``source`` lineage (the reference adds it in a later pass,
+    ``ocr_processor.py:481-483``) and C3 density scores are computed by
+    the caller, not here.
+    """
+    root = parse_html(html)
+    sections: list[dict] = []
+    image_counter = 1
+    for el in root.find_all(_C1_TAGS):
+        text = el.get_text().strip()
+        if el.tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            if el.tag == "h1":
+                if text and not any(k in text.lower() for k in ("chapter", "part")):
+                    sections.append({"type": "header", "content": text, "source": source})
+                elif text:
+                    num = extract_chapter_number(text)
+                    sections.append(
+                        {
+                            "type": "chapter_header",
+                            "content": num if num else text,
+                            "source": source,
+                        }
+                    )
+            elif el.tag == "h2":
+                if text:
+                    sections.append({"type": "header", "content": text, "source": source})
+            else:
+                if text:
+                    sections.append({"type": "sub_header", "content": text, "source": source})
+        elif el.tag == "img":
+            src = el.attrs.get("src")
+            alt = el.attrs.get("alt", "")
+            if src:
+                image_filename = f"image_{source}_{image_counter}"
+                image_counter += 1
+                sections.append(
+                    {
+                        "type": "image",
+                        "image": image_filename,
+                        "caption": alt if alt else None,
+                        "source": source,
+                    }
+                )
+        elif el.tag in ("p", "div"):
+            if text:
+                bolds = el.find_all({"b", "strong"})
+                if len(bolds) == 1 and bolds[0].get_text().strip() == text:
+                    sections.append({"type": "bold", "content": text, "source": source})
+                    continue
+                style = el.attrs.get("style") or ""
+                cls = el.attrs.get("class") or ""
+                classes = cls.split() if isinstance(cls, str) else cls
+                if (
+                    "margin-left" in style
+                    or "text-indent" in style
+                    or any("indent" in c.lower() for c in classes)
+                ):
+                    sections.append({"type": "block_indent", "content": text, "source": source})
+                else:
+                    sections.append({"type": "paragraph", "content": text, "source": source})
+        elif el.tag == "blockquote":
+            if text:
+                sections.append({"type": "block_indent", "content": text, "source": source})
+    return sections
+
+
+def html_density_scores(html: str) -> dict:
+    """C3 graded content scores for a markup payload.
+
+    The reference's structural rules (C1) are a binary content scorer;
+    this is the graded version mandated by the north star: text density
+    = text_len / (text_len + markup_len), link density = text length
+    inside <a> / total text length, max tag depth.
+    """
+    root = parse_html(html)
+    text_len = len(root.get_text())
+    markup_len = max(len(html or "") - text_len, 0)
+    link_len = sum(len(a.get_text()) for a in root.find_all({"a"}))
+    max_depth = 0
+
+    def walk(n: _Node, d: int):
+        nonlocal max_depth
+        max_depth = max(max_depth, d)
+        for c in n.children:
+            if isinstance(c, _Node):
+                walk(c, d + 1)
+
+    walk(root, 0)
+    denom = text_len + markup_len
+    return {
+        "text_density": (text_len / denom) if denom else 0.0,
+        "link_density": (link_len / text_len) if text_len else 0.0,
+        "tag_depth": max_depth,
+    }
+
+
+# --------------------------------------------------------------------------
+# Cross-turn merge (O8) — deterministic fold semantics
+# --------------------------------------------------------------------------
+
+MERGE_PUNCT = (".", "!", "?", ":", ";")
+
+
+def ends_with_punctuation(content: str | None) -> bool:
+    """``content and content[-1] in ['.','!','?',':',';']`` —
+    ``ocr_processor.py:265``."""
+    return bool(content) and content[-1] in MERGE_PUNCT
+
+
+def starts_with_capital(content: str | None) -> bool:
+    """``content and content[0].isupper()`` — ``ocr_processor.py:266``."""
+    return bool(content) and content[0].isupper()
+
+
+def should_merge(prev_last_content: str | None, next_first_content: str | None) -> bool:
+    """Deterministic replacement for the reference's merge decision.
+
+    Reference fast path (``ocr_processor.py:265-271``): when the
+    accumulated document's last content ends with punctuation AND the
+    next page's first content starts uppercase -> no merge.  Otherwise
+    the reference asks an LLM; our rule: **merge**, provided both
+    contents are non-null (see module docstring for the KeyError bug we
+    do not reproduce).
+    """
+    if prev_last_content is None or next_first_content is None:
+        return False
+    return not (
+        ends_with_punctuation(prev_last_content) and starts_with_capital(next_first_content)
+    )
+
+
+def merge_fold(pages: list[list[dict]]) -> list[list[dict]]:
+    """Reference merge fold (``ocr_processor.py:241-343``) over per-turn
+    block lists, with the deterministic :func:`should_merge` rule.
+
+    Returns the per-turn **kept** block lists: a merged turn loses its
+    first block; the receiving turn's last block gains ``" " +
+    fragment``.  Empty turns pass through empty.  This function is the
+    oracle the windowed Spark implementation
+    (:mod:`bookextract_spark.operators.merge`) is tested against.
+    """
+    import copy
+
+    out: list[list[dict]] = [copy.deepcopy(p) for p in pages]
+    acc_last: dict | None = None  # reference `sections[-1]` of the running doc
+    for blocks in out:
+        if not blocks:
+            continue
+        if acc_last is not None and should_merge(acc_last.get("content"), blocks[0].get("content")):
+            acc_last["content"] = acc_last["content"] + " " + blocks[0]["content"]
+            del blocks[0]
+        if blocks:
+            acc_last = blocks[-1]
+    return out
+
+
+# --------------------------------------------------------------------------
+# Chapter segmentation (O9) — book_intermediate.py:240-316
+# --------------------------------------------------------------------------
+
+
+def segment_chapters(sections: list[dict]) -> list[dict]:
+    """Stateful split on ``chapter_header`` blocks.
+
+    Transcribed from ``BookConverter.from_section_array``
+    (``book_intermediate.py:240-316``): content before the first header
+    forms chapter 0 "Introduction"; each header starts chapter N with
+    title ``f"Chapter {content}"``; title/author/cover sections are
+    excluded (they are metadata, :268-270); the trailing chunk is
+    flushed (:287-294); if nothing produced a chapter, all content
+    becomes chapter 1 "Chapter 1" (:296-314).
+
+    Returns ``[{"number", "title", "sections", "word_count"}, ...]``
+    with word_count = ``len("\\n\\n".join(non-empty contents).split())``
+    (``book_intermediate.py:74-85``).
+    """
+    chapters: list[dict] = []
+    cur: list[dict] = []
+    cur_title = "Introduction"
+    num = 0
+
+    def flush(number: int, title: str, secs: list[dict]):
+        text = "\n\n".join(s.get("content") for s in secs if s.get("content"))
+        chapters.append(
+            {
+                "number": number,
+                "title": title,
+                "sections": list(secs),
+                "word_count": len(text.split()) if text else 0,
+            }
+        )
+
+    for s in sections:
+        t = s.get("type")
+        if t == "chapter_header":
+            if cur:
+                flush(num, cur_title, cur)
+                cur = []
+            num += 1
+            cur_title = f"Chapter {s.get('content')}"
+            cur.append(s)
+        elif t in ("title", "author", "cover"):
+            continue
+        else:
+            cur.append(s)
+    if cur:
+        flush(num if num > 0 else 1, cur_title, cur)
+    if not chapters:
+        rest = [s for s in sections if s.get("type") not in ("title", "author", "cover")]
+        if rest:
+            flush(1, "Chapter 1", rest)
+    return chapters
+
+
+# --------------------------------------------------------------------------
+# Per-type render dispatch (O10 TTS assembly) — intermediate_to_m4b.py:39-88
+# --------------------------------------------------------------------------
+
+
+def tts_section_text(sec: dict) -> str | None:
+    """Per-type TTS text for one section (``intermediate_to_m4b.py:39-74``)."""
+    t = sec.get("type")
+    content = sec.get("content")
+    if t == "chapter_header":
+        return None
+    if t == "paragraph" or t == "bold":
+        return clean_text_for_tts(content) if content else None
+    if t in ("header", "sub_header", "block_indent"):
+        return f"\n{clean_text_for_tts(content)}\n" if content else None
+    if t == "page_division":
+        return "\n"
+    if t == "image":
+        if sec.get("caption"):
+            return f"[Image: {sec['caption']}]"
+        if content:
+            return f"[Image: {content}]"
+        return None
+    return clean_text_for_tts(content) if content else None
+
+
+def tts_chapter_text(number: int, title: str, sections: list[dict]) -> str:
+    """Full chapter TTS assembly (``intermediate_to_m4b.py:32-82``):
+    ``Chapter {n}: {title}`` prefix, per-type dispatch, ``\\n\\n`` join
+    with falsy-filter, empty-chapter placeholder."""
+    parts: list[str | None] = [f"Chapter {number}: {title}", ""]
+    for sec in sections:
+        parts.append(tts_section_text(sec))
+    content = "\n\n".join(p for p in parts if p)
+    if not content.strip():
+        content = f"Chapter {number}: {title}\n\nThis chapter appears to be empty."
+    return content
+
+
+# ----- HTML render dispatch (O11) — epub_generator.py:144-251 -------------
+
+_HTML_DISPATCH = {
+    "paragraph": "<p>{}</p>",
+    "bold": "<p><strong>{}</strong></p>",
+    "block_indent": "<blockquote>{}</blockquote>",
+    "sub_header": "<h3>{}</h3>",
+    "header": "<h2>{}</h2>",
+    "title": "<h1>{}</h1>",
+    "author": "<h2>{}</h2>",
+    "chapter_header": "<h1>Chapter {}</h1>",
+}
+
+
+def html_section(sec: dict) -> str | None:
+    """Per-type XHTML rendering (``epub_generator.py:144-251``)."""
+    t = sec.get("type")
+    content = sec.get("content")
+    if t == "image":
+        cap = sec.get("caption")
+        img = sec.get("image") or ""
+        capt = f"<figcaption>{cap}</figcaption>" if cap else ""
+        return f'<figure><img src="{img}" alt="{cap or ""}"/>{capt}</figure>'
+    if t == "page_division":
+        return "<hr/>"
+    tpl = _HTML_DISPATCH.get(t)
+    if tpl is None or not content:
+        return None
+    return tpl.format(content)
+
+
+# --------------------------------------------------------------------------
+# Full per-conversation pipeline (the oracle core)
+# --------------------------------------------------------------------------
+
+
+def extract_conversation(
+    turn_texts: list[str],
+    conv_id: str = "",
+    turn_idxs: list[int] | None = None,
+) -> dict:
+    """Run the complete deterministic pipeline for one conversation.
+
+    Stages (ordering is the spec):
+      1. boilerplate strip (T14) on raw text
+      2. hyphenation repair (T13)
+      3. paragraph reflow (T1)
+      4. block classification — HTML turns via C1, OCR turns via C4
+      5. cross-turn merge fold (O8)
+      6. per-turn extracted text = ``\\n\\n``-join of kept non-empty contents
+      7. chapter segmentation (O9) over the merged block stream
+
+    Returns ``{"turn_texts": [...], "turn_blocks": [[...]], "chapters": [...]}``.
+    """
+    if turn_idxs is None:
+        turn_idxs = list(range(len(turn_texts)))
+    boiler = boilerplate_keys(turn_texts)
+    pages: list[list[dict]] = []
+    for idx, raw in zip(turn_idxs, turn_texts):
+        # per-block lineage, mirrors ocr_processor.py:481-483 (source =
+        # originating page file) as SURVEY §1.2: conv_id:turn_idx
+        source = f"{conv_id}:{idx}"
+        stripped = strip_boilerplate_text(raw, boiler)
+        if is_html_payload(stripped):
+            blocks = extract_sections_from_html(stripped, source)
+        else:
+            normalized = reflow(repair_hyphenation(stripped))
+            blocks = classify_ocr_text(normalized, source)
+        pages.append(blocks)
+    kept = merge_fold(pages)
+    per_turn = [
+        "\n\n".join(b.get("content") for b in blocks if b.get("content")) for blocks in kept
+    ]
+    flat = [b for blocks in kept for b in blocks]
+    chapters = segment_chapters(flat)
+    return {"turn_texts": per_turn, "turn_blocks": kept, "chapters": chapters}

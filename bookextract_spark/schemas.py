@@ -1,0 +1,114 @@
+"""Canonical schemas for the engine (FIXTURES.md §1-2)."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRANSCRIPTS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("role", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("tool", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+# One typed content block (reference section dict, ocr_processor.py:418-431;
+# closed type vocabulary from the structuring prompt ocr_processor.py:419
+# plus cover/image used by the editor, book_intermediate.py:46-50).
+BLOCK_STRUCT = StructType(
+    [
+        StructField("type", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("image", StringType(), True),
+        StructField("caption", StringType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+BLOCKS_ARRAY = ArrayType(BLOCK_STRUCT)
+
+BLOCK_TYPES = frozenset(
+    {
+        "title",
+        "author",
+        "cover",
+        "chapter_header",
+        "header",
+        "sub_header",
+        "paragraph",
+        "bold",
+        "block_indent",
+        "image",
+        "page_division",
+    }
+)
+
+# Exploded block rows (FIXTURES.md §2)
+BLOCK_ROWS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("block_idx", IntegerType(), False),
+        StructField("type", StringType(), True),
+        StructField("content", StringType(), True),
+        StructField("image", StringType(), True),
+        StructField("caption", StringType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+# C3 density scores carried per turn alongside blocks
+DENSITY_STRUCT = StructType(
+    [
+        StructField("text_density", DoubleType(), True),
+        StructField("link_density", DoubleType(), True),
+        StructField("tag_depth", IntegerType(), True),
+    ]
+)
+
+# Nested BookIntermediate (book_intermediate.py:24-119)
+CHAPTER_STRUCT = StructType(
+    [
+        StructField("number", IntegerType(), True),
+        StructField("title", StringType(), True),
+        StructField("filename", StringType(), True),
+        StructField("sections", BLOCKS_ARRAY, True),
+        StructField("word_count", LongType(), True),
+    ]
+)
+
+METADATA_STRUCT = StructType(
+    [
+        StructField("title", StringType(), True),
+        StructField("author", StringType(), True),
+        StructField("language", StringType(), True),
+        StructField("identifier", StringType(), True),
+        StructField("publisher", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("cover_image", StringType(), True),
+        StructField("creation_date", StringType(), True),
+    ]
+)
+
+BOOK_INTERMEDIATE_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("metadata", METADATA_STRUCT, True),
+        StructField("chapters", ArrayType(CHAPTER_STRUCT), True),
+        StructField("total_chapters", IntegerType(), True),
+        StructField("total_word_count", LongType(), True),
+        StructField("format_version", StringType(), True),
+    ]
+)

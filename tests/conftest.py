@@ -1,0 +1,32 @@
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+os.environ.setdefault("PYARROW_IGNORE_TIMEZONE", "1")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from bookextract_spark.session import get_spark
+
+    s = get_spark(app_name="bookextract-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def transcripts_pdf():
+    from bookextract_spark.datagen import transcripts_pandas
+
+    return transcripts_pandas(n_convs=30, seed=42, skew=False)
+
+
+@pytest.fixture(scope="session")
+def transcripts(spark, transcripts_pdf):
+    from bookextract_spark.schemas import TRANSCRIPTS_SCHEMA
+
+    return spark.createDataFrame(transcripts_pdf, TRANSCRIPTS_SCHEMA).cache()

@@ -1,0 +1,193 @@
+"""Native Column text functions vs the pure-Python spec.
+
+Includes the reference's own exact input->output tables
+(tests/test_intermediate_to_m4b.py:29-77) plus adversarial cases, and a
+randomized cross-check of Spark vs reference_semantics on generated
+noisy strings.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from bookextract_spark import reference_semantics as ref
+from bookextract_spark.functions import text as T
+
+SCHEMA = StructType([StructField("x", StringType(), True)])
+
+
+def run_col(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], SCHEMA)
+    return [r.y for r in df.select(fn(F.col("x")).alias("y")).collect()]
+
+
+# Reference golden pairs (tests/test_intermediate_to_m4b.py:31-37) — these
+# assert actual reference behavior, equality-checked there.
+REFERENCE_TTS_GOLDENS = [
+    ("Hello world!", "Hello world!"),
+    ("Text with\nmultiple\nlines", "Text with multiple lines."),
+    ("Extra   spaces   here", "Extra spaces here."),
+    ("Text with\ttabs", "Text with tabs."),
+    ("Mixed\n\n\nlines\tand   spaces", "Mixed lines and spaces."),
+]
+
+TTS_EDGE_CASES = [
+    "",
+    "   ",
+    "\n\n\n",
+    "\t\t",
+    "   \n\t   ",
+    "Ellipsis…",  # actual code behavior: "Ellipsis..." (see spec docstring)
+    "Dots..here",
+    "a....b",
+    "wait--what",
+    "dash---three",
+    "End.Start next",
+    "end!And again?Yes",
+    "<i>tagged</i> text",
+    "no terminal punct",
+    "ends with colon:",
+    "“curly” stays ‘curly’",  # reference smart-quote replace is a no-op
+    "…",
+    "A.b lowercase after dot",
+    "multi.  Spaced",
+]
+
+
+def test_clean_text_for_tts_reference_goldens(spark):
+    inputs = [i for i, _ in REFERENCE_TTS_GOLDENS]
+    got = run_col(spark, T.clean_text_for_tts_col, inputs)
+    for (inp, expected), g in zip(REFERENCE_TTS_GOLDENS, got):
+        assert g == expected, f"{inp!r}: {g!r} != {expected!r}"
+        assert ref.clean_text_for_tts(inp) == expected
+
+
+def test_clean_text_for_tts_matches_spec(spark):
+    got = run_col(spark, T.clean_text_for_tts_col, TTS_EDGE_CASES)
+    for inp, g in zip(TTS_EDGE_CASES, got):
+        assert g == ref.clean_text_for_tts(inp), f"{inp!r}"
+
+
+def test_clean_text_for_tts_null(spark):
+    assert run_col(spark, T.clean_text_for_tts_col, [None]) == [""]
+
+
+REFLOW_CASES = [
+    "single line",
+    "wrapped\nline\nhere",
+    "para one\nwrapped\n\npara two\nwrapped",
+    "a\n\n\nb",  # sequential-replace artifact: 'a\n\n b'
+    "\n\nleading",
+    "trailing\n\n",
+    "\n",
+    "",
+]
+
+
+def test_reflow_matches_spec(spark):
+    got = run_col(spark, T.reflow_col, REFLOW_CASES)
+    for inp, g in zip(REFLOW_CASES, got):
+        assert g == ref.reflow(inp), f"{inp!r}"
+
+
+def test_reflow_sequential_replace_artifact():
+    # documents the non-regex semantics of ocr_processor.py:123-125
+    assert ref.reflow("a\n\n\nb") == "a\n\n b"
+
+
+HYPHEN_CASES = [
+    "exam-\nple",
+    "self-\nnumber1",  # digit after newline: no repair (letters only)
+    "no hyphen\nhere",
+    "two split-\nwords and ano-\nther",
+    "trailing-\n",
+    "Ünï-\nçode",
+    "1-\n2",
+]
+
+
+def test_repair_hyphenation_matches_spec(spark):
+    got = run_col(spark, T.repair_hyphenation_col, HYPHEN_CASES)
+    for inp, g in zip(HYPHEN_CASES, got):
+        assert g == ref.repair_hyphenation(inp), f"{inp!r}"
+
+
+WORD_COUNT_CASES = ["", "   ", "one", " one two  three ", "a\nb\tc", None]
+
+
+def test_word_count_matches_spec(spark):
+    got = run_col(spark, T.word_count_col, WORD_COUNT_CASES)
+    for inp, g in zip(WORD_COUNT_CASES, got):
+        assert g == ref.word_count(inp), f"{inp!r}"
+
+
+CHAPTER_CASES = [
+    "Chapter 7",
+    "CHAPTER 12: The Storm",
+    "Part IV",
+    "part xii begins",
+    "chapter one",  # spelled-out: no match, per reference regex
+    "Introduction",
+    "the chapter 3 rule",
+]
+
+
+def test_extract_chapter_number_matches_spec(spark):
+    got = run_col(spark, T.extract_chapter_number_col, CHAPTER_CASES)
+    for inp, g in zip(CHAPTER_CASES, got):
+        expected = ref.extract_chapter_number(inp) or ""
+        assert g == expected, f"{inp!r}"
+
+
+def test_sanitize_filename(spark):
+    cases = [("First Chapter", 1), ("Ch: weird/name?", 12), ("under_score-ok", 3)]
+    df = spark.createDataFrame(cases, "title string, number int")
+    got = [
+        r.y
+        for r in df.select(
+            T.sanitize_filename_col(F.col("title"), F.col("number")).alias("y")
+        ).collect()
+    ]
+    for (title, number), g in zip(cases, got):
+        assert g == ref.sanitize_filename(title, number), f"{title!r}"
+
+
+def test_merge_predicates_match_spec(spark):
+    cases = ["ends here.", "no punct", "colon:", "", "Upper start", "lower start", "1 digit", None]
+    for fn, pyfn in [
+        (T.ends_with_punctuation_col, ref.ends_with_punctuation),
+        (T.starts_with_capital_col, ref.starts_with_capital),
+    ]:
+        df = spark.createDataFrame([(v,) for v in cases], SCHEMA)
+        got = [r.y for r in df.select(fn(F.col("x")).alias("y")).collect()]
+        for inp, g in zip(cases, got):
+            assert bool(g) == pyfn(inp), f"{fn.__name__}({inp!r})"
+
+
+def _random_noisy_strings(n=300, seed=7):
+    rng = random.Random(seed)
+    alphabet = list("abcDEF .!?:;\n\t-…<>“”‘’") + ["\n\n", "--", "..", "chapter 3", "<b>", "</b>"]
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 40)
+        out.append("".join(rng.choice(alphabet) for _ in range(k)))
+    return out
+
+
+@pytest.mark.parametrize(
+    "colfn,pyfn",
+    [
+        (T.clean_text_for_tts_col, ref.clean_text_for_tts),
+        (T.reflow_col, ref.reflow),
+        (T.repair_hyphenation_col, ref.repair_hyphenation),
+        (T.word_count_col, ref.word_count),
+        (T.normalize_line_col, ref.normalize_line),
+    ],
+)
+def test_randomized_cross_check(spark, colfn, pyfn):
+    inputs = _random_noisy_strings()
+    got = run_col(spark, colfn, inputs)
+    for inp, g in zip(inputs, got):
+        assert g == pyfn(inp), f"{colfn.__name__}({inp!r}): {g!r} != {pyfn(inp)!r}"
