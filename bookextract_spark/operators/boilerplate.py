@@ -1,0 +1,85 @@
+"""T14 repeated-line boilerplate stripping (headers / footers / page
+numbers) — deterministic replacement for the reference prompt "do not
+include ... headers, footers" (``ocr_processor.py:413-414``).
+
+Spec: :func:`bookextract_spark.reference_semantics.boilerplate_keys` /
+:func:`~bookextract_spark.reference_semantics.strip_boilerplate_text`.
+
+Scale design (100 TB): the frequency map needs only the FIRST and LAST
+candidate lines of each turn, so we never explode the corpus into line
+rows.  Per row we derive <= 2 candidate keys natively (split + filter +
+try_element_at), aggregate those tiny keys, and join the per-conv
+boilerplate *set* back to the turns.  The full text therefore crosses
+the wire once (the conv-keyed join), and the line filtering runs
+map-side inside whole-stage codegen.  AQE broadcasts the boilerplate
+side when it is small and splits skewed conv joins otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bookextract_spark.functions.text import (
+    is_page_number_col,
+    normalize_line_col,
+)
+from bookextract_spark.reference_semantics import BOILER_FRACTION, BOILER_MIN_TURNS
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    fraction: float = BOILER_FRACTION,
+    min_turns: int = BOILER_MIN_TURNS,
+) -> DataFrame:
+    """Add ``out_col`` = ``text_col`` with boilerplate lines removed.
+
+    Requires columns ``conv_id`` and ``text_col``.  Null text stays null.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n", -1)
+
+    # candidate edge lines: first/last non-empty, non-page-number line
+    edge_lines = F.filter(
+        lines,
+        lambda ln: (normalize_line_col(ln) != "") & ~is_page_number_col(ln),
+    )
+    first_key = normalize_line_col(F.try_element_at(edge_lines, F.lit(1)))
+    last_key = normalize_line_col(F.try_element_at(edge_lines, F.lit(-1)))
+    cands = F.when(
+        F.size(edge_lines) > 0, F.array_distinct(F.array(first_key, last_key))
+    ).otherwise(F.array().cast("array<string>"))
+
+    cand_df = df.select(F.col("conv_id"), F.explode(cands).alias("line_key"))
+    n_turns = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    freq = cand_df.groupBy("conv_id", "line_key").agg(F.count(F.lit(1)).alias("cnt"))
+    boiler = (
+        freq.join(n_turns, "conv_id")
+        .where(
+            (F.col("n_turns") >= F.lit(min_turns))
+            & (F.col("cnt") >= F.lit(float(fraction)) * F.col("n_turns"))
+        )
+        .groupBy("conv_id")
+        .agg(F.collect_set("line_key").alias("_boiler_set"))
+    )
+
+    out = df.join(boiler, "conv_id", "left")
+    boiler_set = F.col("_boiler_set")
+    kept = F.filter(
+        lines,
+        lambda ln: ~is_page_number_col(ln)
+        & (
+            boiler_set.isNull()
+            | ~F.array_contains(boiler_set, normalize_line_col(ln))
+        ),
+    )
+    joined = F.array_join(kept, "\n")
+    # post-drop tidy (spec: strip_boilerplate_text): collapse 3+ newlines,
+    # trim leading/trailing newline runs
+    tidied = F.regexp_replace(joined, r"\n{3,}", "\n\n")
+    tidied = F.regexp_replace(tidied, r"^\n+|\n+$", "")
+    return out.withColumn(
+        out_col, F.when(text.isNull(), F.lit(None).cast("string")).otherwise(tidied)
+    ).drop("_boiler_set")

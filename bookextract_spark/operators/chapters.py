@@ -1,0 +1,145 @@
+"""O9 chapter segmentation + A1/A2/A4 assembly + P2/A5 metadata.
+
+Transcribed semantics: ``BookConverter.from_section_array``
+(``book_intermediate.py:207-316``) — the classic
+running-count-window-then-group pattern:
+
+* ``chapter_no`` = running count of ``chapter_header`` blocks over the
+  (conv_id) window ordered by (turn_idx, block_idx);
+* blocks before the first header form chapter 0 "Introduction";
+* a conversation with content but no headers yields one chapter
+  numbered 1 titled "Introduction" (the reference's trailing-flush edge,
+  :287-294);
+* metadata sections (title/author/cover) are excluded from chapters
+  (:268-270) and aggregated separately with LAST-occurrence-wins
+  semantics (the reference loop at :221-227 overwrites on each hit);
+* chapter word_count = whitespace word count of the ``\\n\\n``-joined
+  truthy contents (:74-85) — computed additively per block so the
+  aggregation stays partial (map-side combine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bookextract_spark.functions.text import word_count_col
+
+METADATA_TYPES = ("title", "author", "cover")
+
+
+def explode_blocks(df: DataFrame, blocks_col: str = "merged_blocks") -> DataFrame:
+    """Turn-level blocks array -> block rows (FIXTURES.md §2 schema)."""
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.col(blocks_col)).alias("block_idx", "block"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "block_idx",
+        F.col("block.type").alias("type"),
+        F.col("block.content").alias("content"),
+        F.col("block.image").alias("image"),
+        F.col("block.caption").alias("caption"),
+        F.col("block.source").alias("source"),
+    )
+
+
+def number_chapters(block_rows: DataFrame) -> DataFrame:
+    """Add ``chapter_no`` (running header count) to content block rows;
+    metadata sections are dropped here (book_intermediate.py:268-270)."""
+    content = block_rows.where(~F.col("type").isin(*METADATA_TYPES))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx", "block_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return content.withColumn(
+        "chapter_no",
+        F.sum(F.when(F.col("type") == "chapter_header", 1).otherwise(0)).over(w),
+    )
+
+
+def assemble_chapters(numbered: DataFrame) -> DataFrame:
+    """Group numbered block rows into chapter rows.
+
+    Output: conv_id, chapter_number, title, word_count, n_sections,
+    sections (ordered array<BLOCK_STRUCT>), text (the ``\\n\\n`` join).
+    """
+    grouped = numbered.groupBy("conv_id", "chapter_no").agg(
+        # exactly one chapter_header per group (the one that opened it)
+        F.max(F.when(F.col("type") == "chapter_header", F.col("content"))).alias(
+            "_header_content"
+        ),
+        F.sum(word_count_col(F.col("content"))).alias("word_count"),
+        F.count(F.lit(1)).alias("n_sections"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "turn_idx",
+                    "block_idx",
+                    F.struct("type", "content", "image", "caption", "source").alias(
+                        "block"
+                    ),
+                )
+            )
+        ).alias("_ordered"),
+    )
+    max_no = Window.partitionBy("conv_id")
+    grouped = grouped.withColumn("_max_no", F.max("chapter_no").over(max_no))
+    title = F.when(F.col("chapter_no") == 0, F.lit("Introduction")).otherwise(
+        F.concat(F.lit("Chapter "), F.col("_header_content"))
+    )
+    # trailing-flush edge (book_intermediate.py:287-294): a conversation
+    # whose only chunk precedes any header is numbered 1, titled
+    # "Introduction"
+    number = F.when(
+        (F.col("chapter_no") == 0) & (F.col("_max_no") == 0), F.lit(1)
+    ).otherwise(F.col("chapter_no"))
+    sections = F.transform(F.col("_ordered"), lambda s: s["block"])
+    text = F.array_join(
+        F.filter(
+            F.transform(sections, lambda b: b["content"]),
+            lambda c: c.isNotNull() & (c != ""),
+        ),
+        "\n\n",
+    )
+    return grouped.select(
+        "conv_id",
+        number.cast("int").alias("chapter_number"),
+        title.alias("title"),
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("n_sections").cast("int").alias("n_sections"),
+        sections.alias("sections"),
+        text.alias("text"),
+    )
+
+
+def extract_metadata(block_rows: DataFrame) -> DataFrame:
+    """P2/A5 per-conversation metadata, last-occurrence-wins
+    (book_intermediate.py:221-227), with P5-style validity flags instead
+    of the reference's ValueError (:229-232)."""
+    order = F.struct("turn_idx", "block_idx")
+    meta = block_rows.where(F.col("type").isin(*METADATA_TYPES))
+
+    def last_of(type_name: str, value_col: str):
+        # max over (order, value) structs — null for other types, so the
+        # max is the LAST occurrence of this type; nulls are ignored
+        return F.max(
+            F.when(F.col("type") == type_name, F.struct(order.alias("o"), F.col(value_col).alias("v")))
+        )["v"]
+
+    agg = meta.groupBy("conv_id").agg(
+        last_of("title", "content").alias("title"),
+        last_of("author", "content").alias("author"),
+        last_of("cover", "image").alias("cover_image"),
+    )
+    return agg.select(
+        "conv_id",
+        "title",
+        "author",
+        "cover_image",
+        F.col("title").isNotNull().alias("has_title"),
+        F.col("author").isNotNull().alias("has_author"),
+    )

@@ -1,0 +1,160 @@
+"""C4/C1 block classification: turn text -> typed ``blocks`` array.
+
+Plain OCR-layout text is classified entirely with native Spark SQL
+expressions (split + transform + regexp rules — whole-stage codegen,
+zero Python).  Markup payloads go through one Arrow-batched pandas UDF
+that calls the *same* pure-Python rules as the golden oracle
+(:func:`bookextract_spark.reference_semantics.extract_sections_from_html`),
+so the distributed path and the oracle cannot diverge.
+
+To keep Python strictly off the non-HTML hot path without scanning the
+input twice, the UDF receives NULL for non-HTML rows (Arrow transfers
+nulls, the UDF short-circuits) and the final column coalesces the two
+branches.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from bookextract_spark.functions.text import (
+    reflow_col,
+    repair_hyphenation_col,
+    strip_col,
+)
+from bookextract_spark.schemas import BLOCKS_ARRAY, DENSITY_STRUCT
+
+# mirrors reference_semantics._HTML_SNIFF_RE (Java dialect)
+HTML_SNIFF_PATTERN = r"(?is)<\s*(?:html|body|div|p|h[1-6]|blockquote|img)\b"
+
+# mirrors reference_semantics._CHAPTER_BLOCK_RE
+_CHAPTER_BLOCK_PATTERN = r"^(?:chapter|part)\s*(\d+|[ivxlcdm]+)\b"
+
+
+def is_html_col(col: Column) -> Column:
+    return col.isNotNull() & col.rlike(HTML_SNIFF_PATTERN)
+
+
+def _block_struct(type_col, content_col, source: Column):
+    return F.struct(
+        type_col.alias("type"),
+        content_col.alias("content"),
+        F.lit(None).cast("string").alias("image"),
+        F.lit(None).cast("string").alias("caption"),
+        source.alias("source"),
+    )
+
+
+def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
+    """Native implementation of
+    :func:`reference_semantics.classify_ocr_text` over reflowed text.
+
+    Rules per ``\\n\\n`` piece (first match wins): chapter_header
+    (reference regex book_intermediate.py:471-473 anchored at block
+    start), block_indent (tab / 4-space / '>' marker), header (short,
+    <= 8 words, uppercase start, no sentence-terminal), else paragraph.
+    """
+    pieces = F.split(norm_text, r"\n\n")
+
+    def classify(piece: Column):
+        stripped = strip_col(piece)
+        lowered = F.lower(stripped)
+        chap_num = F.regexp_extract(lowered, _CHAPTER_BLOCK_PATTERN, 1)
+        words = F.size(F.split(stripped, r"\s+"))
+        is_header = (
+            (F.length(stripped) <= 60)
+            & (words <= 8)
+            & F.substring(stripped, 1, 1).rlike(r"^\p{Lu}")
+            & ~F.substring(stripped, -1, 1).isin(".", "!", "?")
+        )
+        btype = (
+            F.when(lowered.rlike(_CHAPTER_BLOCK_PATTERN), F.lit("chapter_header"))
+            .when(piece.rlike(r"^(?:\t|    |>)"), F.lit("block_indent"))
+            .when(is_header, F.lit("header"))
+            .otherwise(F.lit("paragraph"))
+        )
+        content = (
+            F.when(btype == "chapter_header", chap_num)
+            .when(btype == "block_indent", F.regexp_replace(stripped, r"^[>\s]+", ""))
+            .otherwise(stripped)
+        )
+        return _block_struct(btype, content, source)
+
+    # the oracle drops empty PIECES before classifying (a block whose
+    # content becomes '' after marker removal is still kept)
+    nonempty = F.filter(pieces, lambda p: strip_col(p) != "")
+    return F.transform(nonempty, classify)
+
+
+@pandas_udf(BLOCKS_ARRAY)
+def _classify_html_udf(text: pd.Series, source: pd.Series) -> pd.Series:
+    from bookextract_spark.reference_semantics import extract_sections_from_html
+
+    out = []
+    for html, src in zip(text, source):
+        if html is None:
+            out.append(None)
+            continue
+        secs = extract_sections_from_html(html, src)
+        out.append(
+            [
+                (
+                    s.get("type"),
+                    s.get("content"),
+                    s.get("image"),
+                    s.get("caption"),
+                    s.get("source"),
+                )
+                for s in secs
+            ]
+        )
+    return pd.Series(out)
+
+
+@pandas_udf(DENSITY_STRUCT)
+def _density_udf(text: pd.Series) -> pd.DataFrame:
+    from bookextract_spark.reference_semantics import html_density_scores
+
+    rows = []
+    for html in text:
+        if html is None:
+            rows.append((None, None, None))
+        else:
+            d = html_density_scores(html)
+            rows.append((d["text_density"], d["link_density"], d["tag_depth"]))
+    return pd.DataFrame(rows, columns=["text_density", "link_density", "tag_depth"])
+
+
+def classify_turns(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    out_col: str = "blocks",
+    with_density: bool = True,
+) -> DataFrame:
+    """Add ``blocks`` (array<struct>) and optionally ``density`` columns.
+
+    ``text_col`` must already be boilerplate-stripped; hyphenation
+    repair + reflow are applied here to the OCR branch only (HTML goes
+    to the C1 parser raw), matching the oracle's stage order.
+    """
+    text = F.col(text_col)
+    source = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
+    html = is_html_col(text)
+
+    ocr_norm = reflow_col(repair_hyphenation_col(text))
+    ocr_blocks = classify_ocr_blocks_col(ocr_norm, source)
+    html_input = F.when(html, text).otherwise(F.lit(None).cast("string"))
+    html_blocks = _classify_html_udf(html_input, source)
+
+    out = df.withColumn(
+        out_col,
+        F.when(text.isNull(), F.array().cast(BLOCKS_ARRAY))
+        .when(html, html_blocks)
+        .otherwise(ocr_blocks),
+    )
+    if with_density:
+        out = out.withColumn("density", _density_udf(html_input))
+    return out

@@ -1,0 +1,143 @@
+"""O8 cross-turn merge — the reference's sequential left-to-right fold
+(``ocr_processor.py:241-343``) re-architected as a window.
+
+Key insight (SURVEY §4): after merging, the accumulated document's last
+block is always the last block of the most recent non-empty turn, and
+its final character is always the final character of that turn's last
+block content — even in the cascade case where a single-block turn
+merges away (its content is *appended*, so it still supplies the final
+character).  Therefore the merge DECISION for turn t depends only on
+``lag(last_content)`` over the conv window — no sequential state.
+
+What remains stateful is only WHERE merged fragments land: the
+receiving turn is the most recent preceding turn with >= 1 surviving
+block, i.e. ``last_value(ignorenulls)`` over the same window.
+Fragments are then grouped per receiver (preserving turn order) and
+appended to the receiver's last block with single spaces — exactly the
+reference's repeated ``content + " " + fragment``.
+
+Deterministic decision rule: :func:`reference_semantics.should_merge`
+(fast path ``ocr_processor.py:265-271``; LLM fallback replaced by
+"merge"; null contents never merge — see spec for the reference's
+KeyError data-loss bug we do not reproduce).
+
+Shuffle profile: one exchange on ``conv_id`` for the window; the
+fragment groupBy and the receiver join reuse conv-keyed partitioning.
+Fragments are a tiny fraction of rows, so the join's right side is
+usually broadcast by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bookextract_spark.functions.text import should_merge_col
+from bookextract_spark.schemas import BLOCKS_ARRAY
+
+
+def merge_across_turns(
+    df: DataFrame, blocks_col: str = "blocks", out_col: str = "merged_blocks"
+) -> DataFrame:
+    """Add ``out_col``: per-turn kept blocks after the cross-turn merge.
+
+    Requires columns ``conv_id``, ``turn_idx`` and ``blocks_col``
+    (array<BLOCK_STRUCT>).  A merged turn loses its first block; the
+    receiving turn's last block gains the fragment(s).  Empty turns pass
+    through with an empty array.
+    """
+    blocks = F.col(blocks_col)
+    has_blocks = F.size(blocks) > 0
+
+    nonempty = df.where(has_blocks)
+    empty = df.where(~has_blocks).withColumn(out_col, blocks)
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+
+    first_content = F.try_element_at(blocks, F.lit(1))["content"]
+    last_content = F.try_element_at(blocks, F.lit(-1))["content"]
+
+    staged = nonempty.withColumns(
+        {
+            "_first_content": first_content,
+            "_prev_last": F.lag(last_content).over(w),
+        }
+    ).withColumn(
+        "_merged", should_merge_col(F.col("_prev_last"), F.col("_first_content"))
+    )
+    staged = staged.withColumns(
+        {
+            "_survivors": F.size(blocks) - F.col("_merged").cast("int"),
+            "_kept": F.when(
+                F.col("_merged"), F.slice(blocks, 2, F.size(blocks) - 1)
+            ).otherwise(blocks),
+        }
+    ).withColumn(
+        "_receiver",
+        F.last(
+            F.when(F.col("_survivors") >= 1, F.col("turn_idx")), ignorenulls=True
+        ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+
+    # fragments grouped per receiving turn, in turn order, space-joined —
+    # the reference's repeated `content + " " + fragment` (:338)
+    frags = (
+        staged.where(F.col("_merged"))
+        .select(
+            F.col("conv_id").alias("_recv_conv"),
+            F.col("_receiver").alias("_recv_turn"),
+            F.struct(F.col("turn_idx"), F.col("_first_content").alias("frag")).alias("_tf"),
+        )
+        .groupBy("_recv_conv", "_recv_turn")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("_tf")), lambda s: s["frag"]),
+                " ",
+            ).alias("_extra")
+        )
+    )
+
+    joined = staged.join(
+        frags,
+        on=[
+            staged["conv_id"] == frags["_recv_conv"],
+            staged["turn_idx"] == frags["_recv_turn"],
+        ],
+        how="left",
+    ).drop("_recv_conv", "_recv_turn")
+
+    kept = F.col("_kept")
+    last = F.try_element_at(kept, F.lit(-1))
+    amended_last = F.struct(
+        last["type"].alias("type"),
+        F.concat(last["content"], F.lit(" "), F.col("_extra")).alias("content"),
+        last["image"].alias("image"),
+        last["caption"].alias("caption"),
+        last["source"].alias("source"),
+    )
+    amended = F.when(
+        F.col("_extra").isNull() | (F.size(kept) == 0), kept
+    ).otherwise(
+        F.concat(F.slice(kept, 1, F.size(kept) - 1), F.array(amended_last)).cast(
+            BLOCKS_ARRAY
+        )
+    )
+
+    result = joined.withColumn(out_col, amended).drop(
+        "_first_content", "_prev_last", "_merged", "_survivors", "_kept", "_receiver", "_extra"
+    )
+    return result.unionByName(empty)
+
+
+def extracted_text_col(blocks: F.Column) -> F.Column:
+    """Per-turn extracted text: ``\\n\\n``-join of truthy block contents
+    (mirrors ``Chapter.get_text_content``, book_intermediate.py:74-80)."""
+    return F.array_join(
+        F.transform(
+            F.filter(
+                blocks, lambda b: b["content"].isNotNull() & (b["content"] != "")
+            ),
+            lambda b: b["content"],
+        ),
+        "\n\n",
+    )

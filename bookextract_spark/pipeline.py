@@ -1,0 +1,46 @@
+"""End-to-end extraction pipeline (SURVEY §3.1 Spark plan).
+
+read(transcripts) -> T14 boilerplate strip -> T13+T1 normalize ->
+C1/C4 classify -> O8 cross-turn merge window -> per-turn extracted text
++ exploded block rows -> O9 chapters -> metadata.
+
+Physical profile: the normalize/classify stages are map-side
+(whole-stage codegen + one Arrow UDF for markup rows); the merge window
+is the single required exchange on ``conv_id``; chapters and metadata
+reuse conv-keyed partitioning.  AQE handles stragglers and skewed
+conversations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bookextract_spark.operators.boilerplate import strip_boilerplate
+from bookextract_spark.operators.chapters import (
+    assemble_chapters,
+    explode_blocks,
+    extract_metadata,
+    number_chapters,
+)
+from bookextract_spark.operators.classify import classify_turns
+from bookextract_spark.operators.merge import extracted_text_col, merge_across_turns
+
+
+def extract_turns(transcripts: DataFrame, with_density: bool = False) -> DataFrame:
+    """Flagship per-turn extraction: transcripts -> one row per turn with
+    ``merged_blocks`` and ``extracted_text`` (the north-rule equality
+    surface)."""
+    df = strip_boilerplate(transcripts)
+    df = classify_turns(df, text_col="clean_text", with_density=with_density)
+    df = merge_across_turns(df, blocks_col="blocks", out_col="merged_blocks")
+    return df.withColumn("extracted_text", extracted_text_col(F.col("merged_blocks")))
+
+
+def extract_all(transcripts: DataFrame, with_density: bool = False) -> dict[str, DataFrame]:
+    """Full pipeline; returns turns / blocks / chapters / metadata frames."""
+    turns = extract_turns(transcripts, with_density=with_density)
+    blocks = explode_blocks(turns, blocks_col="merged_blocks")
+    chapters = assemble_chapters(number_chapters(blocks))
+    metadata = extract_metadata(blocks)
+    return {"turns": turns, "blocks": blocks, "chapters": chapters, "metadata": metadata}

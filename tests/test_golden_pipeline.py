@@ -1,0 +1,84 @@
+"""Golden byte-equality gate (BASELINE.json): the Spark pipeline's
+per-turn extracted text, block rows, and chapters must equal the
+pure-Python oracle exactly, under stable (conv_id, turn_idx) ordering.
+"""
+
+import pandas as pd
+import pytest
+
+from bookextract_spark.oracle import oracle_extract
+from bookextract_spark.pipeline import extract_all
+
+
+@pytest.fixture(scope="module")
+def results(spark, transcripts, transcripts_pdf):
+    spark_out = extract_all(transcripts)
+    golden = oracle_extract(transcripts_pdf)
+    return spark_out, golden
+
+
+def test_per_turn_text_byte_equality(results):
+    spark_out, golden = results
+    got = (
+        spark_out["turns"]
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = golden["turns"].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    mismatches = []
+    for i in range(len(exp)):
+        g, e = got.iloc[i], exp.iloc[i]
+        assert (g.conv_id, g.turn_idx) == (e.conv_id, e.turn_idx)
+        if g.extracted_text != e.extracted_text:
+            mismatches.append((g.conv_id, int(g.turn_idx), g.extracted_text, e.extracted_text))
+    assert not mismatches, f"{len(mismatches)} turns differ; first: {mismatches[0]!r}"
+
+
+def test_block_rows_byte_equality(results):
+    spark_out, golden = results
+    cols = ["conv_id", "turn_idx", "block_idx", "type", "content", "image", "caption", "source"]
+    got = (
+        spark_out["blocks"]
+        .toPandas()[cols]
+        .sort_values(["conv_id", "turn_idx", "block_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        golden["blocks"][cols]
+        .sort_values(["conv_id", "turn_idx", "block_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp), f"{len(got)} != {len(exp)} block rows"
+    for col in cols:
+        g = got[col].where(pd.notna(got[col]), None)
+        e = exp[col].where(pd.notna(exp[col]), None)
+        bad = [i for i in range(len(exp)) if g.iloc[i] != e.iloc[i]]
+        assert not bad, (
+            f"column {col}: {len(bad)} mismatches; first at row {bad[0]}: "
+            f"{got.iloc[bad[0]].to_dict()!r} vs {exp.iloc[bad[0]].to_dict()!r}"
+        )
+
+
+def test_chapters_equality(results):
+    spark_out, golden = results
+    cols = ["conv_id", "chapter_number", "title", "word_count", "n_sections"]
+    got = (
+        spark_out["chapters"]
+        .selectExpr(
+            "conv_id",
+            "chapter_number",
+            "title",
+            "word_count",
+            "n_sections",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "chapter_number"])
+        .reset_index(drop=True)
+    )
+    exp = golden["chapters"][cols].sort_values(["conv_id", "chapter_number"]).reset_index(drop=True)
+    assert len(got) == len(exp), f"{len(got)} != {len(exp)} chapters"
+    for col in cols:
+        assert list(got[col]) == list(exp[col]), f"column {col} differs"
