@@ -1,0 +1,607 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY §2 as a (Spark callable, DuckDB oracle SQL) pair.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+the matching SQL string computes the same result on DuckDB views of the
+same parquet tables.  Column names and types are aligned on both sides
+(the driver hashes values after sorting columns by name).
+
+Dialect discipline:
+* Spark regexes are Java (``$1`` refs); DuckDB is RE2 (``\\1`` refs,
+  explicit ``'g'`` flag for global replace).
+* Several text operators run over a **derived transcripts view** built
+  from ``documents`` with identical expressions in both dialects
+  (conv_id = doc_id % N, turn_idx = doc_id / N; synthetic newlines /
+  casing / punctuation so the window logic has real work to do).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bookextract_spark.functions import text as T
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+N_CONVS = 40
+
+# Derived transcripts: deterministic, identical in both dialects.
+# base text: trimmed, never empty; newlines synthesized by word replace;
+# even doc_ids start uppercase; doc_id%3==0 ends with '.'.
+_SQL_TRANSCRIPTS_CTE = f"""
+t_base AS (
+  SELECT doc_id,
+         coalesce(nullif(trim(text), ''), 'empty doc') AS b
+  FROM documents
+),
+t_case AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN upper(substring(b, 1, 1)) || substring(b, 2)
+              ELSE b END AS b
+  FROM t_base
+),
+transcripts_v AS (
+  SELECT 'c' || CAST(doc_id % {N_CONVS} AS VARCHAR) AS conv_id,
+         CAST(floor(doc_id / {N_CONVS}) AS INT) AS turn_idx,
+         CASE WHEN doc_id % 3 = 0 THEN b || '.' ELSE b END AS content
+  FROM t_case
+)
+"""
+
+
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    b = F.coalesce(F.nullif(F.trim(F.col("text")), F.lit("")), F.lit("empty doc"))
+    b = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.upper(F.substr(b, F.lit(1), F.lit(1))), F.substr(b, F.lit(2))),
+    ).otherwise(b)
+    content = F.when(F.col("doc_id") % 3 == 0, F.concat(b, F.lit("."))).otherwise(b)
+    return d.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % N_CONVS).cast("string")).alias("conv_id"),
+        F.floor(F.col("doc_id") / N_CONVS).cast("int").alias("turn_idx"),
+        content.alias("content"),
+    )
+
+
+# newline-rich text synthesized from documents (identical both dialects)
+def _nl_text_col():
+    x = F.coalesce(F.col("text"), F.lit(""))
+    x = F.replace(x, F.lit(" table "), F.lit("\n"))
+    return F.replace(x, F.lit(" data "), F.lit("\n\n"))
+
+
+_SQL_NL_TEXT = (
+    "replace(replace(coalesce(text, ''), ' table ', chr(10)), ' data ', chr(10) || chr(10))"
+)
+
+
+# --------------------------------------------------------------------------
+# T-series scalar text operators (SURVEY §2.3) over documents
+# --------------------------------------------------------------------------
+
+
+def q_t1_reflow(spark, sf_dir):
+    """T1 paragraph reflow (ocr_processor.py:121-128) over synthesized
+    hard-wrapped text."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.reflow_col(_nl_text_col()).alias("reflowed"))
+
+
+SQL_T1 = f"""
+SELECT doc_id,
+       replace(replace(replace({_SQL_NL_TEXT}, chr(10)||chr(10), chr(7)),
+               chr(10), ' '), chr(7), chr(10)||chr(10)) AS reflowed
+FROM documents
+"""
+
+
+def q_t2_clean_tts(spark, sf_dir):
+    """T2-T8 OCR-noise chain (intermediate_to_m4b.py:91-129)."""
+    d = _load(spark, sf_dir, "documents")
+    noisy = F.concat(_nl_text_col(), F.lit("  tail--dash..x"))
+    return d.select("doc_id", T.clean_text_for_tts_col(noisy).alias("cleaned"))
+
+
+SQL_T2 = f"""
+WITH s1 AS (
+  SELECT doc_id, {_SQL_NL_TEXT} || '  tail--dash..x' AS x FROM documents
+), s2 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(x, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g') AS x
+  FROM s1
+), s3 AS (
+  SELECT doc_id, regexp_replace(x, '\\.{{2,}}', '...', 'g') AS x FROM s2
+), s4 AS (
+  SELECT doc_id, regexp_replace(x, '--+', ' -- ', 'g') AS x FROM s3
+), s5 AS (
+  SELECT doc_id, regexp_replace(x, '([.!?])\\s*([A-Z])', '\\1 \\2', 'g') AS x FROM s4
+), s6 AS (
+  SELECT doc_id,
+    regexp_replace(replace(x, '…', '...'), '<[^>]+>', '', 'g') AS x
+  FROM s5
+)
+SELECT doc_id,
+  CASE WHEN x = '' THEN x
+       WHEN substring(x, length(x), 1) IN ('.', '!', '?') THEN x
+       ELSE x || '.' END AS cleaned
+FROM s6
+"""
+
+
+def q_t9_filename(spark, sf_dir):
+    """T9 filename sanitization (intermediate_to_m4b.py:28-30)."""
+    d = _load(spark, sf_dir, "documents")
+    title = F.concat(F.lit("Ch/"), F.substring(F.col("text"), 1, 20), F.lit("?!"))
+    return d.select(
+        "doc_id",
+        T.sanitize_filename_col(title, (F.col("doc_id") % 100).cast("int")).alias("filename"),
+    )
+
+
+SQL_T9 = """
+WITH s AS (
+  SELECT doc_id, 'Ch/' || substring(text, 1, 20) || '?!' AS title FROM documents
+)
+SELECT doc_id,
+  printf('%02d_%s.txt', CAST(doc_id % 100 AS INT),
+         replace(regexp_replace(regexp_replace(title, '[^[:alnum:] \\-_]', '', 'g'),
+                 '\\s+$', ''), ' ', '_')) AS filename
+FROM s
+"""
+
+
+def q_t10_chapter_num(spark, sf_dir):
+    """T10 chapter-number regex (book_intermediate.py:471-473)."""
+    d = _load(spark, sf_dir, "documents")
+    heading = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("Chapter "), (F.col("doc_id") % 30).cast("string"), F.lit(": storms")),
+    ).when(F.col("doc_id") % 4 == 1, F.lit("Part IV — the end")).otherwise(
+        F.substring(F.col("text"), 1, 30)
+    )
+    return d.select("doc_id", T.extract_chapter_number_col(heading).alias("chapter_num"))
+
+
+SQL_T10 = """
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN 'Chapter ' || CAST(doc_id % 30 AS VARCHAR) || ': storms'
+         WHEN doc_id % 4 = 1 THEN 'Part IV — the end'
+         ELSE substring(text, 1, 30) END AS heading
+  FROM documents
+)
+SELECT doc_id,
+  coalesce(regexp_extract(lower(heading), '(?:chapter|part)\\s*(\\d+|[ivxlcdm]+)', 1), '')
+    AS chapter_num
+FROM s
+"""
+
+
+def q_t11_word_count(spark, sf_dir):
+    """T11 word count (book_intermediate.py:82-85)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.word_count_col(F.col("text")).alias("n_words"))
+
+
+SQL_T11 = """
+SELECT doc_id,
+  CASE WHEN text IS NULL OR regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+       ELSE length(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'))
+            - length(replace(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'), ' ', '')) + 1
+  END::BIGINT AS n_words
+FROM documents
+"""
+
+
+def q_t13_hyphenation(spark, sf_dir):
+    """T13 hyphenation repair over synthesized hyphen-newline splits."""
+    d = _load(spark, sf_dir, "documents")
+    hy = F.replace(F.col("text"), F.lit(" merge "), F.lit("-\n"))
+    return d.select("doc_id", T.repair_hyphenation_col(hy).alias("repaired"))
+
+
+SQL_T13 = """
+SELECT doc_id,
+  regexp_replace(replace(text, ' merge ', '-' || chr(10)),
+                 '(\\p{L})-\\n(\\p{L})', '\\1\\2', 'g') AS repaired
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# O8 cross-turn merge (windowed fold) on the derived transcripts
+# --------------------------------------------------------------------------
+
+
+def q_o8_merge_extract(spark, sf_dir):
+    """O8 merge, end-to-end: runs the REAL windowed merge operator on
+    single-block turns derived from documents; returns per-turn
+    extracted text (ocr_processor.py:241-343 semantics)."""
+    from bookextract_spark.operators.merge import extracted_text_col, merge_across_turns
+
+    t = _derived_transcripts(spark, sf_dir)
+    blocks = F.array(
+        F.struct(
+            F.lit("paragraph").alias("type"),
+            F.col("content").alias("content"),
+            F.lit(None).cast("string").alias("image"),
+            F.lit(None).cast("string").alias("caption"),
+            F.lit(None).cast("string").alias("source"),
+        )
+    )
+    df = t.withColumn("blocks", blocks)
+    merged = merge_across_turns(df, "blocks", "merged_blocks")
+    return merged.select(
+        "conv_id",
+        "turn_idx",
+        extracted_text_col(F.col("merged_blocks")).alias("extracted_text"),
+    )
+
+
+SQL_O8 = f"""
+WITH {_SQL_TRANSCRIPTS_CTE},
+d AS (
+  SELECT conv_id, turn_idx, content,
+         lag(content) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_last
+  FROM transcripts_v
+),
+m AS (
+  SELECT *,
+    CASE WHEN prev_last IS NOT NULL AND NOT (
+           (prev_last <> '' AND substring(prev_last, length(prev_last), 1) IN ('.','!','?',':',';'))
+           AND (content <> '' AND regexp_matches(substring(content, 1, 1), '[[:upper:]]'))
+         ) THEN 1 ELSE 0 END AS merged
+  FROM d
+),
+r AS (
+  SELECT *,
+    last_value(CASE WHEN merged = 0 THEN turn_idx END IGNORE NULLS)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS receiver
+  FROM m
+),
+frags AS (
+  SELECT conv_id, receiver,
+         string_agg(content, ' ' ORDER BY turn_idx) AS extra
+  FROM r WHERE merged = 1 GROUP BY conv_id, receiver
+)
+SELECT r.conv_id, r.turn_idx,
+  CASE WHEN r.merged = 1 THEN ''
+       ELSE r.content || coalesce(' ' || f.extra, '') END AS extracted_text
+FROM r LEFT JOIN frags f ON r.conv_id = f.conv_id AND r.turn_idx = f.receiver
+"""
+
+
+def q_o8_merge_decisions(spark, sf_dir):
+    """O8 decision flags only (the fast-path heuristic as a column)."""
+    t = _derived_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("content").over(w)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        T.should_merge_col(prev, F.col("content")).alias("merged"),
+    )
+
+
+SQL_O8_DECISIONS = f"""
+WITH {_SQL_TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx,
+  (lag(content) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NOT NULL AND NOT (
+     (lag(content) OVER (PARTITION BY conv_id ORDER BY turn_idx) <> ''
+      AND substring(lag(content) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                    length(lag(content) OVER (PARTITION BY conv_id ORDER BY turn_idx)), 1)
+          IN ('.','!','?',':',';'))
+     AND (content <> '' AND regexp_matches(substring(content, 1, 1), '[[:upper:]]'))
+  )) AS merged
+FROM transcripts_v
+"""
+
+
+# --------------------------------------------------------------------------
+# O9 chapter segmentation on derived transcripts with synthetic headers
+# --------------------------------------------------------------------------
+
+
+def _with_header_type(t: DataFrame) -> DataFrame:
+    is_header = (F.col("turn_idx") % 5 == 0) & (F.col("turn_idx") > 0)
+    return t.withColumn(
+        "btype", F.when(is_header, F.lit("chapter_header")).otherwise(F.lit("paragraph"))
+    ).withColumn(
+        "bcontent",
+        F.when(is_header, (F.col("turn_idx") / 5).cast("int").cast("string")).otherwise(
+            F.col("content")
+        ),
+    )
+
+
+_SQL_HEADERED = f"""
+{_SQL_TRANSCRIPTS_CTE},
+headered AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN turn_idx % 5 = 0 AND turn_idx > 0 THEN 'chapter_header' ELSE 'paragraph' END AS btype,
+    CASE WHEN turn_idx % 5 = 0 AND turn_idx > 0
+         THEN CAST(CAST(turn_idx / 5 AS INT) AS VARCHAR) ELSE content END AS bcontent
+  FROM transcripts_v
+)
+"""
+
+
+def q_o9_chapters(spark, sf_dir):
+    """O9 chapter segmentation (book_intermediate.py:240-316): running
+    header count -> per-chapter number/title/word_count/section count."""
+    t = _with_header_type(_derived_transcripts(spark, sf_dir))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = t.withColumn(
+        "chapter_no", F.sum(F.when(F.col("btype") == "chapter_header", 1).otherwise(0)).over(w)
+    )
+    grouped = numbered.groupBy("conv_id", "chapter_no").agg(
+        F.max(F.when(F.col("btype") == "chapter_header", F.col("bcontent"))).alias("_h"),
+        F.sum(T.word_count_col(F.col("bcontent"))).alias("word_count"),
+        F.count(F.lit(1)).alias("n_sections"),
+    )
+    maxw = Window.partitionBy("conv_id")
+    grouped = grouped.withColumn("_max", F.max("chapter_no").over(maxw))
+    return grouped.select(
+        "conv_id",
+        F.when((F.col("chapter_no") == 0) & (F.col("_max") == 0), F.lit(1))
+        .otherwise(F.col("chapter_no"))
+        .cast("int")
+        .alias("chapter_number"),
+        F.when(F.col("chapter_no") == 0, F.lit("Introduction"))
+        .otherwise(F.concat(F.lit("Chapter "), F.col("_h")))
+        .alias("title"),
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("n_sections").cast("long").alias("n_sections"),
+    )
+
+
+SQL_O9 = f"""
+WITH {_SQL_HEADERED},
+numbered AS (
+  SELECT *, sum(CASE WHEN btype = 'chapter_header' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chapter_no
+  FROM headered
+),
+wc AS (
+  SELECT *, CASE WHEN bcontent IS NULL OR trim(bcontent) = '' THEN 0
+       ELSE length(regexp_replace(trim(bcontent), '\\s+', ' ', 'g'))
+            - length(replace(regexp_replace(trim(bcontent), '\\s+', ' ', 'g'), ' ', '')) + 1
+  END AS n_words FROM numbered
+),
+grouped AS (
+  SELECT conv_id, chapter_no,
+         max(CASE WHEN btype = 'chapter_header' THEN bcontent END) AS h,
+         sum(n_words)::BIGINT AS word_count,
+         count(*)::BIGINT AS n_sections
+  FROM wc GROUP BY conv_id, chapter_no
+)
+SELECT conv_id,
+  CAST(CASE WHEN chapter_no = 0 AND max(chapter_no) OVER (PARTITION BY conv_id) = 0
+            THEN 1 ELSE chapter_no END AS INT) AS chapter_number,
+  CASE WHEN chapter_no = 0 THEN 'Introduction' ELSE 'Chapter ' || h END AS title,
+  word_count, n_sections
+FROM grouped
+"""
+
+
+# --------------------------------------------------------------------------
+# A-series aggregations
+# --------------------------------------------------------------------------
+
+
+def q_a2_book_totals(spark, sf_dir):
+    """A2 per-conversation totals (book_intermediate.py:94-100)."""
+    t = _derived_transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.sum(T.word_count_col(F.col("content"))).cast("long").alias("total_words"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+
+
+SQL_A2 = f"""
+WITH {_SQL_TRANSCRIPTS_CTE}
+SELECT conv_id,
+  sum(CASE WHEN content IS NULL OR trim(content) = '' THEN 0
+       ELSE length(regexp_replace(trim(content), '\\s+', ' ', 'g'))
+            - length(replace(regexp_replace(trim(content), '\\s+', ' ', 'g'), ' ', '')) + 1
+  END)::BIGINT AS total_words,
+  count(*)::BIGINT AS n_turns
+FROM transcripts_v GROUP BY conv_id
+"""
+
+
+def q_a3_ordered_fold(spark, sf_dir):
+    """A3 ordered document fold (ocr_processor.py:241-257): per-conv
+    ``\\n\\n`` join in turn order."""
+    t = _derived_transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "content"))),
+                lambda s: s["content"],
+            ),
+            "\n\n",
+        ).alias("book_text")
+    )
+
+
+SQL_A3 = f"""
+WITH {_SQL_TRANSCRIPTS_CTE}
+SELECT conv_id,
+       string_agg(content, chr(10) || chr(10) ORDER BY turn_idx) AS book_text
+FROM transcripts_v GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
+# O15 cumulative chapter offsets (m4b_generator.py:252-305) on events
+# --------------------------------------------------------------------------
+
+
+def q_o15_cumulative_offsets(spark, sf_dir):
+    """O15: running sum of durations -> START offset per chapter
+    (TIMEBASE 1/1000, m4b_generator.py:279-303)."""
+    e = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # explicit floor: Spark double->long casts truncate while DuckDB
+    # rounds — floor() agrees everywhere
+    dur_ms = F.floor(F.col("value") * 1000).cast("long")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.sum(dur_ms).over(w), F.lit(0)).cast("long").alias("start_ms"),
+        dur_ms.alias("dur_ms"),
+    )
+
+
+SQL_O15 = """
+SELECT user_id, event_id,
+  coalesce(sum(CAST(floor(value * 1000) AS BIGINT))
+    OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_ms,
+  CAST(floor(value * 1000) AS BIGINT) AS dur_ms
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins & relational queries (J1, SURVEY §2.5; engine breadth)
+# --------------------------------------------------------------------------
+
+
+def q_j1_equi_join(spark, sf_dir):
+    """J1 stem equi-join analog: documents ⋈ embeddings on id (broadcast
+    dimension), aggregated per label."""
+    d = _load(spark, sf_dir, "documents")
+    e = _load(spark, sf_dir, "embeddings")
+    return (
+        d.join(F.broadcast(e), d["doc_id"] == e["vec_id"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+SQL_J1 = """
+SELECT label, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY label
+"""
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary on lineitem (partial-agg showcase)."""
+    li = _load(spark, sf_dir, "lineitem")
+    # exact-decimal sums (double addition is not associative; partition
+    # order would make Spark and DuckDB disagree) cast back to double
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE)
+    AS sum_disc_price,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_customer_orders(spark, sf_dir):
+    """Multi-way join: customer ⋈ orders ⋈ lineitem, revenue per segment."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_Q3 = """
+SELECT c_mktsegment,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "t1_reflow": (q_t1_reflow, SQL_T1),
+    "t2_clean_tts": (q_t2_clean_tts, SQL_T2),
+    "t9_filename": (q_t9_filename, SQL_T9),
+    "t10_chapter_num": (q_t10_chapter_num, SQL_T10),
+    "t11_word_count": (q_t11_word_count, SQL_T11),
+    "t13_hyphenation": (q_t13_hyphenation, SQL_T13),
+    "o8_merge_decisions": (q_o8_merge_decisions, SQL_O8_DECISIONS),
+    "o8_merge_extract": (q_o8_merge_extract, SQL_O8),
+    "o9_chapters": (q_o9_chapters, SQL_O9),
+    "a2_book_totals": (q_a2_book_totals, SQL_A2),
+    "a3_ordered_fold": (q_a3_ordered_fold, SQL_A3),
+    "o15_cumulative_offsets": (q_o15_cumulative_offsets, SQL_O15),
+    "j1_equi_join": (q_j1_equi_join, SQL_J1),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "q3_customer_orders": (q_q3_customer_orders, SQL_Q3),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

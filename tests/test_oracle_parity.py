@@ -1,0 +1,90 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same sf0.001 parquet, compare row count, column names, and values
+(order-insensitive)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from bookextract_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+    sort_cols = list(df.columns)
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+def _compare(name, got: pd.DataFrame, exp: pd.DataFrame):
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    )
+    g, e = _canon(got), _canon(exp)
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+            ga = gv.astype(float).to_numpy()
+            ea = ev.astype(float).to_numpy()
+            both_nan = np.isnan(ga) & np.isnan(ea)
+            close = np.isclose(ga, ea, rtol=1e-9, atol=1e-9) | both_nan
+            assert close.all(), (
+                f"{name}.{c}: {int((~close).sum())} float mismatches; "
+                f"first: {ga[~close][:3]} vs {ea[~close][:3]}"
+            )
+        else:
+            gl = [None if (v is None or (isinstance(v, float) and math.isnan(v))) else v for v in gv]
+            el = [None if (v is None or (isinstance(v, float) and math.isnan(v))) else v for v in ev]
+            bad = [i for i, (a, b) in enumerate(zip(gl, el)) if a != b]
+            assert not bad, (
+                f"{name}.{c}: {len(bad)} mismatches; first at {bad[0]}: "
+                f"{gl[bad[0]]!r} vs {el[bad[0]]!r}"
+            )
+
+
+NAMES = sorted(Q.queries().keys())
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, ddb, name):
+    fn = Q.queries()[name]
+    sql = Q.oracle_sql().get(name)
+    got = fn(spark, SF_DIR).toPandas()
+    if sql is None:
+        assert len(got) >= 0  # rows-only check, mirrors the driver
+        return
+    exp = ddb.execute(sql).df()
+    _compare(name, got, exp)
