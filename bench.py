@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", plus turns/sec for the flagship extraction}.
+
+--scaling: additionally runs the identical extraction job at local[8]
+and local[32] on the same input and reports throughput at both plus
+efficiency = (T8/T32)/4 wall-clock ratio over the 4x core ratio — the
+sandbox evidence for the north rule's N-vs-4N criterion (no real
+cluster available here).
+
+The transcripts fixture is generated deterministically (seed 42) at a
+size proportional to the scale factor and cached as parquet next to
+this file, so every bench run reads the same bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+CACHE = REPO / ".bench_cache"
+
+
+def sf_factor(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # e.g. sf0.1
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def transcripts_path(sf: float) -> Path:
+    CACHE.mkdir(exist_ok=True)
+    n_convs = max(50, int(10000 * sf))
+    p = CACHE / f"transcripts_c{n_convs}_s42.parquet"
+    if not p.exists():
+        from bookextract_spark.datagen import write_transcripts_parquet
+
+        t0 = time.time()
+        write_transcripts_parquet(str(p), n_convs=n_convs, seed=42, skew=True)
+        print(f"# generated fixture {p.name} in {time.time() - t0:.1f}s", file=sys.stderr)
+    return p
+
+
+def _noop_write(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_extraction(spark, fixture: str) -> tuple[float, int]:
+    """Flagship pipeline wall time + turn count."""
+    from bookextract_spark.pipeline import extract_turns
+
+    t = spark.read.parquet(fixture)
+    n = t.count()
+    out = extract_turns(t).select("conv_id", "turn_idx", "extracted_text")
+    t0 = time.time()
+    _noop_write(out)
+    return time.time() - t0, n
+
+
+def run_query_suite(spark, sf_dir: str) -> dict[str, float]:
+    from bookextract_spark import queries as Q
+
+    names = [
+        "t2_clean_tts",
+        "o8_merge_extract",
+        "o9_chapters",
+        "a3_ordered_fold",
+        "q1_pricing_summary",
+        "q3_customer_orders",
+    ]
+    reg = Q.queries()
+    times = {}
+    for name in names:
+        if name not in reg:
+            continue
+        t0 = time.time()
+        _noop_write(reg[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def make_spark(cores: int):
+    from bookextract_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 8),
+    )
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    sf = sf_factor(SF_DIR)
+    fixture = str(transcripts_path(sf))
+
+    spark = make_spark(CPUS)
+    # warm the JVM/codegen once so the measurement is steady-state
+    extract_sec, n_turns = run_extraction(spark, fixture)
+    extract_sec, n_turns = run_extraction(spark, fixture)
+    qtimes = run_query_suite(spark, SF_DIR)
+    qtimes["flagship_extraction"] = round(extract_sec, 3)
+    spark.stop()
+
+    result = {
+        "metric": "headline suite wall time (flagship extraction + operator queries)",
+        "value": round(sum(qtimes.values()), 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "n_turns": n_turns,
+        "extracted_turns_per_sec": round(n_turns / extract_sec, 1),
+        "cpus": CPUS,
+    }
+
+    if scaling:
+        points = {}
+        for cores in (8, 32):
+            s = make_spark(cores)
+            sec, n = run_extraction(s, fixture)
+            sec, n = run_extraction(s, fixture)  # steady-state
+            points[cores] = {"sec": round(sec, 3), "turns_per_sec": round(n / sec, 1)}
+            s.stop()
+        eff = (points[8]["sec"] / points[32]["sec"]) / 4.0
+        result["scaling"] = {
+            "local8": points[8],
+            "local32": points[32],
+            "efficiency_8_to_32": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -196,5 +196,8 @@ def write_transcripts_parquet(
     import pyarrow.parquet as pq
 
     df = transcripts_pandas(n_convs, seed, skew)
+    # Spark cannot read TIMESTAMP(NANOS) parquet — write microseconds
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
     table = pa.Table.from_pandas(df, preserve_index=False)
-    pq.write_table(table, path)
+    pq.write_table(table, path, coerce_timestamps="us")

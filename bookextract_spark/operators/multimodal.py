@@ -1,0 +1,146 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode/feature-extraction kernels are STUBBED (the image/audio
+libraries are not available in this container — each stub raises
+``NotImplementedError`` unless ``fake=True`` substitutes a
+deterministic fake), but the Spark-side plumbing is real and tested:
+schemas, Arrow batch shapes, ``mapInPandas`` iterator contracts, and
+partition sizing, so swapping in a real decoder is a one-function
+change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+    ]
+)
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sha256", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+    ]
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize an opaque-binary media table from documents (test
+    harness for the plumbing; payload = utf-8 bytes of the text)."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float]:
+    """STUB image decode -> (width, height, mean_luma).
+
+    Real implementation would use PIL/libvips.  ``fake=True`` derives a
+    deterministic fake from the payload hash so the distributed
+    plumbing is testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library not present in this environment"
+        )
+    h = hashlib.sha256(payload or b"").digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    mean_luma = h[2] / 255.0
+    return width, height, mean_luma
+
+
+def image_metadata(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Decode/feature-extract image rows via ``mapInPandas`` (Arrow
+    batches; only image rows reach the Python worker thanks to the
+    pushed-down ``kind`` filter)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                width, height, luma = decode_image(data, fake=fake_decode)
+                rows.append(
+                    (
+                        int(media_id),
+                        len(data),
+                        hashlib.sha256(data).hexdigest(),
+                        width,
+                        height,
+                        luma,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_bytes", "sha256", "width", "height", "mean_luma"],
+            )
+
+    images = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return images.mapInPandas(extract, schema=IMAGE_META_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_sha", StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 4096, fake_decode: bool = True) -> DataFrame:
+    """STUB video frame sampling: emits one row per sampled "frame"
+    (deterministic byte-window hash in fake mode).  Demonstrates the
+    1->N mapInPandas expansion shape a real frame sampler needs."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake_decode:
+                    raise NotImplementedError("video decoding unavailable here")
+                data = bytes(payload) if payload is not None else b""
+                n = max(1, len(data) // every_n_bytes + 1)
+                for i in range(n):
+                    window = data[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append(
+                        (int(media_id), i, hashlib.sha256(window).hexdigest()[:16])
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
+
+    videos = media.where(F.col("kind") == "video").select("media_id", "payload")
+    return videos.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -1,0 +1,106 @@
+"""Text analysis for large-scale training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All native Spark SQL expressions (no Python in the hot path); each has
+a DuckDB-matched oracle in :mod:`bookextract_spark.queries`.  These
+generalize the reference's quality gates (empty-content guards
+``rich_text_renderer.py:454-456``, word counts
+``book_intermediate.py:82-85``) to the graded scores a 100 TB curation
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from bookextract_spark.functions.text import collapse_ws_col, strip_col, word_count_col
+
+# BPE-ish token pattern: letter runs, digit runs, single non-space symbols
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]-]"
+
+# per-language stopword regexes for the n-gram/stopword-vote language ID;
+# deterministic tiebreak order is the tuple order below
+LANG_STOPWORDS = (
+    ("en", r"\b(?:the|a|of|and|to|in|is|that|it|was)\b"),
+    ("de", r"\b(?:der|die|das|und|ist|nicht|ein|zu|den|von)\b"),
+    ("es", r"\b(?:el|la|los|las|de|que|y|es|en|un)\b"),
+    ("fr", r"\b(?:le|la|les|des|et|est|que|une|dans|pour)\b"),
+)
+
+
+def token_count_col(col: Column) -> Column:
+    """Tokenizer-approximate token count (whitespace words + symbol
+    splits) — the budget estimator for context-length curation."""
+    return F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(TOKEN_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
+def punct_ratio_col(col: Column) -> Column:
+    x = F.coalesce(col, F.lit(""))
+    n_punct = F.length(x) - F.length(F.regexp_replace(x, PUNCT_CLASS, ""))
+    return F.when(F.length(x) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(x)
+    )
+
+
+def stopword_ratio_col(col: Column) -> Column:
+    """English stopword fraction of whitespace words — a standard
+    quality signal (low ratio => listing/gibberish pages)."""
+    x = F.lower(F.coalesce(col, F.lit("")))
+    hits = F.size(F.regexp_extract_all(x, F.lit(LANG_STOPWORDS[0][1]), F.lit(0)))
+    words = word_count_col(col)
+    return F.when(words == 0, F.lit(0.0)).otherwise(hits.cast("double") / words)
+
+
+def mean_word_len_col(col: Column) -> Column:
+    x = collapse_ws_col(strip_col(F.coalesce(col, F.lit(""))))
+    words = word_count_col(col)
+    nonspace = F.length(F.replace(x, F.lit(" "), F.lit("")))
+    return F.when(words == 0, F.lit(0.0)).otherwise(nonspace.cast("double") / words)
+
+
+def quality_columns(col: Column) -> dict[str, Column]:
+    """The full per-document quality vector."""
+    return {
+        "n_chars": F.length(F.coalesce(col, F.lit(""))).cast("long"),
+        "n_words": word_count_col(col),
+        "n_tokens": token_count_col(col),
+        "mean_word_len": F.round(mean_word_len_col(col), 6),
+        "punct_ratio": F.round(punct_ratio_col(col), 6),
+        "stopword_ratio": F.round(stopword_ratio_col(col), 6),
+    }
+
+
+def lang_scores_cols(col: Column) -> list[Column]:
+    x = F.lower(F.coalesce(col, F.lit("")))
+    return [
+        F.size(F.regexp_extract_all(x, F.lit(pat), F.lit(0))).alias(f"score_{lang}")
+        for lang, pat in LANG_STOPWORDS
+    ]
+
+
+def lang_id_col(col: Column) -> Column:
+    """Stopword-vote language ID with deterministic tiebreak (first
+    language in LANG_STOPWORDS order wins ties); 'und' when no hits."""
+    x = F.lower(F.coalesce(col, F.lit("")))
+    scores = [
+        (lang, F.size(F.regexp_extract_all(x, F.lit(pat), F.lit(0))))
+        for lang, pat in LANG_STOPWORDS
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.when(best <= 0, F.lit("und"))
+    for lang, s in scores:
+        out = out.when(s == best, F.lit(lang))
+    return out
+
+
+def fingerprint_col(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercased text (content-defined identity for
+    exact dedup and lineage)."""
+    norm = F.lower(collapse_ws_col(strip_col(F.coalesce(col, F.lit("")))))
+    return F.md5(norm)

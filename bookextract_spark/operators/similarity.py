@@ -1,0 +1,187 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* brute-force cosine top-k — the correctness baseline: broadcast the
+  (small) query set, one pass over the corpus, per-query top-k via a
+  rank window on (query, score).
+* LSH-bucketed ANN — the scale path: sign-of-random-hyperplane bucket
+  keys (deterministic seeded hyperplanes) so candidate generation is a
+  bucket equi-join instead of a full cross product.
+
+Dot products use native ``F.zip_with`` + ``F.aggregate`` (JVM-side,
+no Python).  Scores are rounded before ranking so the Spark and DuckDB
+oracle orderings agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus
+    (excluding self).  Query side is broadcast — corpus streams once."""
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bit key: one int per vector, bit i = sign of
+    dot(vec, plane_i)."""
+    key = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot_col(vec, F.array(*[F.lit(p) for p in plane]))
+        key = key + F.when(proj > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return key
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing any of
+    ``n_tables`` hyperplane-bucket keys with the query, then exact
+    cosine rank within candidates.  At scale the bucket join replaces
+    the cross product; recall tunes with n_planes/n_tables."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed=1000 + t * 7919) for t in range(n_tables)
+    ]
+
+    def with_buckets(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        v = _as_double(F.col(vecc))
+        return df.select(
+            F.col(idc),
+            v.alias("_v"),
+            F.posexplode(
+                F.array(*[lsh_bucket_col(v, planes) for planes in tables])
+            ).alias("tbl", "bucket"),
+        )
+
+    q = with_buckets(
+        embeddings.where(F.col(id_col).isin(query_ids)), id_col, vec_col
+    ).withColumnsRenamed({id_col: "query_id", "_v": "q_vec"})
+    c = with_buckets(embeddings, id_col, vec_col).withColumnsRenamed(
+        {id_col: "neighbor_id", "_v": "c_vec"}
+    )
+    cands = (
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact
+    verification (the semantic-dedup stage of a curation pipeline)."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed=5000 + t * 104729) for t in range(n_tables)
+    ]
+    v = _as_double(F.col(vec_col))
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+        F.posexplode(F.array(*[lsh_bucket_col(v, planes) for planes in tables])).alias(
+            "tbl", "bucket"
+        ),
+    )
+    a = b.alias("a")
+    c = b.alias("b")
+    cands = (
+        a.join(
+            c,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cands.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
