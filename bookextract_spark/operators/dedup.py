@@ -61,11 +61,14 @@ def word_shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (empty when
     fewer than n words)."""
     toks = F.split(norm_text_col(text), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     shingle = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
-    return F.array_distinct(F.transform(idx, shingle))
+    # guard: Spark sequence(1, 0) would generate a DESCENDING [1, 0]
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), shingle)),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(
@@ -117,7 +120,13 @@ def ngram_jaccard_pairs(
 
 def minhash_signature_col(shingles: Column, k: int = 32) -> Column:
     """k-permutation MinHash signature: min of seeded xxhash64 over the
-    shingle set, one array column, single pass."""
+    shingle set, one array column, single pass.
+
+    IMPORTANT: ``shingles`` must be a reference to a *materialized*
+    column (a prior projection), not an inline expression — Catalyst
+    inlines the argument into each of the k mins, and an inline
+    shingle pipeline would be evaluated k times per row.
+    """
     return F.array(
         *[
             F.array_min(
@@ -139,13 +148,29 @@ def minhash_lsh_candidates(
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``k/bands`` rows; pairs sharing any band bucket are candidates.
     Join is keyed by (band, bucket-hash) — bounded fanout, AQE-skew
-    friendly."""
+    friendly.
+
+    Staged as three projections (shingles -> per-seed mins -> band
+    buckets) so each sub-expression is evaluated once per row; inlining
+    everything into one projection multiplies the shingle pipeline
+    k*bands times (measured 100x slowdown).
+    """
     rows_per_band = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature_col(word_shingles_col(F.col(text_col), n), k).alias("sig"),
-    ).where(F.size(F.col("sig")) > 0)
-    banded = sig.select(
+    sh_df = df.select(
+        F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("_sh")
+    ).where(F.size("_sh") > 0)
+    mins = sh_df.select(
+        "id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_sh"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s))
+                )
+            ).alias(f"_m{i}")
+            for i in range(k)
+        ],
+    )
+    banded = mins.select(
         "id",
         F.posexplode(
             F.array(
@@ -154,7 +179,7 @@ def minhash_lsh_candidates(
                         F.concat_ws(
                             ",",
                             *[
-                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                F.col(f"_m{b * rows_per_band + r}").cast("string")
                                 for r in range(rows_per_band)
                             ],
                         )

@@ -1,0 +1,86 @@
+"""Edit-pipeline operators: P5 validation + stub insertion, and the
+editor's regex search / replace-all over block rows.
+
+Transcribed semantics:
+* validation: title/author/cover presence per conversation
+  (``edit_gui.py:736-751``);
+* stub insertion: missing sections prepended at the beginning in
+  title/author/cover order with the reference's placeholder contents
+  (``edit_gui.py:764-797``: "Your Book Title Here", "Your Name Here",
+  cover image ``{stem}.png``);
+* regex search (``edit_gui.py:588-662``) and replace-all
+  (``edit_gui.py:664-711``) become ``rlike`` filters and
+  ``regexp_replace`` projections over block rows — Catalyst pushes the
+  search predicate into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STUBS = [
+    ("title", "Your Book Title Here", None),
+    ("author", "Your Name Here", None),
+    ("cover", None, "cover.png"),
+]
+
+
+def validate_required_sections(block_rows: DataFrame) -> DataFrame:
+    """Per-conversation validation report: has_title / has_author /
+    has_cover + the reference's missing-section list."""
+    agg = block_rows.groupBy("conv_id").agg(
+        F.max(F.col("type") == "title").alias("has_title"),
+        F.max(F.col("type") == "author").alias("has_author"),
+        F.max(F.col("type") == "cover").alias("has_cover"),
+    )
+    missing = F.concat(
+        F.when(~F.col("has_title"), F.array(F.lit("title"))).otherwise(F.array().cast("array<string>")),
+        F.when(~F.col("has_author"), F.array(F.lit("author"))).otherwise(F.array().cast("array<string>")),
+        F.when(~F.col("has_cover"), F.array(F.lit("cover"))).otherwise(F.array().cast("array<string>")),
+    )
+    return agg.withColumn("missing_sections", missing).withColumn(
+        "valid", F.size("missing_sections") == 0
+    )
+
+
+def insert_stub_sections(block_rows: DataFrame) -> DataFrame:
+    """Union stub block rows (negative block_idx so they sort first,
+    mirroring the reference's prepend-at-beginning) for each
+    conversation's missing required sections."""
+    report = validate_required_sections(block_rows)
+    stubs = None
+    for i, (stype, content, image) in enumerate(STUBS):
+        flag = f"has_{stype}"
+        s = report.where(~F.col(flag)).select(
+            "conv_id",
+            F.lit(-1).cast("int").alias("turn_idx"),
+            F.lit(i - len(STUBS)).cast("int").alias("block_idx"),
+            F.lit(stype).alias("type"),
+            F.lit(content).cast("string").alias("content"),
+            (
+                F.concat(F.col("conv_id"), F.lit(".png"))
+                if image
+                else F.lit(None).cast("string")
+            ).alias("image"),
+            F.lit(None).cast("string").alias("caption"),
+            F.lit("stub").alias("source"),
+        )
+        stubs = s if stubs is None else stubs.unionByName(s)
+    cols = ["conv_id", "turn_idx", "block_idx", "type", "content", "image", "caption", "source"]
+    return block_rows.select(*cols).unionByName(stubs.select(*cols))
+
+
+def regex_search(block_rows: DataFrame, pattern: str) -> DataFrame:
+    """Editor regex search (edit_gui.py:588-662): matching block rows
+    with the first match extracted."""
+    return block_rows.where(F.col("content").rlike(pattern)).withColumn(
+        "match", F.regexp_extract(F.col("content"), pattern, 0)
+    )
+
+
+def regex_replace_all(block_rows: DataFrame, pattern: str, replacement: str) -> DataFrame:
+    """Editor replace-all (edit_gui.py:664-711) at scale: one projection."""
+    return block_rows.withColumn(
+        "content", F.regexp_replace(F.col("content"), pattern, replacement)
+    )

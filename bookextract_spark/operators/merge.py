@@ -36,27 +36,11 @@ from bookextract_spark.functions.text import should_merge_col
 from bookextract_spark.schemas import BLOCKS_ARRAY
 
 
-def merge_across_turns(
-    df: DataFrame, blocks_col: str = "blocks", out_col: str = "merged_blocks"
-) -> DataFrame:
-    """Add ``out_col``: per-turn kept blocks after the cross-turn merge.
-
-    Requires columns ``conv_id``, ``turn_idx`` and ``blocks_col``
-    (array<BLOCK_STRUCT>).  A merged turn loses its first block; the
-    receiving turn's last block gains the fragment(s).  Empty turns pass
-    through with an empty array.
-    """
-    blocks = F.col(blocks_col)
-    has_blocks = F.size(blocks) > 0
-
-    nonempty = df.where(has_blocks)
-    empty = df.where(~has_blocks).withColumn(out_col, blocks)
-
+def _stage_plain(nonempty: DataFrame, blocks) -> DataFrame:
+    """Decision + receiver over one conv-wide window (default path)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-
     first_content = F.try_element_at(blocks, F.lit(1))["content"]
     last_content = F.try_element_at(blocks, F.lit(-1))["content"]
-
     staged = nonempty.withColumns(
         {
             "_first_content": first_content,
@@ -65,7 +49,7 @@ def merge_across_turns(
     ).withColumn(
         "_merged", should_merge_col(F.col("_prev_last"), F.col("_first_content"))
     )
-    staged = staged.withColumns(
+    return staged.withColumns(
         {
             "_survivors": F.size(blocks) - F.col("_merged").cast("int"),
             "_kept": F.when(
@@ -78,6 +62,131 @@ def merge_across_turns(
             F.when(F.col("_survivors") >= 1, F.col("turn_idx")), ignorenulls=True
         ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
     )
+
+
+def _stage_salted(nonempty: DataFrame, blocks, bucket_size: int) -> DataFrame:
+    """Skew path (north rule): the conv window salted into
+    ``turn_idx // bucket_size`` sub-windows so a 10^6-turn conversation
+    never serializes into one task.
+
+    Only the FIRST row of a bucket needs cross-bucket state (the
+    previous bucket's last content; the running last-receiver), so the
+    repair is a per-bucket aggregate (tiny: one row per bucket) windowed
+    over buckets and joined back — the classic two-level scan.
+    """
+    salted = nonempty.withColumn(
+        "_salt", (F.col("turn_idx") / bucket_size).cast("long")
+    )
+    wb = Window.partitionBy("conv_id", "_salt").orderBy("turn_idx")
+    first_content = F.try_element_at(blocks, F.lit(1))["content"]
+    last_content = F.try_element_at(blocks, F.lit(-1))["content"]
+
+    staged = salted.withColumns(
+        {
+            "_first_content": first_content,
+            "_last_content": last_content,
+            "_prev_in_bucket": F.lag(last_content).over(wb),
+        }
+    )
+    # bucket edge table: one row per (conv, bucket)
+    edges = staged.groupBy("conv_id", "_salt").agg(
+        F.max(F.struct(F.col("turn_idx").alias("o"), F.col("_last_content").alias("v")))[
+            "v"
+        ].alias("_bucket_last")
+    )
+    we = Window.partitionBy("conv_id").orderBy("_salt")
+    edges = edges.withColumn("_carry_prev", F.lag("_bucket_last").over(we)).select(
+        F.col("conv_id").alias("_e_conv"), F.col("_salt").alias("_e_salt"), "_carry_prev"
+    )
+    staged = staged.join(
+        edges,
+        (staged["conv_id"] == edges["_e_conv"]) & (staged["_salt"] == edges["_e_salt"]),
+        "left",
+    ).drop("_e_conv", "_e_salt")
+    is_bucket_first = F.row_number().over(wb) == 1
+    prev_last = F.when(is_bucket_first, F.col("_carry_prev")).otherwise(
+        F.col("_prev_in_bucket")
+    )
+    staged = staged.withColumn("_prev_last", prev_last).withColumn(
+        "_merged", should_merge_col(F.col("_prev_last"), F.col("_first_content"))
+    )
+    staged = staged.withColumns(
+        {
+            "_survivors": F.size(blocks) - F.col("_merged").cast("int"),
+            "_kept": F.when(
+                F.col("_merged"), F.slice(blocks, 2, F.size(blocks) - 1)
+            ).otherwise(blocks),
+        }
+    )
+    # receiver: last turn with survivors >= 1 strictly before the row —
+    # within-bucket last_value, with a cross-bucket running carry
+    self_recv = F.when(F.col("_survivors") >= 1, F.col("turn_idx"))
+    staged = staged.withColumn(
+        "_recv_in_bucket",
+        F.last(self_recv, ignorenulls=True).over(
+            wb.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn("_self_recv", self_recv)
+    redges = staged.groupBy("conv_id", "_salt").agg(
+        F.max(
+            F.when(
+                F.col("_self_recv").isNotNull(),
+                F.struct(F.col("turn_idx").alias("o"), F.col("_self_recv").alias("v")),
+            )
+        )["v"].alias("_bucket_recv")
+    )
+    wr = Window.partitionBy("conv_id").orderBy("_salt")
+    redges = redges.withColumn(
+        "_carry_recv",
+        F.last("_bucket_recv", ignorenulls=True).over(
+            wr.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).select(
+        F.col("conv_id").alias("_r_conv"), F.col("_salt").alias("_r_salt"), "_carry_recv"
+    )
+    staged = staged.join(
+        redges,
+        (staged["conv_id"] == redges["_r_conv"]) & (staged["_salt"] == redges["_r_salt"]),
+        "left",
+    ).drop("_r_conv", "_r_salt")
+    return staged.withColumn(
+        "_receiver", F.coalesce(F.col("_recv_in_bucket"), F.col("_carry_recv"))
+    ).drop(
+        "_salt",
+        "_last_content",
+        "_prev_in_bucket",
+        "_carry_prev",
+        "_recv_in_bucket",
+        "_self_recv",
+        "_carry_recv",
+    )
+
+
+def merge_across_turns(
+    df: DataFrame,
+    blocks_col: str = "blocks",
+    out_col: str = "merged_blocks",
+    salt_bucket_size: int | None = None,
+) -> DataFrame:
+    """Add ``out_col``: per-turn kept blocks after the cross-turn merge.
+
+    Requires columns ``conv_id``, ``turn_idx`` and ``blocks_col``
+    (array<BLOCK_STRUCT>).  A merged turn loses its first block; the
+    receiving turn's last block gains the fragment(s).  Empty turns pass
+    through with an empty array.  ``salt_bucket_size`` switches to the
+    salted sub-window implementation (identical results, bounded
+    per-task state — use when single conversations are huge).
+    """
+    blocks = F.col(blocks_col)
+    has_blocks = F.size(blocks) > 0
+
+    nonempty = df.where(has_blocks)
+    empty = df.where(~has_blocks).withColumn(out_col, blocks)
+
+    if salt_bucket_size:
+        staged = _stage_salted(nonempty, blocks, salt_bucket_size)
+    else:
+        staged = _stage_plain(nonempty, blocks)
 
     # fragments grouped per receiving turn, in turn order, space-joined —
     # the reference's repeated `content + " " + fragment` (:338)

@@ -1,0 +1,218 @@
+"""Render sinks: O10 TTS text assembly, O11 XHTML rendering, S10/S11
+file-per-chapter outputs, and the nested BookIntermediate assembly.
+
+All dispatch tables are native ``when/otherwise`` chains mirroring
+:mod:`bookextract_spark.reference_semantics` (the written spec, cited
+to ``intermediate_to_m4b.py:39-88`` and ``epub_generator.py:144-251``);
+the final zip/encode steps of the reference's EPUB/M4B sinks are
+external binaries and remain out-of-engine finishers — the engine's
+job ends at partitioned writes of the rendered strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bookextract_spark.functions.text import (
+    clean_text_for_tts_col,
+    sanitize_filename_col,
+    word_count_col,
+)
+
+
+def tts_section_col(btype: Column, content: Column, caption: Column) -> Column:
+    """Per-type TTS dispatch — spec ``reference_semantics.tts_section_text``
+    (intermediate_to_m4b.py:39-74)."""
+    cleaned = clean_text_for_tts_col(content)
+    has_content = content.isNotNull() & (content != "")
+    return (
+        F.when(btype == "chapter_header", F.lit(None).cast("string"))
+        .when(btype.isin("paragraph", "bold"), F.when(has_content, cleaned))
+        .when(
+            btype.isin("header", "sub_header", "block_indent"),
+            F.when(has_content, F.concat(F.lit("\n"), cleaned, F.lit("\n"))),
+        )
+        .when(btype == "page_division", F.lit("\n"))
+        .when(
+            btype == "image",
+            F.when(
+                caption.isNotNull() & (caption != ""),
+                F.concat(F.lit("[Image: "), caption, F.lit("]")),
+            ).when(has_content, F.concat(F.lit("[Image: "), content, F.lit("]"))),
+        )
+        .otherwise(F.when(has_content, cleaned))
+    )
+
+
+def render_tts_chapters(chapters: DataFrame) -> DataFrame:
+    """S10 TTS chapter files from assembled chapter rows (conv_id,
+    chapter_number, title, sections): filename + full chapter text with
+    the ``Chapter {n}: {title}`` prefix, falsy-filtered ``\\n\\n`` join
+    and empty-chapter placeholder (intermediate_to_m4b.py:26-88)."""
+    sec = lambda f: F.transform(  # noqa: E731
+        F.col("sections"), lambda b: f(b["type"], b["content"], b["caption"])
+    )
+    parts = sec(tts_section_col)
+    body = F.array_join(
+        F.filter(parts, lambda p: p.isNotNull() & (p != "")), "\n\n"
+    )
+    header = F.concat(
+        F.lit("Chapter "), F.col("chapter_number").cast("string"), F.lit(": "), F.col("title")
+    )
+    # the "\n\n".join(filter(None, parts)) drops the empty body entirely;
+    # the placeholder fires only when the WHOLE content strips empty —
+    # i.e. practically never, since the header is non-empty
+    # (intermediate_to_m4b.py:78-82)
+    content = F.when(body == "", header).otherwise(F.concat(header, F.lit("\n\n"), body))
+    content = F.when(
+        F.trim(content) == "",
+        F.concat(header, F.lit("\n\nThis chapter appears to be empty.")),
+    ).otherwise(content)
+    return chapters.select(
+        "conv_id",
+        "chapter_number",
+        sanitize_filename_col(F.col("title"), F.col("chapter_number")).alias("filename"),
+        content.alias("tts_text"),
+        word_count_col(content).alias("n_words"),
+    )
+
+
+def html_section_col(btype: Column, content: Column, image: Column, caption: Column) -> Column:
+    """Per-type XHTML dispatch — spec ``reference_semantics.html_section``
+    (epub_generator.py:144-251)."""
+    has_content = content.isNotNull() & (content != "")
+    cap = F.coalesce(caption, F.lit(""))
+    figure = F.concat(
+        F.lit('<figure><img src="'),
+        F.coalesce(image, F.lit("")),
+        F.lit('" alt="'),
+        cap,
+        F.lit('"/>'),
+        F.when(
+            caption.isNotNull() & (caption != ""),
+            F.concat(F.lit("<figcaption>"), caption, F.lit("</figcaption>")),
+        ).otherwise(F.lit("")),
+        F.lit("</figure>"),
+    )
+    tag = lambda open_, close: F.when(  # noqa: E731
+        has_content, F.concat(F.lit(open_), content, F.lit(close))
+    )
+    return (
+        F.when(btype == "image", figure)
+        .when(btype == "page_division", F.lit("<hr/>"))
+        .when(btype == "paragraph", tag("<p>", "</p>"))
+        .when(btype == "bold", tag("<p><strong>", "</strong></p>"))
+        .when(btype == "block_indent", tag("<blockquote>", "</blockquote>"))
+        .when(btype == "sub_header", tag("<h3>", "</h3>"))
+        .when(btype.isin("header", "author"), tag("<h2>", "</h2>"))
+        .when(btype == "title", tag("<h1>", "</h1>"))
+        .when(btype == "chapter_header", tag("<h1>Chapter ", "</h1>"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def render_html_chapters(chapters: DataFrame) -> DataFrame:
+    """S9 XHTML chapter documents (zip assembly is a driver-side
+    finisher, epub_generator.py:32-72)."""
+    parts = F.transform(
+        F.col("sections"),
+        lambda b: html_section_col(b["type"], b["content"], b["image"], b["caption"]),
+    )
+    body = F.array_join(F.filter(parts, lambda p: p.isNotNull()), "\n")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("title"),
+        F.lit("</title></head><body>\n"),
+        body,
+        F.lit("\n</body></html>"),
+    )
+    return chapters.select(
+        "conv_id",
+        "chapter_number",
+        F.format_string("chapter_%02d.xhtml", F.col("chapter_number")).alias("filename"),
+        html.alias("xhtml"),
+    )
+
+
+def assemble_book_intermediate(chapters: DataFrame, metadata: DataFrame) -> DataFrame:
+    """Nested BookIntermediate struct per conversation
+    (book_intermediate.py:88-119): metadata + ordered chapters array +
+    totals + format_version.  uuid/creation_date are generated fields
+    (nondeterministic in the reference too, :36-40) and excluded from
+    any equality surface."""
+    ch = chapters.select(
+        "conv_id",
+        F.struct(
+            F.col("chapter_number").alias("number"),
+            F.col("title").alias("title"),
+            sanitize_filename_col(F.col("title"), F.col("chapter_number")).alias("filename"),
+            F.col("sections").alias("sections"),
+            F.col("word_count").alias("word_count"),
+        ).alias("chapter"),
+    )
+    books = ch.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("chapter.number").alias("n"), F.col("chapter").alias("c")))
+        ).alias("_ordered"),
+    )
+    books = books.select(
+        "conv_id",
+        F.transform(F.col("_ordered"), lambda s: s["c"]).alias("chapters"),
+    )
+    out = books.join(metadata, "conv_id", "left")
+    return out.select(
+        "conv_id",
+        F.struct(
+            F.col("title"),
+            F.col("author"),
+            F.lit("en").alias("language"),
+            F.expr("uuid()").alias("identifier"),
+            F.lit(None).cast("string").alias("publisher"),
+            F.lit(None).cast("string").alias("description"),
+            F.col("cover_image"),
+            F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "creation_date"
+            ),
+        ).alias("metadata"),
+        F.col("chapters"),
+        F.size("chapters").alias("total_chapters"),
+        F.aggregate(
+            F.col("chapters"), F.lit(0).cast("long"), lambda acc, c: acc + c["word_count"]
+        ).alias("total_word_count"),
+        F.lit("1.0").alias("format_version"),
+    )
+
+
+def book_info_json(books: DataFrame) -> DataFrame:
+    """S11 legacy book_info.json sink (book_intermediate.py:523-556):
+    one JSON document per conversation via to_json (None-dropping is
+    native)."""
+    legacy = F.struct(
+        F.struct(
+            F.col("metadata.title").alias("title"),
+            F.col("metadata.author").alias("author"),
+            F.col("metadata.language").alias("language"),
+            F.col("metadata.identifier").alias("identifier"),
+        ).alias("metadata"),
+        F.transform(
+            F.col("chapters"),
+            lambda c: F.struct(
+                c["number"].alias("number"),
+                c["title"].alias("title"),
+                c["filename"].alias("filename"),
+                F.array_join(
+                    F.filter(
+                        F.transform(
+                            F.filter(c["sections"], lambda s: s["type"] != "chapter_header"),
+                            lambda s: s["content"],
+                        ),
+                        lambda x: x.isNotNull() & (x != ""),
+                    ),
+                    "\n\n",
+                ).alias("content"),
+            ),
+        ).alias("chapters"),
+        F.size(F.col("chapters")).alias("total_chapters"),
+    )
+    return books.select("conv_id", F.to_json(legacy).alias("book_info_json"))

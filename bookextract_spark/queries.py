@@ -577,6 +577,280 @@ GROUP BY c_mktsegment
 
 
 # --------------------------------------------------------------------------
+# Training-data curation operators: quality / lang-id / fingerprints
+# --------------------------------------------------------------------------
+
+
+def q_quality_scores(spark, sf_dir):
+    """Per-document quality vector (length/token/punct/stopword signals)."""
+    from bookextract_spark.operators.quality import quality_columns
+
+    d = _load(spark, sf_dir, "documents")
+    cols = quality_columns(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+SQL_QUALITY = r"""
+WITH n AS (
+  SELECT doc_id, coalesce(text, '') AS x,
+    regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS nx
+  FROM documents
+),
+w AS (
+  SELECT *, CASE WHEN nx = '' THEN 0
+                 ELSE length(nx) - length(replace(nx, ' ', '')) + 1 END AS n_words
+  FROM n
+)
+SELECT doc_id,
+  length(x)::BIGINT AS n_chars,
+  n_words::BIGINT AS n_words,
+  length(regexp_extract_all(x, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens,
+  round(CASE WHEN n_words = 0 THEN 0.0
+        ELSE length(replace(nx, ' ', '')) / CAST(n_words AS DOUBLE) END, 6) AS mean_word_len,
+  round(CASE WHEN length(x) = 0 THEN 0.0
+        ELSE (length(x) - length(regexp_replace(x, '[.,!?;:''"()\[\]-]', '', 'g')))
+             / CAST(length(x) AS DOUBLE) END, 6) AS punct_ratio,
+  round(CASE WHEN n_words = 0 THEN 0.0
+        ELSE length(regexp_extract_all(lower(x),
+               '\b(?:the|a|of|and|to|in|is|that|it|was)\b')) / CAST(n_words AS DOUBLE) END, 6)
+    AS stopword_ratio
+FROM w
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-vote language ID with deterministic tiebreak."""
+    from bookextract_spark.operators.quality import lang_id_col
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang"))
+
+
+SQL_LANG_ID = r"""
+WITH s AS (
+  SELECT doc_id,
+    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:the|a|of|and|to|in|is|that|it|was)\b')) AS en,
+    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:der|die|das|und|ist|nicht|ein|zu|den|von)\b')) AS de,
+    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:el|la|los|las|de|que|y|es|en|un)\b')) AS es,
+    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:le|la|les|des|et|est|que|une|dans|pour)\b')) AS fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+       WHEN en = greatest(en, de, es, fr) THEN 'en'
+       WHEN de = greatest(en, de, es, fr) THEN 'de'
+       WHEN es = greatest(en, de, es, fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """md5 content fingerprint of normalized text."""
+    from bookextract_spark.operators.quality import fingerprint_col
+
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+  md5(lower(regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
+      '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups (hash-groupBy)."""
+    from bookextract_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_load(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT md5(lower(regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
+       '\s+', ' ', 'g'))) AS fp,
+  min(doc_id) AS canonical_id,
+  count(*)::BIGINT AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard similarity pairs (shingle equi-join)."""
+    from bookextract_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.05, n=3
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id,
+    string_split(lower(regexp_replace(regexp_replace(coalesce(text,''),
+        '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.a_id, p.b_id, p.shared::BIGINT AS shared,
+  round(p.shared / CAST(ca.n_sh + cb.n_sh - p.shared AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN counts ca ON p.a_id = ca.doc_id
+JOIN counts cb ON p.b_id = cb.doc_id
+WHERE round(p.shared / CAST(ca.n_sh + cb.n_sh - p.shared AS DOUBLE), 6) >= 0.05
+"""
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs verified with exact Jaccard
+    (rows-only driver check — xxhash64 has no DuckDB twin; correctness
+    covered by pytest planted-duplicate tests)."""
+    from bookextract_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(_load(spark, sf_dir, "documents"), threshold=0.05)
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per document (rows-only driver check)."""
+    from bookextract_spark.operators.dedup import simhash_df
+
+    return simhash_df(_load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+ANN_K = 5
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    """Exact cosine top-k baseline (broadcast queries, one corpus pass)."""
+    from bookextract_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+
+
+SQL_ANN_BRUTE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id IN ({",".join(map(str, ANN_QUERY_IDS))})
+),
+c AS (
+  SELECT vec_id AS neighbor_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(qv, cv) /
+          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only driver check; recall vs brute force
+    is asserted in pytest)."""
+    from bookextract_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (rows-only driver check)."""
+    from bookextract_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + metadata extraction)
+# --------------------------------------------------------------------------
+
+
+def q_image_metadata(spark, sf_dir):
+    """Opaque-binary image metadata via mapInPandas (deterministic fake
+    decode derived from sha256, so DuckDB can replicate it exactly)."""
+    from bookextract_spark.operators.multimodal import image_metadata, media_from_documents
+
+    media = media_from_documents(_load(spark, sf_dir, "documents"))
+    return image_metadata(media, fake_decode=True)
+
+
+# hex-pair -> int, portable: 16*digit(hi) + digit(lo) via instr
+def _sql_hexbyte(hexpair_expr: str) -> str:
+    return (
+        f"((instr('0123456789abcdef', substring({hexpair_expr}, 1, 1)) - 1) * 16"
+        f" + instr('0123456789abcdef', substring({hexpair_expr}, 2, 1)) - 1)"
+    )
+
+
+SQL_IMAGE_META = f"""
+WITH img AS (
+  SELECT doc_id AS media_id, coalesce(text, '') AS payload
+  FROM documents WHERE doc_id % 3 = 0
+),
+h AS (
+  SELECT media_id, octet_length(encode(payload))::BIGINT AS n_bytes,
+         sha256(payload) AS sha256
+  FROM img
+)
+SELECT media_id, n_bytes, sha256,
+  CAST(64 + {_sql_hexbyte("substring(sha256, 1, 2)")} % 192 AS INT) AS width,
+  CAST(64 + {_sql_hexbyte("substring(sha256, 3, 2)")} % 192 AS INT) AS height,
+  {_sql_hexbyte("substring(sha256, 5, 2)")} / 255.0 AS mean_luma
+FROM h
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (1->N mapInPandas expansion;
+    rows-only driver check)."""
+    from bookextract_spark.operators.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_load(spark, sf_dir, "documents"))
+    return sample_frames(media, fake_decode=True)
+
+
+def q_pipeline_extract(spark, sf_dir):
+    """Full flagship pipeline on the derived transcripts (rows-only
+    driver check; byte-equality covered by the pytest golden gate)."""
+    from bookextract_spark.pipeline import extract_turns
+
+    t = _derived_transcripts(spark, sf_dir).withColumnRenamed("content", "text")
+    return extract_turns(t).select("conv_id", "turn_idx", "extracted_text")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -596,6 +870,19 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j1_equi_join": (q_j1_equi_join, SQL_J1),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_customer_orders": (q_q3_customer_orders, SQL_Q3),
+    "quality_scores": (q_quality_scores, SQL_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_dedup": (q_minhash_dedup, None),
+    "simhash": (q_simhash, None),
+    "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "embedding_near_dup": (q_embedding_near_dup, None),
+    "image_metadata": (q_image_metadata, SQL_IMAGE_META),
+    "frame_sample": (q_frame_sample, None),
+    "pipeline_extract": (q_pipeline_extract, None),
 }
 
 

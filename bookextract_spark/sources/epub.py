@@ -1,0 +1,178 @@
+"""S7 EPUB source: binary zip payloads -> BookIntermediate-shaped rows.
+
+Transcribed semantics from ``BookConverter.from_epub_file``
+(``book_intermediate.py:340-435``): DC metadata with Unknown fallbacks
+(:361-371), cover item scan (:374-389 — we record the name, extraction
+of bytes is a sink concern), HTML documents in **spine order** with
+missing-from-spine items sorted last (:410-412 — spine index 999), one
+chapter per HTML item with the first-heading title fallback
+``Chapter {n}`` (:422-432).
+
+Implementation: ``spark.read.format("binaryFile")`` for the zip bytes,
+one ``mapInPandas`` stage using stdlib ``zipfile`` + ``xml.etree`` (the
+reference's ebooklib dependency is replaced by ~60 lines of OPF
+parsing), then the same shared pure-Python HTML walker as the oracle
+(:mod:`bookextract_spark.reference_semantics`).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_NS = {
+    "cnt": "urn:oasis:names:tc:opendocument:xmlns:container",
+    "opf": "http://www.idpf.org/2007/opf",
+    "dc": "http://purl.org/dc/elements/1.1/",
+}
+
+EPUB_CHAPTER_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("title", StringType(), True),
+        StructField("author", StringType(), True),
+        StructField("language", StringType(), True),
+        StructField("identifier", StringType(), True),
+        StructField("cover_name", StringType(), True),
+        StructField("chapter_number", IntegerType(), True),
+        StructField("chapter_title", StringType(), True),
+        StructField("filename", StringType(), True),
+        StructField(
+            "sections",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("type", StringType(), True),
+                        StructField("content", StringType(), True),
+                        StructField("image", StringType(), True),
+                        StructField("caption", StringType(), True),
+                        StructField("source", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def parse_epub_bytes(payload: bytes, path: str) -> list[dict]:
+    """Pure-Python EPUB parse (shared by the Spark stage and tests)."""
+    from bookextract_spark.reference_semantics import (
+        extract_sections_from_html,
+        parse_html,
+    )
+
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    container = ET.fromstring(zf.read("META-INF/container.xml"))
+    rootfile = container.find(".//cnt:rootfile", _NS).get("full-path")
+    opf = ET.fromstring(zf.read(rootfile))
+    opf_dir = rootfile.rsplit("/", 1)[0] + "/" if "/" in rootfile else ""
+
+    def dc(tag: str, default: str | None) -> str | None:
+        el = opf.find(f".//dc:{tag}", _NS)
+        return el.text if el is not None and el.text else default
+
+    title = dc("title", "Unknown Title")
+    author = dc("creator", "Unknown Author")
+    language = dc("language", "en")
+    identifier = dc("identifier", None)
+
+    manifest = {}
+    for item in opf.findall(".//opf:manifest/opf:item", _NS):
+        manifest[item.get("id")] = (item.get("href"), item.get("media-type") or "")
+    spine_order = [
+        ref.get("idref") for ref in opf.findall(".//opf:spine/opf:itemref", _NS)
+    ]
+
+    # cover scan (book_intermediate.py:374-389): first image item whose
+    # name mentions 'cover'
+    cover_name = None
+    for _id, (href, mt) in manifest.items():
+        if mt.startswith("image/") and "cover" in href.lower():
+            cover_name = href
+            break
+
+    html_items = [
+        (iid, href)
+        for iid, (href, mt) in manifest.items()
+        if "html" in mt or href.lower().endswith((".xhtml", ".html", ".htm"))
+    ]
+    # spine sort, missing -> 999 (book_intermediate.py:410-412)
+    html_items.sort(
+        key=lambda x: spine_order.index(x[0]) if x[0] in spine_order else 999
+    )
+
+    rows = []
+    chapter_number = 0
+    for iid, href in html_items:
+        try:
+            content = zf.read(opf_dir + href).decode("utf-8")
+        except KeyError:
+            content = zf.read(href).decode("utf-8")
+        sections = extract_sections_from_html(content, f"{path}:{href}")
+        if not sections:
+            continue
+        chapter_number += 1
+        # first non-empty h1/h2/h3/title (book_intermediate.py:437-445)
+        root = parse_html(content)
+        chapter_title = None
+        for tag in ("h1", "h2", "h3", "title"):
+            found = root.find_all({tag})
+            if found and found[0].get_text().strip():
+                chapter_title = found[0].get_text().strip()
+                break
+        rows.append(
+            {
+                "path": path,
+                "title": title,
+                "author": author,
+                "language": language,
+                "identifier": identifier,
+                "cover_name": cover_name,
+                "chapter_number": chapter_number,
+                "chapter_title": chapter_title or f"Chapter {chapter_number}",
+                "filename": href,
+                "sections": [
+                    (
+                        s.get("type"),
+                        s.get("content"),
+                        s.get("image"),
+                        s.get("caption"),
+                        s.get("source"),
+                    )
+                    for s in sections
+                ],
+            }
+        )
+    return rows
+
+
+def read_epub_chapters(spark: SparkSession, glob_path: str) -> DataFrame:
+    """EPUB files -> one row per chapter, spine-ordered."""
+    binary = spark.read.format("binaryFile").load(glob_path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in EPUB_CHAPTER_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_epub_bytes(bytes(payload), path))
+            yield pd.DataFrame(
+                [[r[c] for c in cols] for r in rows], columns=cols
+            )
+
+    return binary.mapInPandas(parse, schema=EPUB_CHAPTER_SCHEMA)

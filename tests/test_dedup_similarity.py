@@ -1,0 +1,150 @@
+"""Planted-duplicate tests for the non-SQL-expressible curation ops
+(MinHash+LSH, SimHash, LSH-ANN recall, multimodal plumbing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while rivers run deep "
+    "through ancient valleys and storms gather on distant mountains today"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one word changed -> high Jaccard
+FAR = "completely different words about spark shuffles and parquet column pruning energy"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, NEAR), (2, FAR), (3, BASE + " extra tail words here"), (4, "tiny")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    from bookextract_spark.operators.dedup import exact_dup_groups
+
+    rows = [(0, "Same  text"), (1, "same text"), (2, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.canonical_id: r.group_size for r in exact_dup_groups(df).collect()}
+    # normalization lowercases + collapses whitespace -> 0 and 1 collide
+    assert out == {0: 2, 2: 1}
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    from bookextract_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_pair(spark, docs):
+    from bookextract_spark.operators.dedup import minhash_dedup
+
+    pairs = {(r.a_id, r.b_id) for r in minhash_dedup(docs, threshold=0.3).collect()}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_near_pairs(spark):
+    # SimHash recall on short docs is inherently noisy (low per-bit vote
+    # margins), so the planted near-dup differs only in whitespace/case —
+    # normalized-identical => hamming 0 — and the operator's contract
+    # (hamming == popcount(xor), far docs excluded) is what's asserted.
+    from bookextract_spark.operators.dedup import simhash_df, simhash_near_pairs
+
+    rows = [
+        (0, BASE),
+        (1, BASE.upper().replace(" ", "   ")),  # normalizes to BASE -> hamming 0
+        (2, FAR),
+        (3, BASE + " extra tail words appended here at the end"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = {r.id: r.simhash for r in simhash_df(docs).collect()}
+    assert len(sims) == 4 and all(isinstance(v, int) for v in sims.values())
+    assert sims[0] == sims[1]
+    pairs = {(r.a_id, r.b_id): r.hamming for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0, f"identical-normalized pair not at hamming 0: {pairs}"
+    popcount = lambda x: bin(x & (2**64 - 1)).count("1")  # noqa: E731
+    for (a, b), h in pairs.items():
+        assert h == popcount(sims[a] ^ sims[b])
+    assert popcount(sims[0] ^ sims[2]) > 8  # far doc really is far
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)], i % 3))
+    # planted near-duplicate of vector 0
+    base = rows[0][1]
+    rows.append((100, [v + rng.gauss(0, 0.01) for v in base], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_brute_force_topk(spark, embeddings):
+    from bookextract_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(embeddings, [0], k=3).collect()
+    assert len(out) == 3
+    assert out[0].neighbor_id == 100 and out[0].cosine > 0.99  # planted twin first
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_lsh_ann_recall_of_planted_twin(spark, embeddings):
+    from bookextract_spark.operators.similarity import lsh_ann_topk
+
+    out = lsh_ann_topk(embeddings, [0], k=3, n_planes=6, n_tables=8)
+    rows = out.collect()
+    assert any(r.neighbor_id == 100 for r in rows), f"twin missed: {rows}"
+
+
+def test_embedding_near_dup_pairs(spark, embeddings):
+    from bookextract_spark.operators.similarity import embedding_near_dup_pairs
+
+    pairs = {(r.a_id, r.b_id) for r in embedding_near_dup_pairs(embeddings, threshold=0.95).collect()}
+    assert (0, 100) in pairs
+
+
+def test_multimodal_plumbing(spark):
+    import hashlib
+
+    from bookextract_spark.operators.multimodal import (
+        image_metadata,
+        media_from_documents,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i} " * (i + 1)) for i in range(9)], "doc_id long, text string"
+    )
+    media = media_from_documents(docs)
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+    meta = image_metadata(media).collect()
+    assert {r.media_id for r in meta} == {0, 3, 6}
+    for r in meta:
+        payload = f"payload text {r.media_id} " * (r.media_id + 1)
+        data = payload.encode()
+        assert r.n_bytes == len(data)
+        assert r.sha256 == hashlib.sha256(data).hexdigest()
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+        assert 0.0 <= r.mean_luma <= 1.0
+
+    frames = sample_frames(media, every_n_bytes=16).collect()
+    assert {r.media_id for r in frames} == {2, 5, 8}
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    for media_id, idxs in by_media.items():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame idx
+
+
+def test_decode_stub_raises_without_fake(spark):
+    from bookextract_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes", fake=False)

@@ -1,0 +1,129 @@
+"""P5 validation/stubs, editor regex ops, and the S7 EPUB source."""
+
+import zipfile
+
+import pytest
+
+CONTAINER = """<?xml version="1.0"?>
+<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+  <rootfiles><rootfile full-path="OEBPS/content.opf"
+    media-type="application/oebps-package+xml"/></rootfiles>
+</container>"""
+
+OPF = """<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="2.0" unique-identifier="bid">
+  <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+    <dc:title>Test Epub Book</dc:title>
+    <dc:creator>E. Author</dc:creator>
+    <dc:language>en</dc:language>
+    <dc:identifier id="bid">book-42</dc:identifier>
+  </metadata>
+  <manifest>
+    <item id="ch2" href="ch2.xhtml" media-type="application/xhtml+xml"/>
+    <item id="ch1" href="ch1.xhtml" media-type="application/xhtml+xml"/>
+    <item id="extra" href="extra.xhtml" media-type="application/xhtml+xml"/>
+    <item id="cov" href="images/cover.png" media-type="image/png"/>
+  </manifest>
+  <spine><itemref idref="ch1"/><itemref idref="ch2"/></spine>
+</package>"""
+
+CH1 = "<html><body><h1>Chapter 1</h1><p>First chapter text.</p></body></html>"
+CH2 = "<html><body><h1>Chapter 2</h1><p><strong>Bold para.</strong></p><blockquote>Quote.</blockquote></body></html>"
+EXTRA = "<html><body><h2>Appendix</h2><p>Not in spine.</p></body></html>"
+
+
+@pytest.fixture(scope="module")
+def epub_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("epubs")
+    p = d / "book.epub"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", CONTAINER)
+        zf.writestr("OEBPS/content.opf", OPF)
+        zf.writestr("OEBPS/ch1.xhtml", CH1)
+        zf.writestr("OEBPS/ch2.xhtml", CH2)
+        zf.writestr("OEBPS/extra.xhtml", EXTRA)
+        zf.writestr("OEBPS/images/cover.png", b"\x89PNGfake")
+    return str(d)
+
+
+def test_epub_source_spine_order_and_metadata(spark, epub_path):
+    from bookextract_spark.sources.epub import read_epub_chapters
+
+    rows = sorted(
+        read_epub_chapters(spark, epub_path + "/*.epub").collect(),
+        key=lambda r: r.chapter_number,
+    )
+    assert len(rows) == 3
+    assert rows[0].title == "Test Epub Book" and rows[0].author == "E. Author"
+    assert rows[0].identifier == "book-42"
+    assert rows[0].cover_name == "images/cover.png"
+    # spine order first; non-spine item sorted last (index 999)
+    assert [r.filename for r in rows] == ["ch1.xhtml", "ch2.xhtml", "extra.xhtml"]
+    assert rows[0].chapter_title == "Chapter 1"
+    assert rows[2].chapter_title == "Appendix"
+    # C1 semantics: h1 'Chapter 1' -> chapter_header with captured number
+    s0 = rows[0].sections
+    assert s0[0].type == "chapter_header" and s0[0].content == "1"
+    s1 = rows[1].sections
+    assert [s.type for s in s1] == ["chapter_header", "bold", "block_indent"]
+
+
+BLOCK_SCHEMA = (
+    "conv_id string, turn_idx int, block_idx int, type string, "
+    "content string, image string, caption string, source string"
+)
+
+
+@pytest.fixture(scope="module")
+def block_rows(spark):
+    rows = [
+        ("c1", 0, 0, "title", "Book One", None, None, "c1:0"),
+        ("c1", 0, 1, "author", "Ann", None, None, "c1:0"),
+        ("c1", 0, 2, "cover", None, "c1cover.png", None, "c1:0"),
+        ("c1", 1, 0, "paragraph", "Some text here.", None, None, "c1:1"),
+        ("c2", 0, 0, "paragraph", "No metadata at all.", None, None, "c2:0"),
+        ("c3", 0, 0, "title", "Book Three", None, None, "c3:0"),
+        ("c3", 1, 0, "paragraph", "Partial metadata.", None, None, "c3:1"),
+    ]
+    return spark.createDataFrame(rows, BLOCK_SCHEMA)
+
+
+def test_validation_report(spark, block_rows):
+    from bookextract_spark.operators.edit import validate_required_sections
+
+    rep = {r.conv_id: r for r in validate_required_sections(block_rows).collect()}
+    assert rep["c1"].valid and rep["c1"].missing_sections == []
+    assert not rep["c2"].valid
+    assert rep["c2"].missing_sections == ["title", "author", "cover"]
+    assert rep["c3"].missing_sections == ["author", "cover"]
+
+
+def test_stub_insertion(spark, block_rows):
+    from bookextract_spark.operators.edit import insert_stub_sections, validate_required_sections
+
+    out = insert_stub_sections(block_rows)
+    rep = {r.conv_id: r for r in validate_required_sections(out).collect()}
+    assert all(rep[c].valid for c in ("c1", "c2", "c3"))
+    stubs = sorted(
+        ((r.conv_id, r.type, r.content, r.image) for r in out.where("source = 'stub'").collect())
+    )
+    assert ("c2", "title", "Your Book Title Here", None) in stubs
+    assert ("c2", "author", "Your Name Here", None) in stubs
+    assert ("c2", "cover", None, "c2.png") in stubs
+    assert not any(c == "c1" for c, *_ in stubs)
+    # stubs sort before all real blocks (prepend-at-beginning semantics)
+    c2_rows = sorted(
+        out.where("conv_id = 'c2'").collect(), key=lambda r: (r.turn_idx, r.block_idx)
+    )
+    assert [r.type for r in c2_rows[:3]] == ["title", "author", "cover"]
+
+
+def test_regex_search_and_replace(spark, block_rows):
+    from bookextract_spark.operators.edit import regex_replace_all, regex_search
+
+    hits = regex_search(block_rows, r"text\s+h\w+").collect()
+    assert len(hits) == 1 and hits[0].match == "text here"
+    replaced = regex_replace_all(block_rows, r"metadata", "META")
+    texts = [r.content for r in replaced.where("conv_id = 'c2'").collect()]
+    assert texts == ["No META at all."]

@@ -1,0 +1,143 @@
+"""Render dispatch (O10/O11) vs the pure-Python spec, nested book
+assembly, and the checkpoint/resume (J3) crash-restart test."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from bookextract_spark import reference_semantics as ref
+
+SECTIONS = [
+    {"type": "chapter_header", "content": "1"},
+    {"type": "paragraph", "content": "First paragraph text."},
+    {"type": "header", "content": "A Header"},
+    {"type": "bold", "content": "Bold statement!"},
+    {"type": "block_indent", "content": "An indented quote"},
+    {"type": "page_division"},
+    {"type": "image", "caption": "A figure caption"},
+    {"type": "image", "content": "img content no caption"},
+    {"type": "paragraph", "content": "Last   messy\n\ntext.."},
+    {"type": "paragraph", "content": ""},
+]
+
+
+def _chapters_df(spark, sections=SECTIONS, number=3, title="The Storm"):
+    rows = [
+        (
+            "convX",
+            number,
+            title,
+            [
+                (
+                    s.get("type"),
+                    s.get("content"),
+                    s.get("image"),
+                    s.get("caption"),
+                    "convX:0",
+                )
+                for s in sections
+            ],
+            sum(ref.word_count(s.get("content")) for s in sections),
+        )
+    ]
+    schema = (
+        "conv_id string, chapter_number int, title string, "
+        "sections array<struct<type:string,content:string,image:string,"
+        "caption:string,source:string>>, word_count long"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_tts_render_matches_spec(spark):
+    from bookextract_spark.operators.render import render_tts_chapters
+
+    out = render_tts_chapters(_chapters_df(spark)).collect()[0]
+    expected = ref.tts_chapter_text(3, "The Storm", SECTIONS)
+    assert out.tts_text == expected
+    assert out.filename == ref.sanitize_filename("The Storm", 3)
+
+
+def test_tts_render_empty_chapter_placeholder(spark):
+    from bookextract_spark.operators.render import render_tts_chapters
+
+    sections = [{"type": "chapter_header", "content": "2"}]
+    out = render_tts_chapters(_chapters_df(spark, sections, number=2, title="Empty")).collect()[0]
+    # reference semantics: header survives the falsy-filter join, so the
+    # placeholder does NOT fire (intermediate_to_m4b.py:78-82)
+    assert out.tts_text == ref.tts_chapter_text(2, "Empty", sections) == "Chapter 2: Empty"
+
+
+def test_html_render_matches_spec(spark):
+    from bookextract_spark.operators.render import render_html_chapters
+
+    out = render_html_chapters(_chapters_df(spark)).collect()[0]
+    expected_parts = [p for p in (ref.html_section(s) for s in SECTIONS) if p is not None]
+    assert out.filename == "chapter_03.xhtml"
+    for part in expected_parts:
+        assert part in out.xhtml, f"missing: {part!r}"
+    body = out.xhtml.split("<body>\n")[1].rsplit("\n</body>")[0]
+    assert body == "\n".join(expected_parts)
+
+
+def test_book_intermediate_assembly_and_book_info(spark):
+    from bookextract_spark.operators.render import assemble_book_intermediate, book_info_json
+
+    chapters = _chapters_df(spark)
+    metadata = spark.createDataFrame(
+        [("convX", "A Title", "An Author", None, True, True)],
+        "conv_id string, title string, author string, cover_image string, "
+        "has_title boolean, has_author boolean",
+    )
+    books = assemble_book_intermediate(chapters, metadata)
+    row = books.collect()[0]
+    assert row.metadata.title == "A Title" and row.metadata.author == "An Author"
+    assert row.total_chapters == 1 and row.format_version == "1.0"
+    assert row.chapters[0].number == 3 and row.chapters[0].title == "The Storm"
+
+    info = json.loads(book_info_json(books).collect()[0].book_info_json)
+    assert info["metadata"]["title"] == "A Title"
+    assert info["total_chapters"] == 1
+    # chapter_header excluded from flattened content (book_intermediate.py:534-535)
+    assert not info["chapters"][0]["content"].startswith("1")
+    assert "First paragraph text." in info["chapters"][0]["content"]
+
+
+def test_checkpoint_resume_idempotent(spark, tmp_path):
+    from bookextract_spark.datagen import transcripts_df
+    from bookextract_spark.operators.checkpoint import (
+        pending_buckets,
+        run_with_checkpoint,
+    )
+
+    base = str(tmp_path / "ckpt")
+    t = transcripts_df(spark, n_convs=12, seed=7, skew=False)
+    n_total = t.count()
+
+    # crash after the first batch
+    r1 = run_with_checkpoint(
+        spark, t, base, n_buckets=16, buckets_per_batch=4, fail_after_batches=1
+    )
+    assert r1["crashed"] and r1["completed_buckets"] == 4
+    remaining = pending_buckets(spark, t, base, n_buckets=16)
+    assert len(remaining) == r1["pending_before"] - 4
+
+    # resume completes only the remainder
+    r2 = run_with_checkpoint(spark, t, base, n_buckets=16, buckets_per_batch=4)
+    assert not r2["crashed"]
+    assert r2["pending_before"] == len(remaining)
+    assert pending_buckets(spark, t, base, n_buckets=16) == []
+
+    # output is complete and duplicate-free
+    out = spark.read.parquet(f"{base}/turns")
+    assert out.count() == n_total
+    assert out.select("conv_id", "turn_idx").distinct().count() == n_total
+
+    # third run is a no-op
+    r3 = run_with_checkpoint(spark, t, base, n_buckets=16, buckets_per_batch=4)
+    assert r3["pending_before"] == 0
+    assert spark.read.parquet(f"{base}/turns").count() == n_total
+
+    # lineage rows cover all processed buckets with row counts
+    manifest = spark.read.parquet(f"{base}/_manifest")
+    assert manifest.agg(F.sum("rows_in")).collect()[0][0] == n_total

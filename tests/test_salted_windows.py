@@ -1,0 +1,52 @@
+"""Skew path: the salted sub-window implementations must produce
+byte-identical results to the plain conv-wide windows (and hence to the
+oracle) — run with a tiny bucket size so every conversation spans many
+buckets and every carry path is exercised."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def classified(spark, transcripts):
+    from bookextract_spark.operators.boilerplate import strip_boilerplate
+    from bookextract_spark.operators.classify import classify_turns
+
+    return classify_turns(strip_boilerplate(transcripts), with_density=False).cache()
+
+
+def _collect_merge(df, out_col="merged_blocks"):
+    from bookextract_spark.operators.merge import extracted_text_col
+
+    rows = df.withColumn("et", extracted_text_col(F.col(out_col))).select(
+        "conv_id", "turn_idx", "et"
+    )
+    return sorted((r.conv_id, r.turn_idx, r.et) for r in rows.collect())
+
+
+def test_salted_merge_equals_plain(spark, classified):
+    from bookextract_spark.operators.merge import merge_across_turns
+
+    plain = _collect_merge(merge_across_turns(classified))
+    salted = _collect_merge(merge_across_turns(classified, salt_bucket_size=3))
+    assert len(plain) == len(salted)
+    for p, s in zip(plain, salted):
+        assert p == s, f"salted merge diverges at {p[:2]}: {p[2]!r} vs {s[2]!r}"
+
+
+def test_salted_numbering_equals_plain(spark, classified):
+    from bookextract_spark.operators.chapters import explode_blocks, number_chapters
+    from bookextract_spark.operators.merge import merge_across_turns
+
+    blocks = explode_blocks(merge_across_turns(classified)).cache()
+    key = ["conv_id", "turn_idx", "block_idx"]
+    plain = sorted(
+        tuple(r) for r in number_chapters(blocks).select(*key, "chapter_no").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in number_chapters(blocks, salt_bucket_size=3)
+        .select(*key, "chapter_no")
+        .collect()
+    )
+    assert plain == salted
