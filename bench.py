@@ -41,9 +41,12 @@ def sf_factor(sf_dir: str) -> float:
         return 0.1
 
 
-def transcripts_path(sf: float) -> Path:
+def transcripts_path(sf: float, n_convs: int | None = None) -> Path:
     CACHE.mkdir(exist_ok=True)
-    n_convs = max(50, int(10000 * sf))
+    # sized so the bench is compute-bound, not overhead-bound
+    # (sf0.1 -> 4000 convs, ~130k turns incl. skew tails)
+    if n_convs is None:
+        n_convs = max(100, int(40000 * sf))
     p = CACHE / f"transcripts_c{n_convs}_s42.parquet"
     if not p.exists():
         from bookextract_spark.datagen import write_transcripts_parquet
@@ -58,15 +61,18 @@ def _noop_write(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def run_extraction(spark, fixture: str) -> tuple[float, int]:
+def run_extraction(spark, fixture: str, persist: bool = True) -> tuple[float, int]:
     """Flagship pipeline wall time + turn count."""
     from bookextract_spark.pipeline import extract_turns
 
     t = spark.read.parquet(fixture)
     n = t.count()
-    out = extract_turns(t).select("conv_id", "turn_idx", "extracted_text")
+    out = extract_turns(t, persist_classified=persist).select(
+        "conv_id", "turn_idx", "extracted_text"
+    )
     t0 = time.time()
     _noop_write(out)
+    spark.catalog.clearCache()
     return time.time() - t0, n
 
 
@@ -99,6 +105,10 @@ def make_spark(cores: int):
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(cores * 2, 8),
+        # the fixture is ONE ~100MB parquet file; split it finely so the
+        # scan+classify stage parallelizes (production input is many
+        # files, where the 128m default is right)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "2m"},
     )
 
 
@@ -127,17 +137,24 @@ def main() -> None:
     }
 
     if scaling:
+        # Dedicated, much larger fixture: the per-job fixed overhead
+        # (stage scheduling, AQE rounds, codegen, Python worker spin-up)
+        # is ~6s regardless of cores; the N-vs-4N criterion is about the
+        # compute-bound regime a 10^12-turn cluster job lives in, so the
+        # evidence run must be compute-dominated too.
+        scaling_fixture = str(transcripts_path(sf, n_convs=max(2000, int(500_000 * sf))))
         points = {}
         for cores in (8, 32):
             s = make_spark(cores)
-            sec, n = run_extraction(s, fixture)
-            sec, n = run_extraction(s, fixture)  # steady-state
+            sec, n = run_extraction(s, scaling_fixture)
+            sec, n = run_extraction(s, scaling_fixture)  # steady-state
             points[cores] = {"sec": round(sec, 3), "turns_per_sec": round(n / sec, 1)}
             s.stop()
         eff = (points[8]["sec"] / points[32]["sec"]) / 4.0
         result["scaling"] = {
             "local8": points[8],
             "local32": points[32],
+            "n_turns": n,
             "efficiency_8_to_32": round(eff, 3),
         }
 

@@ -200,4 +200,6 @@ def write_transcripts_parquet(
     df["ts"] = df["ts"].astype("datetime64[us]")
     df["turn_idx"] = df["turn_idx"].astype("int32")
     table = pa.Table.from_pandas(df, preserve_index=False)
-    pq.write_table(table, path, coerce_timestamps="us")
+    # small row groups so Spark can split the single file across tasks
+    # (one big row group = one input partition = zero scan parallelism)
+    pq.write_table(table, path, coerce_timestamps="us", row_group_size=2048)

@@ -36,22 +36,41 @@ from bookextract_spark.functions.text import should_merge_col
 from bookextract_spark.schemas import BLOCKS_ARRAY
 
 
-def _stage_plain(nonempty: DataFrame, blocks) -> DataFrame:
-    """Decision + receiver over one conv-wide window (default path)."""
+def _stage_plain(df: DataFrame, blocks) -> DataFrame:
+    """Decision + receiver over one conv-wide window (default path).
+
+    Empty turns stay in the frame (no filter+union split — a split
+    makes Spark recompute the whole upstream, classify UDFs included,
+    once per branch).  "Previous non-empty turn's last content" is a
+    last_value(ignorenulls) over struct-wrapped values: the struct is
+    non-null for every non-empty turn even when its content is null, so
+    a null-content last block still (correctly) blocks the merge rather
+    than letting the window skip back to an older turn.
+    """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    has_blocks = F.size(blocks) > 0
     first_content = F.try_element_at(blocks, F.lit(1))["content"]
     last_content = F.try_element_at(blocks, F.lit(-1))["content"]
-    staged = nonempty.withColumns(
+    prev_wrapped = F.last(
+        F.when(has_blocks, F.struct(last_content.alias("v"))), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    staged = df.withColumns(
         {
             "_first_content": first_content,
-            "_prev_last": F.lag(last_content).over(w),
+            "_prev_last": F.when(prev_wrapped.isNotNull(), prev_wrapped["v"]),
+            "_prev_exists": prev_wrapped.isNotNull(),
         }
     ).withColumn(
-        "_merged", should_merge_col(F.col("_prev_last"), F.col("_first_content"))
+        "_merged",
+        has_blocks
+        & F.col("_prev_exists")
+        & should_merge_col(F.col("_prev_last"), F.col("_first_content")),
     )
     return staged.withColumns(
         {
-            "_survivors": F.size(blocks) - F.col("_merged").cast("int"),
+            "_survivors": F.when(
+                has_blocks, F.size(blocks) - F.col("_merged").cast("int")
+            ).otherwise(F.lit(0)),
             "_kept": F.when(
                 F.col("_merged"), F.slice(blocks, 2, F.size(blocks) - 1)
             ).otherwise(blocks),
@@ -61,7 +80,7 @@ def _stage_plain(nonempty: DataFrame, blocks) -> DataFrame:
         F.last(
             F.when(F.col("_survivors") >= 1, F.col("turn_idx")), ignorenulls=True
         ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-    )
+    ).drop("_prev_exists")
 
 
 def _stage_salted(nonempty: DataFrame, blocks, bucket_size: int) -> DataFrame:
@@ -178,15 +197,17 @@ def merge_across_turns(
     per-task state — use when single conversations are huge).
     """
     blocks = F.col(blocks_col)
-    has_blocks = F.size(blocks) > 0
-
-    nonempty = df.where(has_blocks)
-    empty = df.where(~has_blocks).withColumn(out_col, blocks)
 
     if salt_bucket_size:
+        # the salted path filters empty turns and unions them back —
+        # acceptable there because it is the opt-in skew mode
+        has_blocks = F.size(blocks) > 0
+        nonempty = df.where(has_blocks)
+        empty = df.where(~has_blocks).withColumn(out_col, blocks)
         staged = _stage_salted(nonempty, blocks, salt_bucket_size)
     else:
-        staged = _stage_plain(nonempty, blocks)
+        empty = None
+        staged = _stage_plain(df, blocks)
 
     # fragments grouped per receiving turn, in turn order, space-joined —
     # the reference's repeated `content + " " + fragment` (:338)
@@ -235,7 +256,7 @@ def merge_across_turns(
     result = joined.withColumn(out_col, amended).drop(
         "_first_content", "_prev_last", "_merged", "_survivors", "_kept", "_receiver", "_extra"
     )
-    return result.unionByName(empty)
+    return result.unionByName(empty) if empty is not None else result
 
 
 def extracted_text_col(blocks: F.Column) -> F.Column:

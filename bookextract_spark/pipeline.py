@@ -27,13 +27,33 @@ from bookextract_spark.operators.classify import classify_turns
 from bookextract_spark.operators.merge import extracted_text_col, merge_across_turns
 
 
-def extract_turns(transcripts: DataFrame, with_density: bool = False) -> DataFrame:
+def extract_turns(
+    transcripts: DataFrame,
+    with_density: bool = False,
+    persist_classified: bool = False,
+    salt_bucket_size: int | None = None,
+) -> DataFrame:
     """Flagship per-turn extraction: transcripts -> one row per turn with
     ``merged_blocks`` and ``extracted_text`` (the north-rule equality
-    surface)."""
+    surface).
+
+    ``persist_classified`` materializes the classify stage
+    (MEMORY_AND_DISK) before the merge window: the fragment aggregation
+    is a second consumer of that subtree and Catalyst does not reuse
+    the exchange (column pruning makes the two copies differ), so
+    without a boundary the scan + classify UDF run twice.  In
+    production this boundary is the intermediate Iceberg write the
+    north rule's checkpoint/lineage design wants anyway.
+    """
     df = strip_boilerplate(transcripts)
     df = classify_turns(df, text_col="clean_text", with_density=with_density)
-    df = merge_across_turns(df, blocks_col="blocks", out_col="merged_blocks")
+    if persist_classified:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = merge_across_turns(
+        df, blocks_col="blocks", out_col="merged_blocks", salt_bucket_size=salt_bucket_size
+    )
     return df.withColumn("extracted_text", extracted_text_col(F.col("merged_blocks")))
 
 
