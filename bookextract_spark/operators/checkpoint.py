@@ -98,7 +98,15 @@ def run_with_checkpoint(
             F.sum(F.length(F.col("extracted_text"))).alias("bytes_out"),
         )
         (
-            observed.select("bucket", "conv_id", "turn_idx", "extracted_text")
+            # extract_turns prunes to (conv_id, turn_idx, ...); the bucket
+            # is a pure function of conv_id, so recompute it for the
+            # partitioned write
+            observed.select(
+                bucket_col(F.col("conv_id"), n_buckets).alias("bucket"),
+                "conv_id",
+                "turn_idx",
+                "extracted_text",
+            )
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(out_path)

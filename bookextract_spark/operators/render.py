@@ -135,6 +135,44 @@ def render_html_chapters(chapters: DataFrame) -> DataFrame:
     )
 
 
+def preview_section_col(btype: Column, content: Column, caption: Column) -> Column:
+    """O12 preview dispatch — the reference's third per-type renderer
+    (rich_text_renderer.py:199-256): plain-text labels, ``Chapter {n}``
+    heading handled by the caller, hr = 50 box-drawing dashes."""
+    has_content = content.isNotNull() & (content != "")
+    return (
+        F.when(btype == "page_division", F.lit("─" * 50))
+        .when(
+            btype == "image",
+            F.concat(F.lit("[Image: "), F.coalesce(caption, content, F.lit("")), F.lit("]")),
+        )
+        .when(btype == "chapter_header", F.concat(F.lit("Chapter "), content))
+        .when(has_content, content)
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def render_preview_chapters(chapters: DataFrame) -> DataFrame:
+    """O12 preview sink: plain-text chapter previews."""
+    parts = F.transform(
+        F.col("sections"),
+        lambda b: preview_section_col(b["type"], b["content"], b["caption"]),
+    )
+    body = F.array_join(F.filter(parts, lambda p: p.isNotNull() & (p != "")), "\n\n")
+    return chapters.select(
+        "conv_id",
+        "chapter_number",
+        F.concat(
+            F.lit("Chapter "),
+            F.col("chapter_number").cast("string"),
+            F.lit(": "),
+            F.col("title"),
+            F.lit("\n\n"),
+            body,
+        ).alias("preview_text"),
+    )
+
+
 def assemble_book_intermediate(chapters: DataFrame, metadata: DataFrame) -> DataFrame:
     """Nested BookIntermediate struct per conversation
     (book_intermediate.py:88-119): metadata + ordered chapters array +

@@ -47,6 +47,11 @@ def extract_turns(
     """
     df = strip_boilerplate(transcripts)
     df = classify_turns(df, text_col="clean_text", with_density=with_density)
+    # prune before the window exchange: the merge needs only
+    # (conv_id, turn_idx, blocks [+ density]) — shuffling the raw text
+    # and clean_text strings doubles the exchange bytes for nothing
+    keep = ["conv_id", "turn_idx", "blocks"] + (["density"] if with_density else [])
+    df = df.select(*keep)
     if persist_classified:
         from pyspark import StorageLevel
 

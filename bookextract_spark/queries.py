@@ -452,6 +452,121 @@ FROM transcripts_v GROUP BY conv_id
 
 
 # --------------------------------------------------------------------------
+# T14 boilerplate strip — full algorithm parity (frequency map, k=0.6,
+# min_turns=5, page-number drop, post-tidy) on synthesized turns
+# --------------------------------------------------------------------------
+
+
+def q_t14_boilerplate(spark, sf_dir):
+    """T14: repeated-line boilerplate strip, end-to-end on the REAL
+    operator; turns synthesized with a per-conv header, footer, and bare
+    page number on every turn."""
+    from bookextract_spark.operators.boilerplate import strip_boilerplate
+
+    t = _derived_transcripts(spark, sf_dir)
+    text = F.concat(
+        F.lit("BOOK HEADER "),
+        F.col("conv_id"),
+        F.lit("\n"),
+        F.col("content"),
+        F.lit("\npress footer line\n"),
+        (F.col("turn_idx") + 1).cast("string"),
+    )
+    df = t.select("conv_id", "turn_idx", text.alias("text"))
+    return strip_boilerplate(df).select("conv_id", "turn_idx", "clean_text")
+
+
+_SQL_NORM_LINE = (
+    "lower(regexp_replace(regexp_replace({x}, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'))"
+)
+
+SQL_T14 = f"""
+WITH {_SQL_TRANSCRIPTS_CTE},
+t AS (
+  SELECT conv_id, turn_idx,
+    'BOOK HEADER ' || conv_id || chr(10) || content || chr(10) ||
+    'press footer line' || chr(10) || CAST(turn_idx + 1 AS VARCHAR) AS text
+  FROM transcripts_v
+),
+lines AS (SELECT conv_id, turn_idx, string_split(text, chr(10)) AS ls FROM t),
+edges AS (
+  SELECT conv_id, turn_idx,
+    list_filter(ls, x -> {_SQL_NORM_LINE.format(x="x")} <> ''
+                     AND NOT regexp_matches(x, '^\\s*[0-9]{{1,4}}\\s*$')) AS nls
+  FROM lines
+),
+cand AS (
+  SELECT DISTINCT conv_id, turn_idx, unnest(
+    list_distinct([{_SQL_NORM_LINE.format(x="nls[1]")},
+                   {_SQL_NORM_LINE.format(x="nls[-1]")}])) AS k
+  FROM edges WHERE len(nls) > 0
+),
+freq AS (SELECT conv_id, k, count(*) AS c FROM cand GROUP BY conv_id, k),
+nt AS (SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id),
+boiler AS (
+  SELECT f.conv_id, list(f.k) AS bl
+  FROM freq f JOIN nt ON f.conv_id = nt.conv_id
+  WHERE nt.n >= 5 AND f.c >= 0.6 * nt.n
+  GROUP BY f.conv_id
+),
+kept AS (
+  SELECT l.conv_id, l.turn_idx,
+    array_to_string(
+      list_filter(l.ls, x -> NOT regexp_matches(x, '^\\s*[0-9]{{1,4}}\\s*$')
+        AND (b.bl IS NULL OR NOT list_contains(b.bl, {_SQL_NORM_LINE.format(x="x")}))),
+      chr(10)) AS joined
+  FROM lines l LEFT JOIN boiler b ON l.conv_id = b.conv_id
+)
+SELECT conv_id, turn_idx,
+  regexp_replace(regexp_replace(joined, '\\n{{3,}}', chr(10)||chr(10), 'g'),
+                 '^\\n+|\\n+$', '', 'g') AS clean_text
+FROM kept
+"""
+
+
+def q_a5_metadata(spark, sf_dir):
+    """A5 last-wins metadata aggregation (book_intermediate.py:221-227)
+    over synthesized typed rows."""
+    t = _derived_transcripts(spark, sf_dir)
+    btype = (
+        F.when(F.col("turn_idx") % 6 == 0, F.lit("title"))
+        .when(F.col("turn_idx") % 6 == 1, F.lit("author"))
+        .otherwise(F.lit("paragraph"))
+    )
+    rows = t.select("conv_id", "turn_idx", btype.alias("btype"), F.col("content"))
+
+    def last_of(name):
+        return F.max(
+            F.when(
+                F.col("btype") == name,
+                F.struct(F.col("turn_idx").alias("o"), F.col("content").alias("v")),
+            )
+        )["v"]
+
+    return rows.groupBy("conv_id").agg(
+        last_of("title").alias("title"), last_of("author").alias("author")
+    )
+
+
+SQL_A5 = f"""
+WITH {_SQL_TRANSCRIPTS_CTE},
+rows_v AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN turn_idx % 6 = 0 THEN 'title'
+         WHEN turn_idx % 6 = 1 THEN 'author'
+         ELSE 'paragraph' END AS btype, content
+  FROM transcripts_v
+)
+SELECT conv_id,
+  arg_max(CASE WHEN btype = 'title' THEN content END,
+          CASE WHEN btype = 'title' THEN turn_idx END) AS title,
+  arg_max(CASE WHEN btype = 'author' THEN content END,
+          CASE WHEN btype = 'author' THEN turn_idx END) AS author
+FROM rows_v GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
 # O15 cumulative chapter offsets (m4b_generator.py:252-305) on events
 # --------------------------------------------------------------------------
 
@@ -861,6 +976,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "t10_chapter_num": (q_t10_chapter_num, SQL_T10),
     "t11_word_count": (q_t11_word_count, SQL_T11),
     "t13_hyphenation": (q_t13_hyphenation, SQL_T13),
+    "t14_boilerplate": (q_t14_boilerplate, SQL_T14),
+    "a5_metadata": (q_a5_metadata, SQL_A5),
     "o8_merge_decisions": (q_o8_merge_decisions, SQL_O8_DECISIONS),
     "o8_merge_extract": (q_o8_merge_extract, SQL_O8),
     "o9_chapters": (q_o9_chapters, SQL_O9),
