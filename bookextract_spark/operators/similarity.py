@@ -141,6 +141,28 @@ def lsh_ann_topk(
     )
 
 
+def exact_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold — the correctness baseline /
+    verifier behind :func:`embedding_near_dup_pairs`.  O(n^2): at 100 TB
+    this runs only on LSH candidate sets, never standalone; as a
+    standalone query it is the DuckDB-checkable oracle surface."""
+    v = _as_double(F.col(vec_col))
+    base = embeddings.select(F.col(id_col).alias("id"), v.alias("vec"))
+    a = base.select(F.col("id").alias("a_id"), F.col("vec").alias("va"))
+    b = base.select(F.col("id").alias("b_id"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

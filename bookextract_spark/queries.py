@@ -907,6 +907,39 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.9)
 
 
+# the synthetic embeddings have no true near-dups (max pairwise cosine
+# ~0.51 at sf0.01), so the oracle-checked exact variant runs at a
+# threshold that yields a non-trivial pair set and exercises the
+# operator's pair/rounding/threshold semantics end-to-end
+NEAR_DUP_EXACT_THRESHOLD = 0.35
+
+
+def q_embedding_near_dup_exact(spark, sf_dir):
+    """Exact all-pairs cosine >= threshold (the verifier behind the LSH
+    near-dup path; DuckDB-checkable)."""
+    from bookextract_spark.operators.similarity import exact_near_dup_pairs
+
+    return exact_near_dup_pairs(
+        _load(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_EXACT_THRESHOLD
+    )
+
+
+SQL_NEAR_DUP_EXACT = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  round(list_dot_product(a.vec, b.vec) /
+        (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+    AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.vec, b.vec) /
+      (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+      >= {NEAR_DUP_EXACT_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (binary payload + metadata extraction)
 # --------------------------------------------------------------------------
@@ -948,21 +981,155 @@ FROM h
 
 
 def q_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing (1->N mapInPandas expansion;
-    rows-only driver check)."""
+    """Video frame-sampling plumbing (1->N mapInPandas expansion; fake
+    decode = sha256 per 4096-byte window, so DuckDB replicates it)."""
     from bookextract_spark.operators.multimodal import media_from_documents, sample_frames
 
     media = media_from_documents(_load(spark, sf_dir, "documents"))
     return sample_frames(media, fake_decode=True)
 
 
+# payloads are utf-8 bytes of ASCII-only document text, so VARCHAR
+# character slicing == byte slicing and sha256(VARCHAR) hashes the same
+# bytes as Python's sha256 over the window
+SQL_FRAME_SAMPLE = """
+WITH vid AS (
+  SELECT doc_id AS media_id, coalesce(text, '') AS p FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT media_id, p,
+         CAST(octet_length(encode(p)) // 4096 + 1 AS BIGINT) AS n
+  FROM vid
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       substring(sha256(substring(p, CAST(i * 4096 + 1 AS BIGINT), 4096)), 1, 16) AS frame_sha
+FROM f, unnest(range(n)) AS u(i)
+"""
+
+
 def q_pipeline_extract(spark, sf_dir):
-    """Full flagship pipeline on the derived transcripts (rows-only
-    driver check; byte-equality covered by the pytest golden gate)."""
+    """Full flagship pipeline on the derived transcripts — boilerplate
+    strip -> hyphenation+reflow -> rule classify -> O8 cross-turn merge
+    -> per-turn extracted text, with full DuckDB oracle parity (plus the
+    pytest golden gate on adversarial fixtures)."""
     from bookextract_spark.pipeline import extract_turns
 
     t = _derived_transcripts(spark, sf_dir).withColumnRenamed("content", "text")
     return extract_turns(t).select("conv_id", "turn_idx", "extracted_text")
+
+
+# Full-pipeline oracle.  Stage-for-stage transcription of
+# pipeline.extract_turns semantics into DuckDB SQL:
+# T14 strip_boilerplate -> T13 repair_hyphenation -> T1 reflow ->
+# C4 rule classifier -> O8 merge_across_turns -> extracted_text join.
+# The classifier note: only chapter_header / block_indent REWRITE the
+# block content (header and paragraph both emit the stripped piece), so
+# a contents-only list is sufficient for the merge + extract stages.
+SQL_PIPELINE = f"""
+WITH {_SQL_TRANSCRIPTS_CTE},
+lines AS (
+  SELECT conv_id, turn_idx, string_split(content, chr(10)) AS ls FROM transcripts_v
+),
+edges AS (
+  SELECT conv_id, turn_idx,
+    list_filter(ls, x -> {_SQL_NORM_LINE.format(x="x")} <> ''
+                     AND NOT regexp_matches(x, '^\\s*[0-9]{{1,4}}\\s*$')) AS nls
+  FROM lines
+),
+cand AS (
+  SELECT DISTINCT conv_id, turn_idx, unnest(
+    list_distinct([{_SQL_NORM_LINE.format(x="nls[1]")},
+                   {_SQL_NORM_LINE.format(x="nls[-1]")}])) AS k
+  FROM edges WHERE len(nls) > 0
+),
+freq AS (SELECT conv_id, k, count(*) AS c FROM cand GROUP BY conv_id, k),
+nt AS (SELECT conv_id, count(*) AS n FROM transcripts_v GROUP BY conv_id),
+boiler AS (
+  SELECT f.conv_id, list(f.k) AS bl
+  FROM freq f JOIN nt ON f.conv_id = nt.conv_id
+  WHERE nt.n >= 5 AND f.c >= 0.6 * nt.n GROUP BY f.conv_id
+),
+kept_lines AS (
+  SELECT l.conv_id, l.turn_idx,
+    array_to_string(
+      list_filter(l.ls, x -> NOT regexp_matches(x, '^\\s*[0-9]{{1,4}}\\s*$')
+        AND (b.bl IS NULL OR NOT list_contains(b.bl, {_SQL_NORM_LINE.format(x="x")}))),
+      chr(10)) AS joined
+  FROM lines l LEFT JOIN boiler b ON l.conv_id = b.conv_id
+),
+cleaned AS (
+  SELECT conv_id, turn_idx,
+    regexp_replace(regexp_replace(joined, '\\n{{3,}}', chr(10)||chr(10), 'g'),
+                   '^\\n+|\\n+$', '', 'g') AS clean_text
+  FROM kept_lines
+),
+reflowed AS (
+  SELECT conv_id, turn_idx,
+    replace(replace(replace(
+        regexp_replace(clean_text, '(\\p{{L}})-\\n(\\p{{L}})', '\\1\\2', 'g'),
+      chr(10)||chr(10), chr(7)), chr(10), ' '), chr(7), chr(10)||chr(10)) AS rt
+  FROM cleaned
+),
+pieces AS (
+  SELECT conv_id, turn_idx,
+    list_filter(string_split(rt, chr(10)||chr(10)),
+                p -> regexp_replace(p, '^\\s+|\\s+$', '', 'g') <> '') AS ps
+  FROM reflowed
+),
+blocks AS (
+  SELECT conv_id, turn_idx,
+    list_transform(ps, p -> CASE
+      WHEN regexp_matches(lower(regexp_replace(p, '^\\s+|\\s+$', '', 'g')),
+                          '^(?:chapter|part)\\s*([0-9]+|[ivxlcdm]+)\\b')
+        THEN regexp_extract(lower(regexp_replace(p, '^\\s+|\\s+$', '', 'g')),
+                            '^(?:chapter|part)\\s*([0-9]+|[ivxlcdm]+)\\b', 1)
+      WHEN regexp_matches(p, '^(?:\\t|    |>)')
+        THEN regexp_replace(regexp_replace(p, '^\\s+|\\s+$', '', 'g'), '^[>\\s]+', '')
+      ELSE regexp_replace(p, '^\\s+|\\s+$', '', 'g') END) AS c
+  FROM pieces
+),
+m0 AS (SELECT conv_id, turn_idx, c, len(c) AS nb, c[1] AS first_c, c[-1] AS last_c FROM blocks),
+m1 AS (
+  SELECT *, last_value(CASE WHEN nb > 0 THEN {{'v': last_c}} END IGNORE NULLS)
+    OVER (PARTITION BY conv_id ORDER BY turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevw
+  FROM m0
+),
+m2 AS (
+  SELECT *, (nb > 0 AND prevw IS NOT NULL AND prevw.v IS NOT NULL AND first_c IS NOT NULL
+    AND NOT (
+      (prevw.v <> '' AND substring(prevw.v, length(prevw.v), 1) IN ('.','!','?',':',';'))
+      AND (first_c <> '' AND regexp_matches(substring(first_c, 1, 1), '\\p{{Lu}}'))
+    )) AS merged
+  FROM m1
+),
+m3 AS (
+  SELECT *, CASE WHEN nb > 0 THEN nb - CAST(merged AS INT) ELSE 0 END AS survivors,
+         CASE WHEN merged THEN c[2:] ELSE c END AS kept
+  FROM m2
+),
+m4 AS (
+  SELECT *, last_value(CASE WHEN survivors >= 1 THEN turn_idx END IGNORE NULLS)
+    OVER (PARTITION BY conv_id ORDER BY turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS receiver
+  FROM m3
+),
+frags AS (
+  SELECT conv_id, receiver, string_agg(first_c, ' ' ORDER BY turn_idx) AS extra
+  FROM m4 WHERE merged GROUP BY conv_id, receiver
+),
+amended AS (
+  SELECT m.conv_id, m.turn_idx,
+    CASE WHEN f.extra IS NULL OR len(m.kept) = 0 THEN m.kept
+         ELSE list_append(m.kept[1:len(m.kept)-1], m.kept[len(m.kept)] || ' ' || f.extra)
+    END AS final_blocks
+  FROM m4 m LEFT JOIN frags f ON m.conv_id = f.conv_id AND m.turn_idx = f.receiver
+)
+SELECT conv_id, turn_idx,
+  coalesce(array_to_string(list_filter(final_blocks, x -> x IS NOT NULL AND x <> ''),
+           chr(10)||chr(10)), '') AS extracted_text
+FROM amended
+"""
 
 
 # --------------------------------------------------------------------------
@@ -997,9 +1164,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "embedding_near_dup": (q_embedding_near_dup, None),
+    "embedding_near_dup_exact": (q_embedding_near_dup_exact, SQL_NEAR_DUP_EXACT),
     "image_metadata": (q_image_metadata, SQL_IMAGE_META),
-    "frame_sample": (q_frame_sample, None),
-    "pipeline_extract": (q_pipeline_extract, None),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "pipeline_extract": (q_pipeline_extract, SQL_PIPELINE),
 }
 
 
