@@ -21,11 +21,17 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    master = master or f"local[{cpus}]"
+    # master="" means "do not set a master here" — required under
+    # spark-submit, where an explicit builder master would override the
+    # cluster manager chosen on the submit command line
+    if master is None:
+        master = f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

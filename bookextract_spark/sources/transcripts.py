@@ -1,0 +1,52 @@
+"""Transcripts source: Iceberg table (production) or parquet path
+(sandbox/tests), one loader.
+
+The engine's one input table (BASELINE.json ``input_hint``)::
+
+    transcripts(conv_id: string, turn_idx: int, role: string,
+                text: string, tool: string, ts: timestamp)
+
+Production reads an Iceberg table (``iceberg:<catalog.db.table>`` or a
+bare table identifier); Catalyst pushes filters/column pruning into the
+Iceberg scan and partition pruning applies to the snapshot metadata.
+This sandbox has no Iceberg catalog jars, so parquet paths exercise the
+identical downstream plan (the scan node is the only difference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPTS_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+# columns stage 1 of the pipeline actually needs — pass to load() so
+# pruning reaches the scan (ReadSchema) instead of relying on later
+# selects alone
+EXTRACT_COLUMNS = ["conv_id", "turn_idx", "text"]
+
+
+def load_transcripts(
+    spark: SparkSession,
+    source: str,
+    columns: list[str] | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """Load the transcripts table from ``source``.
+
+    * ``iceberg:<table>`` — explicit Iceberg table identifier
+    * a path containing ``/`` or ending in ``.parquet`` — parquet
+    * anything else — a catalog table name (``spark.table``), which is
+      Iceberg-backed when the session's catalog is configured for it
+    """
+    if source.startswith("iceberg:"):
+        df = spark.read.format("iceberg").load(source[len("iceberg:") :])
+    elif "/" in source or source.endswith(".parquet"):
+        df = spark.read.parquet(source)
+    else:
+        df = spark.table(source)
+    if columns:
+        df = df.select(*[F.col(c) for c in columns])
+    if where:
+        df = df.where(where)
+    return df

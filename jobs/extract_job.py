@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the extraction pipeline.
+
+Ship with the packaged library::
+
+    scripts/submit.sh --input /path/to/transcripts.parquet \
+        --output /path/to/out [--resume] [--salt-bucket-size 100000]
+
+or directly::
+
+    spark-submit --py-files dist/bookextract_spark.zip jobs/extract_job.py \
+        --input iceberg:prod.catalog.transcripts --output s3://bucket/out
+
+The job is idempotent: every run anti-joins the input's conv_id buckets
+against the output manifest and processes only missing buckets, so a
+failed run resumes by re-submitting the same command (north rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+Cluster sizing knobs are ordinary spark-submit conf (executors, cores,
+``spark.sql.shuffle.partitions``); the N-vs-4N scaling evidence for
+this sandbox lives in ``bench.py --scaling`` / BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="iceberg:<table> | parquet path | table name")
+    p.add_argument("--output", required=True, help="output base dir (turns/ + _manifest/)")
+    p.add_argument("--where", default=None, help="optional pushdown predicate (SQL string)")
+    p.add_argument("--n-buckets", type=int, default=256)
+    p.add_argument("--buckets-per-batch", type=int, default=64)
+    p.add_argument(
+        "--salt-bucket-size",
+        type=int,
+        default=None,
+        help="enable salted sub-windows for huge conversations (turns per salt bucket)",
+    )
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from bookextract_spark.operators.checkpoint import run_with_checkpoint
+    from bookextract_spark.session import get_spark
+    from bookextract_spark.sources.transcripts import EXTRACT_COLUMNS, load_transcripts
+
+    # master/executors come from spark-submit (master="" = don't override)
+    spark = get_spark(
+        app_name="bookextract-extract",
+        master="",
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    transcripts = load_transcripts(
+        spark, args.input, columns=EXTRACT_COLUMNS, where=args.where
+    )
+    result = run_with_checkpoint(
+        spark,
+        transcripts,
+        args.output,
+        n_buckets=args.n_buckets,
+        buckets_per_batch=args.buckets_per_batch,
+    )
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

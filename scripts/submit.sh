@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Package the library and spark-submit the extraction job.
+#
+#   scripts/submit.sh --input <src> --output <dir> [job args...]
+#
+# Extra spark-submit conf via SUBMIT_EXTRA_OPTS, e.g.
+# (not SPARK_SUBMIT_OPTS — that env var is reserved by spark-submit itself
+# for JVM options and may already be set by the environment)
+#   SUBMIT_EXTRA_OPTS="--master yarn --num-executors 200" scripts/submit.sh ...
+set -euo pipefail
+
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+DIST="$REPO/dist"
+mkdir -p "$DIST"
+
+# --py-files zip: the package only (tests/fixtures excluded)
+( cd "$REPO" && rm -f "$DIST/bookextract_spark.zip" \
+  && zip -qr "$DIST/bookextract_spark.zip" bookextract_spark -x '*__pycache__*' )
+
+if [[ -n "${SUBMIT_EXTRA_OPTS:-}" ]]; then
+  # word-split intentionally: opts is a flat flag string
+  read -r -a SUBMIT_OPTS <<< "$SUBMIT_EXTRA_OPTS"
+else
+  SUBMIT_OPTS=(--master "local[${SPARK_GRAFT_CPUS:-8}]")
+fi
+
+exec spark-submit \
+  "${SUBMIT_OPTS[@]}" \
+  --py-files "$DIST/bookextract_spark.zip" \
+  "$REPO/jobs/extract_job.py" "$@"

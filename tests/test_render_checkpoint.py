@@ -141,3 +141,20 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     # lineage rows cover all processed buckets with row counts
     manifest = spark.read.parquet(f"{base}/_manifest")
     assert manifest.agg(F.sum("rows_in")).collect()[0][0] == n_total
+
+
+def test_load_transcripts_parquet_and_pruning(spark, transcripts, tmp_path):
+    from bookextract_spark.sources.transcripts import (
+        EXTRACT_COLUMNS,
+        load_transcripts,
+    )
+
+    path = str(tmp_path / "tx.parquet")
+    transcripts.write.parquet(path)
+    df = load_transcripts(spark, path, columns=EXTRACT_COLUMNS, where="turn_idx >= 0")
+    assert df.columns == EXTRACT_COLUMNS
+    assert df.count() == transcripts.count()
+    # column pruning must reach the parquet scan (ReadSchema lists only
+    # the pruned columns, never role/tool/ts)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "role" not in plan and "tool" not in plan
