@@ -41,10 +41,12 @@ def strip_boilerplate(
     text = F.col(text_col)
     lines = F.split(text, "\n", -1)
 
-    # candidate edge lines: first/last non-empty, non-page-number line
+    # candidate edge lines: first/last non-empty, non-page-number line.
+    # Per-line work is two cheap rlikes ("has non-whitespace" — which is
+    # exactly normalize(ln) != '' — and the page-number predicate); the
+    # normalize regex chain runs only on the <= 2 winning lines per turn
     edge_lines = F.filter(
-        lines,
-        lambda ln: (normalize_line_col(ln) != "") & ~is_page_number_col(ln),
+        lines, lambda ln: ln.rlike(r"\S") & ~is_page_number_col(ln)
     )
     first_key = normalize_line_col(F.try_element_at(edge_lines, F.lit(1)))
     last_key = normalize_line_col(F.try_element_at(edge_lines, F.lit(-1)))
@@ -67,15 +69,18 @@ def strip_boilerplate(
 
     out = df.join(boiler, "conv_id", "left")
     boiler_set = F.col("_boiler_set")
-    kept = F.filter(
+    # branch per row: most conversations have NO boilerplate set (null
+    # after the left join), and that branch never pays the per-line
+    # normalize chain — only the page-number rlike
+    kept_simple = F.filter(lines, lambda ln: ~is_page_number_col(ln))
+    kept_full = F.filter(
         lines,
         lambda ln: ~is_page_number_col(ln)
-        & (
-            boiler_set.isNull()
-            | ~F.array_contains(boiler_set, normalize_line_col(ln))
-        ),
+        & ~F.array_contains(boiler_set, normalize_line_col(ln)),
     )
-    joined = F.array_join(kept, "\n")
+    joined = F.array_join(
+        F.when(boiler_set.isNull(), kept_simple).otherwise(kept_full), "\n"
+    )
     # post-drop tidy (spec: strip_boilerplate_text): collapse 3+ newlines,
     # trim leading/trailing newline runs
     tidied = F.regexp_replace(joined, r"\n{3,}", "\n\n")

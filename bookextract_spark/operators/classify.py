@@ -59,8 +59,19 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
     """
     pieces = F.split(norm_text, r"\n\n")
 
-    def classify(piece: Column):
-        stripped = strip_col(piece)
+    # Catalyst inlines lambda arguments, so referencing strip_col(piece)
+    # in each rule would re-run the strip regex ~7x per piece; stage
+    # (raw, stripped, lowered) once, then classify over the struct
+    staged = F.transform(
+        pieces,
+        lambda p: F.struct(p.alias("raw"), strip_col(p).alias("s")),
+    )
+    # the oracle drops empty PIECES before classifying (a block whose
+    # content becomes '' after marker removal is still kept)
+    nonempty = F.filter(staged, lambda t: t["s"] != "")
+
+    def classify(t: Column):
+        piece, stripped = t["raw"], t["s"]
         lowered = F.lower(stripped)
         chap_num = F.regexp_extract(lowered, _CHAPTER_BLOCK_PATTERN, 1)
         words = F.size(F.split(stripped, r"\s+"))
@@ -83,9 +94,6 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
         )
         return _block_struct(btype, content, source)
 
-    # the oracle drops empty PIECES before classifying (a block whose
-    # content becomes '' after marker removal is still kept)
-    nonempty = F.filter(pieces, lambda p: strip_col(p) != "")
     return F.transform(nonempty, classify)
 
 
