@@ -675,6 +675,29 @@ def html_section(sec: dict) -> str | None:
     return tpl.format(content)
 
 
+# ----- preview render dispatch (O12) — rich_text_renderer.py:199-256 ------
+
+
+def preview_section_text(sec: dict) -> str | None:
+    """Per-type plain-text preview for one section (the reference's
+    third renderer, ``rich_text_renderer.py:199-256``): hr = 50
+    box-drawing dashes, image caption/content fallback, ``Chapter {n}``
+    label for chapter headers, raw content otherwise."""
+    t = sec.get("type")
+    content = sec.get("content")
+    if t == "page_division":
+        return "─" * 50
+    if t == "image":
+        caption = sec.get("caption")
+        base = caption if caption is not None else (content if content is not None else "")
+        return f"[Image: {base}]"
+    if t == "chapter_header":
+        return None if content is None else f"Chapter {content}"
+    if content:
+        return content
+    return None
+
+
 # --------------------------------------------------------------------------
 # Full per-conversation pipeline (the oracle core)
 # --------------------------------------------------------------------------

@@ -68,6 +68,15 @@ def test_tts_render_empty_chapter_placeholder(spark):
     assert out.tts_text == ref.tts_chapter_text(2, "Empty", sections) == "Chapter 2: Empty"
 
 
+def test_preview_render_matches_spec(spark):
+    from bookextract_spark.operators.render import render_preview_chapters
+
+    out = render_preview_chapters(_chapters_df(spark)).collect()[0]
+    parts = [p for p in (ref.preview_section_text(s) for s in SECTIONS) if p]
+    expected = "Chapter 3: The Storm\n\n" + "\n\n".join(parts)
+    assert out.preview_text == expected
+
+
 def test_html_render_matches_spec(spark):
     from bookextract_spark.operators.render import render_html_chapters
 
