@@ -137,6 +137,15 @@ def minhash_signature_col(shingles: Column, k: int = 32) -> Column:
     )
 
 
+def _seed_hash(shingle, i: int, hash_mode: str):
+    """Seeded per-shingle hash: xxhash64 (scale path) or the first 32
+    bits of md5 (byte-portable to the DuckDB oracle)."""
+    seeded = F.concat(F.lit(f"seed{i}:"), shingle)
+    if hash_mode == "xxhash64":
+        return F.xxhash64(seeded)
+    return F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("long")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -144,6 +153,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     k: int = 32,
     bands: int = 8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``k/bands`` rows; pairs sharing any band bucket are candidates.
@@ -163,31 +173,29 @@ def minhash_lsh_candidates(
         "id",
         *[
             F.array_min(
-                F.transform(
-                    F.col("_sh"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s))
-                )
+                F.transform(F.col("_sh"), lambda s, i=i: _seed_hash(s, i, hash_mode))
             ).alias(f"_m{i}")
             for i in range(k)
         ],
     )
+    # band bucket key: xxhash64 of the member-min concat (compact long
+    # key) on the scale path; the raw concat string in md5 mode so the
+    # oracle reproduces it without an xxhash64 twin
+    def band_key(b: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col(f"_m{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        return F.xxhash64(joined) if hash_mode == "xxhash64" else joined
+
     banded = mins.select(
         "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"_m{b * rows_per_band + r}").cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band", "bucket"
+        ),
     )
     a = banded.alias("a")
     b2 = banded.alias("b")
@@ -211,11 +219,12 @@ def minhash_dedup(
     n: int = 3,
     k: int = 32,
     bands: int = 8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact
     Jaccard (the 100 TB pattern: cheap blocking, exact verification on
     the tiny candidate set)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands)
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands, hash_mode)
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("sh")
     )
@@ -242,21 +251,47 @@ def minhash_dedup(
 
 
 def simhash_df(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: per-bit +/-1 votes of token hashes,
     sign-packed.  Pure aggregation (explode -> 64 conditional sums ->
-    bit pack); no pairwise work."""
+    bit pack); no pairwise work.
+
+    ``hash_mode``: ``xxhash64`` (default — the scale path) or ``md5``
+    (two 32-bit halves of the token md5; byte-portable to DuckDB, so
+    the vote/bit-pack logic is oracle-checkable).  The token hash is
+    hoisted into a projection — referencing it inside the 64 vote
+    aggregates directly would re-evaluate it 64x per token.
+    """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("tok"),
     ).where(F.col("tok") != "")
-    h = F.xxhash64("tok")
-    votes = toks.groupBy("id").agg(
+    if hash_mode == "xxhash64":
+        h = F.xxhash64("tok")
+        hashed = toks.select(
+            "id",
+            F.shiftrightunsigned(h, 32).alias("_hi"),
+            h.bitwiseAND(F.lit(0xFFFFFFFF)).alias("_lo"),
+        )
+    else:
+        m = F.md5("tok")
+        hashed = toks.select(
+            "id",
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("_hi"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("_lo"),
+        )
+
+    def bit(b: int):
+        half = F.col("_lo") if b < 32 else F.col("_hi")
+        return F.shiftright(half, b % 32).bitwiseAND(F.lit(1))
+
+    votes = hashed.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
             for b in range(64)
         ]
     )

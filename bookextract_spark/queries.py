@@ -836,18 +836,106 @@ WHERE round(p.shared / CAST(ca.n_sh + cb.n_sh - p.shared AS DOUBLE), 6) >= 0.05
 
 def q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs verified with exact Jaccard
-    (rows-only driver check — xxhash64 has no DuckDB twin; correctness
-    covered by pytest planted-duplicate tests)."""
+    (xxhash64 scale path; rows-only driver check — see
+    ``minhash_dedup_md5`` for the oracle-checked twin)."""
     from bookextract_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(_load(spark, sf_dir, "documents"), threshold=0.05)
 
 
+def q_minhash_dedup_md5(spark, sf_dir):
+    """Full MinHash+LSH+verify pipeline with the byte-portable md5 seed
+    hash: identical shingling / signature / banding / exact-Jaccard
+    logic, hash swapped so DuckDB verifies every stage."""
+    from bookextract_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _load(spark, sf_dir, "documents"), threshold=0.05, hash_mode="md5"
+    )
+
+
+SQL_MINHASH_MD5 = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+    string_split(lower(regexp_replace(regexp_replace(coalesce(text,''),
+        '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT id,
+    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+seeded AS (
+  SELECT id, s, r.i AS seed,
+    ('0x' || substring(md5('seed' || r.i || ':' || s), 1, 8))::BIGINT AS h
+  FROM sh CROSS JOIN range(32) AS r(i)
+),
+mins AS (SELECT id, seed, min(h) AS m FROM seeded GROUP BY id, seed),
+bandk AS (
+  SELECT id, seed // 4 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY seed) AS key
+  FROM mins GROUP BY id, seed // 4
+),
+cands AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM bandk a JOIN bandk b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT c.a_id, c.b_id, count(*) AS inter
+  FROM cands c JOIN sh x ON x.id = c.a_id JOIN sh y ON y.id = c.b_id AND x.s = y.s
+  GROUP BY 1, 2
+)
+SELECT s.a_id, s.b_id,
+  round(s.inter / CAST(ca.n_sh + cb.n_sh - s.inter AS DOUBLE), 6) AS jaccard
+FROM shared s JOIN counts ca ON s.a_id = ca.id JOIN counts cb ON s.b_id = cb.id
+WHERE round(s.inter / CAST(ca.n_sh + cb.n_sh - s.inter AS DOUBLE), 6) >= 0.05
+"""
+
+
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per document (rows-only driver check)."""
+    """64-bit SimHash per document (xxhash64 scale path; rows-only
+    driver check — see ``simhash_md5`` for the oracle-checked twin)."""
     from bookextract_spark.operators.dedup import simhash_df
 
     return simhash_df(_load(spark, sf_dir, "documents"))
+
+
+def q_simhash_md5(spark, sf_dir):
+    """SimHash with the byte-portable md5 token hash: identical vote /
+    bit-pack logic as ``simhash``, hash swapped so DuckDB verifies the
+    whole operator."""
+    from bookextract_spark.operators.dedup import simhash_df
+
+    return simhash_df(_load(spark, sf_dir, "documents"), hash_mode="md5")
+
+
+SQL_SIMHASH_MD5 = r"""
+WITH n AS (
+  SELECT doc_id AS id,
+    lower(regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
+          '\s+', ' ', 'g')) AS nx
+  FROM documents
+),
+toks AS (SELECT id, unnest(string_split(nx, ' ')) AS tok FROM n),
+th AS (
+  SELECT id,
+    ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+    ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT id, b,
+    sum(CASE WHEN ((CASE WHEN b < 32 THEN lo ELSE hi END >> (b % 32)) & 1) = 1
+             THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN range(64) AS r(b) GROUP BY id, b
+)
+SELECT id, CAST(sum(CASE WHEN v > 0 THEN
+    CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END
+  ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -893,18 +981,121 @@ FROM ranked WHERE rank <= {ANN_K}
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only driver check; recall vs brute force
-    is asserted in pytest)."""
+    """LSH-bucketed ANN top-k.  The seeded hyperplanes are inlined as
+    literal arrays into the oracle SQL, so DuckDB reproduces bucketing,
+    candidate generation, and ranking exactly (bucket keys verified
+    bit-identical; recall vs brute force additionally pytest-asserted)."""
     from bookextract_spark.operators.similarity import lsh_ann_topk
 
     return lsh_ann_topk(_load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
 
 
+def _plane_sql(plane: list[float]) -> str:
+    return "[" + ",".join(repr(x) for x in plane) + "]"
+
+
+def _bucket_key_sql(planes: list[list[float]], vec: str = "vec") -> str:
+    """Sign-of-projection bit key over inlined hyperplane literals —
+    mirrors ``similarity.lsh_bucket_col`` (repr() round-trips doubles
+    exactly, and both engines sum the dot product sequentially)."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_plane_sql(p)}) > 0"
+        f" THEN {2 ** i}::BIGINT ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _sql_ann_lsh() -> str:
+    from bookextract_spark.operators.similarity import _hyperplanes
+
+    tables = [_hyperplanes(64, 8, seed=1000 + t * 7919) for t in range(4)]
+    buckets = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, ({_bucket_key_sql(planes)}) AS bucket FROM base"
+        for t, planes in enumerate(tables)
+    )
+    ids = ",".join(map(str, ANN_QUERY_IDS))
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+buck AS (
+{buckets}
+),
+q AS (SELECT vec_id AS query_id, tbl, bucket FROM buck WHERE vec_id IN ({ids})),
+cand AS (
+  SELECT DISTINCT c.vec_id AS neighbor_id, q.query_id
+  FROM buck c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    round(list_dot_product(qv.vec, cv.vec) /
+          (sqrt(list_dot_product(qv.vec, qv.vec)) * sqrt(list_dot_product(cv.vec, cv.vec))), 6)
+      AS cosine
+  FROM cand
+  JOIN base qv ON qv.vec_id = cand.query_id
+  JOIN base cv ON cv.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+# fixture has no high-cosine near-dups (max pairwise ~0.51), so the
+# registered threshold exercises blocking + verification on a
+# non-trivial pair set; the oracle reproduces the SAME LSH blocking
+# (inlined planes), so pairs the blocking misses are absent both sides
+NEAR_DUP_LSH_THRESHOLD = 0.35
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (rows-only driver check)."""
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact
+    verification, with an inlined-planes DuckDB oracle."""
     from bookextract_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_load(spark, sf_dir, "embeddings"), threshold=0.9)
+    return embedding_near_dup_pairs(
+        _load(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_LSH_THRESHOLD
+    )
+
+
+def _sql_embedding_near_dup() -> str:
+    from bookextract_spark.operators.similarity import _hyperplanes
+
+    tables = [_hyperplanes(64, 10, seed=5000 + t * 104729) for t in range(6)]
+    buckets = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, ({_bucket_key_sql(planes)}) AS bucket FROM base"
+        for t, planes in enumerate(tables)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+buck AS (
+{buckets}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM buck a JOIN buck b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT cand.a_id, cand.b_id,
+    round(list_dot_product(va.vec, vb.vec) /
+          (sqrt(list_dot_product(va.vec, va.vec)) * sqrt(list_dot_product(vb.vec, vb.vec))), 6)
+      AS cosine
+  FROM cand
+  JOIN base va ON va.vec_id = cand.a_id
+  JOIN base vb ON vb.vec_id = cand.b_id
+)
+SELECT a_id, b_id, cosine FROM scored WHERE cosine >= {NEAR_DUP_LSH_THRESHOLD}
+"""
 
 
 # the synthetic embeddings have no true near-dups (max pairwise cosine
@@ -1160,10 +1351,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_dedup": (q_minhash_dedup, None),
+    "minhash_dedup_md5": (q_minhash_dedup_md5, SQL_MINHASH_MD5),
     "simhash": (q_simhash, None),
+    "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "embedding_near_dup": (q_embedding_near_dup, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh()),
+    "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
     "embedding_near_dup_exact": (q_embedding_near_dup_exact, SQL_NEAR_DUP_EXACT),
     "image_metadata": (q_image_metadata, SQL_IMAGE_META),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
