@@ -54,9 +54,23 @@ def strip_boilerplate(
         F.size(edge_lines) > 0, F.array_distinct(F.array(first_key, last_key))
     ).otherwise(F.array().cast("array<string>"))
 
-    cand_df = df.select(F.col("conv_id"), F.explode(cands).alias("line_key"))
-    n_turns = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
-    freq = cand_df.groupBy("conv_id", "line_key").agg(F.count(F.lit(1)).alias("cnt"))
+    # one NULL marker element per row rides along with the candidate
+    # keys, so a single aggregation pass yields both the per-key
+    # frequencies and the per-conv turn count — no separate
+    # count-per-conv scan of the input
+    cand_df = df.select(
+        F.col("conv_id"),
+        F.explode(
+            F.concat(cands, F.array(F.lit(None).cast("string")))
+        ).alias("line_key"),
+    )
+    counts = cand_df.groupBy("conv_id", "line_key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_turns = counts.where(F.col("line_key").isNull()).select(
+        "conv_id", F.col("cnt").alias("n_turns")
+    )
+    freq = counts.where(F.col("line_key").isNotNull())
     boiler = (
         freq.join(n_turns, "conv_id")
         .where(

@@ -30,20 +30,22 @@ from bookextract_spark.operators.merge import extracted_text_col, merge_across_t
 def extract_turns(
     transcripts: DataFrame,
     with_density: bool = False,
-    persist_classified: bool = False,
+    persist_classified: bool = True,
     salt_bucket_size: int | None = None,
 ) -> DataFrame:
     """Flagship per-turn extraction: transcripts -> one row per turn with
     ``merged_blocks`` and ``extracted_text`` (the north-rule equality
     surface).
 
-    ``persist_classified`` materializes the classify stage
+    ``persist_classified`` (default on) materializes the classify stage
     (MEMORY_AND_DISK) before the merge window: the fragment aggregation
     is a second consumer of that subtree and Catalyst does not reuse
     the exchange (column pruning makes the two copies differ), so
-    without a boundary the scan + classify UDF run twice.  In
-    production this boundary is the intermediate Iceberg write the
-    north rule's checkpoint/lineage design wants anyway.
+    without a boundary the scan + classify UDF run twice (verified in
+    the physical plan: 6 parquet scans / 2 ArrowEvalPython without the
+    boundary vs 2 / 1 with it).  In production this boundary is the
+    intermediate Iceberg write the north rule's checkpoint/lineage
+    design wants anyway; pass ``False`` only for plan-inspection.
     """
     df = strip_boilerplate(transcripts)
     df = classify_turns(df, text_col="clean_text", with_density=with_density)
