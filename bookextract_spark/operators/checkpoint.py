@@ -122,6 +122,10 @@ def run_with_checkpoint(
             .withColumn("completed_at", F.current_timestamp())
         )
         metrics.write.mode("append").parquet(manifest_path(base_dir))
+        # extract_turns persists its classify stage per batch; drop the
+        # finished batch's cache so storage doesn't accumulate across a
+        # long run
+        spark.catalog.clearCache()
         done_batches += 1
         total_written += len(batch)
         if fail_after_batches is not None and done_batches >= fail_after_batches:
