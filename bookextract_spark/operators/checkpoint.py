@@ -69,6 +69,7 @@ def run_with_checkpoint(
     n_buckets: int = N_BUCKETS_DEFAULT,
     buckets_per_batch: int = 64,
     fail_after_batches: int | None = None,
+    salt_bucket_size: int | None = None,
 ) -> dict:
     """Extraction with bucket-granular checkpointing.
 
@@ -90,7 +91,7 @@ def run_with_checkpoint(
     for start in range(0, len(pending), buckets_per_batch):
         batch = pending[start : start + buckets_per_batch]
         subset = with_bucket.where(F.col("bucket").isin(batch))
-        observed = extract_turns(subset).observe(
+        observed = extract_turns(subset, salt_bucket_size=salt_bucket_size).observe(
             f"extract_{run_id}_{start}",
             F.count(F.lit(1)).alias("rows_out"),
             # observe() forbids DISTINCT aggregates — approx is allowed

@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
         args.output,
         n_buckets=args.n_buckets,
         buckets_per_batch=args.buckets_per_batch,
+        salt_bucket_size=args.salt_bucket_size,
     )
     print(json.dumps(result))
     spark.stop()
