@@ -67,18 +67,33 @@ def strip_boilerplate(
     counts = cand_df.groupBy("conv_id", "line_key").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    n_turns = counts.where(F.col("line_key").isNull()).select(
-        "conv_id", F.col("cnt").alias("n_turns")
+    # fold key counts and the marker count (= n_turns) per conv in one
+    # more (tiny) aggregation.  Splitting counts into freq/n_turns
+    # frames and self-joining them looks natural but makes Catalyst
+    # plan the explode+aggregate subtree TWICE — one full extra pass
+    # over the corpus (verified in the physical plan).
+    per_conv = counts.groupBy("conv_id").agg(
+        F.max(F.when(F.col("line_key").isNull(), F.col("cnt"))).alias("n_turns"),
+        F.collect_list(
+            F.when(
+                F.col("line_key").isNotNull(),
+                F.struct(F.col("line_key").alias("k"), F.col("cnt").alias("c")),
+            )
+        ).alias("_kcs"),
     )
-    freq = counts.where(F.col("line_key").isNotNull())
     boiler = (
-        freq.join(n_turns, "conv_id")
-        .where(
-            (F.col("n_turns") >= F.lit(min_turns))
-            & (F.col("cnt") >= F.lit(float(fraction)) * F.col("n_turns"))
+        per_conv.where(F.col("n_turns") >= F.lit(min_turns))
+        .select(
+            "conv_id",
+            F.transform(
+                F.filter(
+                    F.col("_kcs"),
+                    lambda kc: kc["c"] >= F.lit(float(fraction)) * F.col("n_turns"),
+                ),
+                lambda kc: kc["k"],
+            ).alias("_boiler_set"),
         )
-        .groupBy("conv_id")
-        .agg(F.collect_set("line_key").alias("_boiler_set"))
+        .where(F.size("_boiler_set") > 0)
     )
 
     out = df.join(boiler, "conv_id", "left")
