@@ -186,6 +186,7 @@ def merge_across_turns(
     blocks_col: str = "blocks",
     out_col: str = "merged_blocks",
     salt_bucket_size: int | None = None,
+    persist_staged: bool = False,
 ) -> DataFrame:
     """Add ``out_col``: per-turn kept blocks after the cross-turn merge.
 
@@ -195,6 +196,13 @@ def merge_across_turns(
     through with an empty array.  ``salt_bucket_size`` switches to the
     salted sub-window implementation (identical results, bounded
     per-task state — use when single conversations are huge).
+
+    ``persist_staged`` materializes the staged (post-window) frame:
+    the fragment aggregation and the receiver join are both consumers
+    of it, so without a boundary the upstream subtree — including the
+    window sort and everything above it — executes twice.  Persisting
+    *here* (rather than upstream of the window) is the cheapest
+    single boundary: upstream runs once AND the window runs once.
     """
     blocks = F.col(blocks_col)
 
@@ -208,6 +216,11 @@ def merge_across_turns(
     else:
         empty = None
         staged = _stage_plain(df, blocks)
+
+    if persist_staged:
+        from pyspark import StorageLevel
+
+        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
 
     # fragments grouped per receiving turn, in turn order, space-joined —
     # the reference's repeated `content + " " + fragment` (:338)

@@ -37,13 +37,18 @@ def extract_turns(
     ``merged_blocks`` and ``extracted_text`` (the north-rule equality
     surface).
 
-    ``persist_classified`` (default on) materializes the classify stage
-    (MEMORY_AND_DISK) before the merge window: the fragment aggregation
-    is a second consumer of that subtree and Catalyst does not reuse
-    the exchange (column pruning makes the two copies differ), so
-    without a boundary the scan + classify UDF run twice (verified in
-    the physical plan: 6 parquet scans / 2 ArrowEvalPython without the
-    boundary vs 2 / 1 with it).  In production this boundary is the
+    ``persist_classified`` (default on) places ONE materialization
+    boundary in the plan: the merge's fragment aggregation and its
+    receiver join are two consumers of the same subtree, and Catalyst
+    does not reuse the exchange (column pruning makes the two copies
+    differ), so without a boundary the scan + classify UDF + window
+    run twice (verified in the physical plan: 6 parquet scans /
+    2 ArrowEvalPython without the boundary vs 2 / 1 with it).  In the
+    plain-window mode the boundary lands on the merge's *staged*
+    frame (post-window — upstream AND the window sort then run once);
+    the salted skew mode keeps that boundary and adds one before the
+    merge as well, because its empty/non-empty split is an extra
+    consumer upstream of the window.  In production this boundary is the
     intermediate Iceberg write the north rule's checkpoint/lineage
     design wants anyway; pass ``False`` only for plan-inspection.
     """
@@ -54,12 +59,16 @@ def extract_turns(
     # and clean_text strings doubles the exchange bytes for nothing
     keep = ["conv_id", "turn_idx", "blocks"] + (["density"] if with_density else [])
     df = df.select(*keep)
-    if persist_classified:
+    if persist_classified and salt_bucket_size:
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df = merge_across_turns(
-        df, blocks_col="blocks", out_col="merged_blocks", salt_bucket_size=salt_bucket_size
+        df,
+        blocks_col="blocks",
+        out_col="merged_blocks",
+        salt_bucket_size=salt_bucket_size,
+        persist_staged=bool(persist_classified),
     )
     return df.withColumn("extracted_text", extracted_text_col(F.col("merged_blocks")))
 
