@@ -10,8 +10,9 @@ missing buckets.  This is the north rule's "resumable from checkpoint
 with per-partition lineage + metrics".
 
 Storage is plain partitioned parquet (an Iceberg table in production —
-the commit protocol below is append-only + idempotent re-writes, which
-maps 1:1 onto Iceberg snapshot appends).
+the commit protocol below is per-bucket dynamic partition overwrite +
+manifest append, which maps 1:1 onto Iceberg partition REPLACE +
+snapshot append).
 """
 
 from __future__ import annotations
@@ -69,6 +70,7 @@ def run_with_checkpoint(
     n_buckets: int = N_BUCKETS_DEFAULT,
     buckets_per_batch: int = 64,
     fail_after_batches: int | None = None,
+    fail_before_manifest: bool = False,
     salt_bucket_size: int | None = None,
 ) -> dict:
     """Extraction with bucket-granular checkpointing.
@@ -77,8 +79,19 @@ def run_with_checkpoint(
     -> write output partitioned by bucket -> append manifest rows with
     lineage metrics (rows in/out, turns, distinct convs).  A crash
     between batches loses at most one batch; the next run's anti-join
-    resumes exactly where it stopped.  ``fail_after_batches`` injects a
-    crash for the resume test.
+    resumes exactly where it stopped.
+
+    The turns write uses DYNAMIC PARTITION OVERWRITE, not append: a
+    crash in the window between the data write and the manifest append
+    leaves the bucket absent from the manifest, so the next run
+    re-processes it — with append that re-run would duplicate every
+    row of the batch; with per-bucket overwrite it replaces the
+    orphaned partitions and converges.  (On Iceberg the same protocol
+    is a REPLACE of the bucket partitions + manifest append.)
+
+    ``fail_after_batches`` / ``fail_before_manifest`` inject crashes
+    for the resume tests (after a full batch, and inside the
+    data-write/manifest window, respectively).
     """
     from bookextract_spark.pipeline import extract_turns
 
@@ -108,10 +121,18 @@ def run_with_checkpoint(
                 "turn_idx",
                 "extracted_text",
             )
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(out_path)
         )
+        if fail_before_manifest and done_batches == 0:
+            return {
+                "run_id": run_id,
+                "completed_buckets": 0,
+                "pending_before": len(pending),
+                "crashed": True,
+            }
         # lineage/metrics rows — one per completed bucket
         metrics = (
             subset.groupBy("bucket")

@@ -152,6 +152,34 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     assert manifest.agg(F.sum("rows_in")).collect()[0][0] == n_total
 
 
+def test_checkpoint_crash_between_write_and_manifest_no_dupes(spark, tmp_path):
+    """A crash AFTER the turns write but BEFORE the manifest append must
+    not duplicate the batch on resume (dynamic partition overwrite
+    replaces the orphaned bucket partitions)."""
+    from bookextract_spark.datagen import transcripts_df
+    from bookextract_spark.operators.checkpoint import run_with_checkpoint
+
+    base = str(tmp_path / "ckpt_mid")
+    t = transcripts_df(spark, n_convs=12, seed=11, skew=False)
+    n_total = t.count()
+
+    r1 = run_with_checkpoint(
+        spark, t, base, n_buckets=16, buckets_per_batch=4, fail_before_manifest=True
+    )
+    assert r1["crashed"]
+    # data written for the first batch, but its buckets are NOT in the
+    # manifest — an orphaned write
+    orphan = spark.read.parquet(f"{base}/turns").count()
+    assert orphan > 0
+
+    r2 = run_with_checkpoint(spark, t, base, n_buckets=16, buckets_per_batch=4)
+    assert not r2["crashed"]
+    # the orphaned batch was re-processed, not appended twice
+    out = spark.read.parquet(f"{base}/turns")
+    assert out.count() == n_total
+    assert out.select("conv_id", "turn_idx").distinct().count() == n_total
+
+
 def test_load_transcripts_parquet_and_pruning(spark, transcripts, tmp_path):
     from bookextract_spark.sources.transcripts import (
         EXTRACT_COLUMNS,
