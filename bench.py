@@ -42,15 +42,17 @@ def sf_factor(sf_dir: str) -> float:
 
 
 def transcripts_path(sf: float, n_convs: int | None = None) -> Path:
+    from bookextract_spark.datagen import DATAGEN_VERSION, write_transcripts_parquet
+
     CACHE.mkdir(exist_ok=True)
     # sized so the bench is compute-bound, not overhead-bound
     # (sf0.1 -> 4000 convs, ~130k turns incl. skew tails)
     if n_convs is None:
         n_convs = max(100, int(40000 * sf))
-    p = CACHE / f"transcripts_c{n_convs}_s42.parquet"
+    # version in the key: a datagen behavior change must never silently
+    # reuse stale cached bytes
+    p = CACHE / f"transcripts_c{n_convs}_s42_v{DATAGEN_VERSION}.parquet"
     if not p.exists():
-        from bookextract_spark.datagen import write_transcripts_parquet
-
         t0 = time.time()
         write_transcripts_parquet(str(p), n_convs=n_convs, seed=42, skew=True)
         print(f"# generated fixture {p.name} in {time.time() - t0:.1f}s", file=sys.stderr)
@@ -83,18 +85,17 @@ def run_extraction(
         "conv_id", "turn_idx", "extracted_text"
     )
     best = float("inf")
-    stable = 0
     for i in range(max_runs):
         t0 = time.time()
         _noop_write(out)
         dt = time.time() - t0
         spark.catalog.clearCache()
         best = min(best, dt)
-        # warm-up is non-monotone (deopt/recompile spikes) — require two
-        # consecutive runs near the best before trusting the number
-        stable = stable + 1 if dt <= best * 1.2 else 0
         print(f"# extraction run {i}: {dt:.1f}s (best {best:.1f}s)", file=sys.stderr)
-        if i >= 3 and stable >= 2:
+        # Warm-up spikes are non-monotone, so short runs complete the
+        # full schedule (cheap).  Long runs (big fixture) warm the JIT
+        # within a single execution — stop once a repeat confirms it.
+        if dt > 60 and i >= 1 and dt <= best * 1.2:
             break
     return best, n
 

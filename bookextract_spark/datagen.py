@@ -28,6 +28,10 @@ ROLES = ("user", "assistant", "tool")
 
 WRAP_WIDTH = 60
 
+# bump whenever generated payloads change, so consumers that cache
+# fixtures on disk (bench.py) never silently reuse stale bytes
+DATAGEN_VERSION = 2
+
 
 def _sentence(rng: random.Random, split_tail: bool = False) -> str:
     n = rng.randint(5, 14)
@@ -130,6 +134,10 @@ def gen_conversation_texts(conv_seed: int, n_turns: int) -> list[str]:
                 pending_split = split_tail
         if rng.random() < 0.2:
             body_parts.append("Short Heading Line")
+        if rng.random() < 0.07 and not pending_split:
+            # scene-break divider -> page_division block (null content);
+            # never after a split tail, so the planted merge cases survive
+            body_parts.append(rng.choice(["* * *", "***", "---", "— — —", "# # #"]))
         body = "\n\n".join(body_parts)
         if has_boiler and rng.random() < 0.9:
             body = f"{header}\n\n{body}\n\n{footer}\n{t + 1}"

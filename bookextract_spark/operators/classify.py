@@ -33,6 +33,10 @@ HTML_SNIFF_PATTERN = r"(?is)<\s*(?:html|body|div|p|h[1-6]|blockquote|img)\b"
 # mirrors reference_semantics._CHAPTER_BLOCK_RE
 _CHAPTER_BLOCK_PATTERN = r"^(?:chapter|part)\s*(\d+|[ivxlcdm]+)\b"
 
+# mirrors reference_semantics._DIVIDER_RE / DIVIDER_MAX_CHARS
+_DIVIDER_PATTERN = r"^(?:[*\-•–—=~_#]\s*){3,}$"
+_DIVIDER_MAX_CHARS = 30
+
 
 def is_html_col(col: Column) -> Column:
     return col.isNotNull() & col.rlike(HTML_SNIFF_PATTERN)
@@ -52,7 +56,8 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
     """Native implementation of
     :func:`reference_semantics.classify_ocr_text` over reflowed text.
 
-    Rules per ``\\n\\n`` piece (first match wins): chapter_header
+    Rules per ``\\n\\n`` piece (first match wins): page_division
+    (scene-break divider glyphs, null content), chapter_header
     (reference regex book_intermediate.py:471-473 anchored at block
     start), block_indent (tab / 4-space / '>' marker), header (short,
     <= 8 words, uppercase start, no sentence-terminal), else paragraph.
@@ -75,6 +80,9 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
         lowered = F.lower(stripped)
         chap_num = F.regexp_extract(lowered, _CHAPTER_BLOCK_PATTERN, 1)
         words = F.size(F.split(stripped, r"\s+"))
+        is_divider = (F.length(stripped) <= _DIVIDER_MAX_CHARS) & stripped.rlike(
+            _DIVIDER_PATTERN
+        )
         is_header = (
             (F.length(stripped) <= 60)
             & (words <= 8)
@@ -82,13 +90,15 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
             & ~F.substring(stripped, -1, 1).isin(".", "!", "?")
         )
         btype = (
-            F.when(lowered.rlike(_CHAPTER_BLOCK_PATTERN), F.lit("chapter_header"))
+            F.when(is_divider, F.lit("page_division"))
+            .when(lowered.rlike(_CHAPTER_BLOCK_PATTERN), F.lit("chapter_header"))
             .when(piece.rlike(r"^(?:\t|    |>)"), F.lit("block_indent"))
             .when(is_header, F.lit("header"))
             .otherwise(F.lit("paragraph"))
         )
         content = (
-            F.when(btype == "chapter_header", chap_num)
+            F.when(btype == "page_division", F.lit(None).cast("string"))
+            .when(btype == "chapter_header", chap_num)
             .when(btype == "block_indent", F.regexp_replace(stripped, r"^[>\s]+", ""))
             .otherwise(stripped)
         )

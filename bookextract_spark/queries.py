@@ -37,7 +37,8 @@ N_CONVS = 40
 
 # Derived transcripts: deterministic, identical in both dialects.
 # base text: trimmed, never empty; newlines synthesized by word replace;
-# even doc_ids start uppercase; doc_id%3==0 ends with '.'.
+# even doc_ids start uppercase; doc_id%3==0 ends with '.'; doc_id%7==0
+# opens with a '* * *' scene-break divider (page_division coverage).
 _SQL_TRANSCRIPTS_CTE = f"""
 t_base AS (
   SELECT doc_id,
@@ -51,11 +52,16 @@ t_case AS (
               ELSE b END AS b
   FROM t_base
 ),
+t_dot AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN b || '.' ELSE b END AS b
+  FROM t_case
+),
 transcripts_v AS (
   SELECT 'c' || CAST(doc_id % {N_CONVS} AS VARCHAR) AS conv_id,
          CAST(floor(doc_id / {N_CONVS}) AS INT) AS turn_idx,
-         CASE WHEN doc_id % 3 = 0 THEN b || '.' ELSE b END AS content
-  FROM t_case
+         CASE WHEN doc_id % 7 = 0 THEN '* * *' || chr(10) || chr(10) || b ELSE b END AS content
+  FROM t_dot
 )
 """
 
@@ -68,6 +74,11 @@ def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.upper(F.substr(b, F.lit(1), F.lit(1))), F.substr(b, F.lit(2))),
     ).otherwise(b)
     content = F.when(F.col("doc_id") % 3 == 0, F.concat(b, F.lit("."))).otherwise(b)
+    # every 7th doc opens with a scene-break divider so the parity gate
+    # exercises the page_division classifier branch
+    content = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit("* * *\n\n"), content)
+    ).otherwise(content)
     return d.select(
         F.concat(F.lit("c"), (F.col("doc_id") % N_CONVS).cast("string")).alias("conv_id"),
         F.floor(F.col("doc_id") / N_CONVS).cast("int").alias("turn_idx"),
@@ -1214,8 +1225,9 @@ def q_pipeline_extract(spark, sf_dir):
 # T14 strip_boilerplate -> T13 repair_hyphenation -> T1 reflow ->
 # C4 rule classifier -> O8 merge_across_turns -> extracted_text join.
 # The classifier note: only chapter_header / block_indent REWRITE the
-# block content (header and paragraph both emit the stripped piece), so
-# a contents-only list is sufficient for the merge + extract stages.
+# block content (header and paragraph both emit the stripped piece, and
+# page_division emits NULL), so a contents-only list is sufficient for
+# the merge + extract stages.
 SQL_PIPELINE = f"""
 WITH {_SQL_TRANSCRIPTS_CTE},
 lines AS (
@@ -1270,6 +1282,10 @@ pieces AS (
 blocks AS (
   SELECT conv_id, turn_idx,
     list_transform(ps, p -> CASE
+      WHEN length(regexp_replace(p, '^\\s+|\\s+$', '', 'g')) <= 30
+       AND regexp_matches(regexp_replace(p, '^\\s+|\\s+$', '', 'g'),
+                          '^(?:[*\\-•–—=~_#]\\s*){{3,}}$')
+        THEN NULL
       WHEN regexp_matches(lower(regexp_replace(p, '^\\s+|\\s+$', '', 'g')),
                           '^(?:chapter|part)\\s*([0-9]+|[ivxlcdm]+)\\b')
         THEN regexp_extract(lower(regexp_replace(p, '^\\s+|\\s+$', '', 'g')),

@@ -217,6 +217,10 @@ _HTML_SNIFF_RE = re.compile(r"<\s*(?:html|body|div|p|h[1-6]|blockquote|img)\b", 
 _CHAPTER_BLOCK_RE = re.compile(r"^(?:chapter|part)\s*(\d+|[ivxlcdm]+)\b")
 HEADER_MAX_CHARS = 60
 HEADER_MAX_WORDS = 8
+# scene-break divider: 3+ divider glyphs, optionally space-separated,
+# and nothing else (checked on the stripped piece)
+_DIVIDER_RE = re.compile(r"^(?:[*\-•–—=~_#]\s*){3,}$")
+DIVIDER_MAX_CHARS = 30
 
 
 def is_html_payload(text: str) -> bool:
@@ -233,14 +237,25 @@ def classify_ocr_text(text: str, source: str) -> list[dict]:
     text; blocks are the ``\\n\\n``-separated pieces.  Per stripped
     block, first matching rule wins:
 
-    1. ``^(chapter|part)\\s*(\\d+|roman)\\b`` on the lowercased block ->
+    1. scene-break divider (3+ repetitions of ``* - • – — = ~ _ #``
+       optionally space-separated, <= 30 chars, nothing else) ->
+       ``page_division`` with content ``None`` — the ``page_division``
+       type of the prompt vocabulary (``ocr_processor.py:419``) that
+       the LLM emitted for typographic breaks; the editor inserts it
+       contentless the same way (``edit_gui.py`` /
+       ``book_intermediate.py:272-274``).  Checked on the STRIPPED
+       piece, so a centered (indented) divider is still a divider.
+       Null content means a divider never participates in a cross-turn
+       merge (null never merges) and contributes nothing to extracted
+       text, while still driving the O9/O11 sub-chapter splits.
+    2. ``^(chapter|part)\\s*(\\d+|roman)\\b`` on the lowercased block ->
        ``chapter_header`` with content = the captured number (mirrors
        ``book_intermediate.py:471-473``).
-    2. raw piece starts with a tab, 4 spaces, or ``>`` -> ``block_indent``
+    3. raw piece starts with a tab, 4 spaces, or ``>`` -> ``block_indent``
        (leading ``>``/whitespace markers removed from content).
-    3. <= 60 chars, <= 8 whitespace words, first char uppercase
+    4. <= 60 chars, <= 8 whitespace words, first char uppercase
        (``str.isupper()``), last char not in ``.!?`` -> ``header``.
-    4. otherwise -> ``paragraph``.
+    5. otherwise -> ``paragraph``.
 
     Every block carries ``source`` lineage, mirroring
     ``ocr_processor.py:481-483``.
@@ -249,6 +264,9 @@ def classify_ocr_text(text: str, source: str) -> list[dict]:
     for piece in (text or "").split("\n\n"):
         stripped = piece.strip()
         if not stripped:
+            continue
+        if len(stripped) <= DIVIDER_MAX_CHARS and _DIVIDER_RE.match(stripped):
+            blocks.append({"type": "page_division", "source": source})
             continue
         m = _CHAPTER_BLOCK_RE.match(stripped.lower())
         if m:

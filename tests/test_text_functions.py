@@ -191,3 +191,59 @@ def test_randomized_cross_check(spark, colfn, pyfn):
     got = run_col(spark, colfn, inputs)
     for inp, g in zip(inputs, got):
         assert g == pyfn(inp), f"{colfn.__name__}({inp!r}): {g!r} != {pyfn(inp)!r}"
+
+
+DIVIDER_CASES = [
+    # (piece, expected type, expected content)
+    ("* * *", "page_division", None),
+    ("***", "page_division", None),
+    ("---", "page_division", None),
+    ("— — —", "page_division", None),
+    ("# # #", "page_division", None),
+    ("    * * *", "page_division", None),  # centered/indented divider still wins
+    ("_ _ _ _ _", "page_division", None),
+    ("**", "paragraph", "**"),  # too few repetitions
+    ("- -", "paragraph", "- -"),
+    ("*** note", "paragraph", "*** note"),  # trailing text disqualifies
+    ("a---b", "paragraph", "a---b"),
+    ("=" * 31, "paragraph", "=" * 31),  # over the length cap
+]
+
+
+def test_divider_rule_spec():
+    for piece, btype, content in DIVIDER_CASES:
+        blocks = ref.classify_ocr_text(piece, "s")
+        assert len(blocks) == 1, piece
+        assert blocks[0]["type"] == btype, (piece, blocks[0])
+        assert blocks[0].get("content") == content, (piece, blocks[0])
+
+
+def test_divider_rule_native_matches_spec(spark):
+    from bookextract_spark.operators.classify import classify_ocr_blocks_col
+
+    df = spark.createDataFrame([(v,) for v, _, _ in DIVIDER_CASES], SCHEMA)
+    rows = df.select(
+        F.col("x"),
+        classify_ocr_blocks_col(F.col("x"), F.lit("s")).alias("b"),
+    ).collect()
+    by_input = {r.x: r.b for r in rows}
+    for piece, btype, content in DIVIDER_CASES:
+        b = by_input[piece]
+        assert len(b) == 1, piece
+        assert b[0]["type"] == btype, (piece, b)
+        assert b[0]["content"] == content, (piece, b)
+
+
+def test_divider_blocks_cross_turn_merge():
+    """A divider-tailed turn must block the next turn's merge (null
+    content never merges) in the spec fold."""
+    res = ref.extract_conversation(
+        ["An unfinished sentence without", "* * *\n\ncontinuation lowercase start."],
+        conv_id="c",
+    )
+    # turn 0 ends mid-sentence but turn 1 STARTS with a divider, so the
+    # divider is turn 1's first block: first_content None -> no merge
+    assert res["turn_texts"][0] == "An unfinished sentence without"
+    assert res["turn_texts"][1] == "continuation lowercase start."
+    types1 = [b["type"] for b in res["turn_blocks"][1]]
+    assert types1 == ["page_division", "paragraph"]
