@@ -101,14 +101,19 @@ def run_with_checkpoint(
     done_batches = 0
     total_written = 0
     with_bucket = transcripts.withColumn("bucket", bucket_col(F.col("conv_id"), n_buckets))
+    from pyspark.sql import Observation
+
     for start in range(0, len(pending), buckets_per_batch):
         batch = pending[start : start + buckets_per_batch]
         subset = with_bucket.where(F.col("bucket").isin(batch))
+        # Observation captures output-side metrics from the SAME job
+        # that writes the data (no extra pass over the output)
+        obs = Observation(f"extract_{run_id}_{start}")
         observed = extract_turns(subset, salt_bucket_size=salt_bucket_size).observe(
-            f"extract_{run_id}_{start}",
+            obs,
             F.count(F.lit(1)).alias("rows_out"),
             # observe() forbids DISTINCT aggregates — approx is allowed
-            F.approx_count_distinct(F.col("conv_id")).alias("n_convs"),
+            F.approx_count_distinct(F.col("conv_id")).alias("n_convs_out"),
             F.sum(F.length(F.col("extracted_text"))).alias("bytes_out"),
         )
         (
@@ -133,7 +138,10 @@ def run_with_checkpoint(
                 "pending_before": len(pending),
                 "crashed": True,
             }
-        # lineage/metrics rows — one per completed bucket
+        # lineage/metrics rows — one per completed bucket, carrying both
+        # input-side counts and the observed output-side metrics of the
+        # write job above
+        got = obs.get
         metrics = (
             subset.groupBy("bucket")
             .agg(
@@ -142,6 +150,8 @@ def run_with_checkpoint(
             )
             .withColumn("run_id", F.lit(run_id))
             .withColumn("completed_at", F.current_timestamp())
+            .withColumn("batch_rows_out", F.lit(got.get("rows_out")).cast("long"))
+            .withColumn("batch_bytes_out", F.lit(got.get("bytes_out")).cast("long"))
         )
         metrics.write.mode("append").parquet(manifest_path(base_dir))
         # extract_turns persists its classify stage per batch; drop the

@@ -47,26 +47,44 @@ def validate_required_sections(block_rows: DataFrame) -> DataFrame:
 def insert_stub_sections(block_rows: DataFrame) -> DataFrame:
     """Union stub block rows (negative block_idx so they sort first,
     mirroring the reference's prepend-at-beginning) for each
-    conversation's missing required sections."""
+    conversation's missing required sections.
+
+    All three stub kinds come from ONE array projection + explode over
+    the validation aggregate — a per-kind filter would make Catalyst
+    recompute the aggregation (and its scan of block_rows) three times.
+    """
     report = validate_required_sections(block_rows)
-    stubs = None
-    for i, (stype, content, image) in enumerate(STUBS):
-        flag = f"has_{stype}"
-        s = report.where(~F.col(flag)).select(
-            "conv_id",
-            F.lit(-1).cast("int").alias("turn_idx"),
-            F.lit(i - len(STUBS)).cast("int").alias("block_idx"),
-            F.lit(stype).alias("type"),
-            F.lit(content).cast("string").alias("content"),
-            (
-                F.concat(F.col("conv_id"), F.lit(".png"))
-                if image
-                else F.lit(None).cast("string")
-            ).alias("image"),
-            F.lit(None).cast("string").alias("caption"),
-            F.lit("stub").alias("source"),
+
+    def stub_struct(i: int, stype: str, content: str | None, image: str | None):
+        return F.when(
+            ~F.col(f"has_{stype}"),
+            F.struct(
+                F.lit(i - len(STUBS)).cast("int").alias("block_idx"),
+                F.lit(stype).alias("type"),
+                F.lit(content).cast("string").alias("content"),
+                (
+                    F.concat(F.col("conv_id"), F.lit(".png"))
+                    if image
+                    else F.lit(None).cast("string")
+                ).alias("image"),
+            ),
         )
-        stubs = s if stubs is None else stubs.unionByName(s)
+
+    wanted = F.array_compact(
+        F.array(*[stub_struct(i, s, c, img) for i, (s, c, img) in enumerate(STUBS)])
+    )
+    stubs = report.select(
+        "conv_id", F.explode(wanted).alias("_s")
+    ).select(
+        "conv_id",
+        F.lit(-1).cast("int").alias("turn_idx"),
+        F.col("_s.block_idx").alias("block_idx"),
+        F.col("_s.type").alias("type"),
+        F.col("_s.content").alias("content"),
+        F.col("_s.image").alias("image"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit("stub").alias("source"),
+    )
     cols = ["conv_id", "turn_idx", "block_idx", "type", "content", "image", "caption", "source"]
     return block_rows.select(*cols).unionByName(stubs.select(*cols))
 

@@ -150,6 +150,9 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     # lineage rows cover all processed buckets with row counts
     manifest = spark.read.parquet(f"{base}/_manifest")
     assert manifest.agg(F.sum("rows_in")).collect()[0][0] == n_total
+    # observed output-side metrics captured from the write job
+    assert manifest.where(F.col("batch_rows_out") > 0).count() > 0
+    assert manifest.where(F.col("batch_bytes_out") > 0).count() > 0
 
 
 def test_checkpoint_crash_between_write_and_manifest_no_dupes(spark, tmp_path):
