@@ -30,7 +30,7 @@ WRAP_WIDTH = 60
 
 # bump whenever generated payloads change, so consumers that cache
 # fixtures on disk (bench.py) never silently reuse stale bytes
-DATAGEN_VERSION = 2
+DATAGEN_VERSION = 3
 
 
 def _sentence(rng: random.Random, split_tail: bool = False) -> str:
@@ -140,7 +140,18 @@ def gen_conversation_texts(conv_seed: int, n_turns: int) -> list[str]:
             body_parts.append(rng.choice(["* * *", "***", "---", "— — —", "# # #"]))
         body = "\n\n".join(body_parts)
         if has_boiler and rng.random() < 0.9:
-            body = f"{header}\n\n{body}\n\n{footer}\n{t + 1}"
+            if len(body_parts) >= 2 and rng.random() < 0.25:
+                # PDF-layout turn: two \f-separated pages, each carrying
+                # the conversation's header/footer and a page number
+                cut = rng.randint(1, len(body_parts) - 1)
+                pg1 = "\n\n".join(body_parts[:cut])
+                pg2 = "\n\n".join(body_parts[cut:])
+                body = (
+                    f"{header}\n\n{pg1}\n\n{footer}\n{2 * t + 1}"
+                    f"\f{header}\n\n{pg2}\n\n{footer}\n{2 * t + 2}"
+                )
+            else:
+                body = f"{header}\n\n{body}\n\n{footer}\n{t + 1}"
         texts.append(body)
     return texts
 

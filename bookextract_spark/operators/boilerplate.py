@@ -6,10 +6,11 @@ Spec: :func:`bookextract_spark.reference_semantics.boilerplate_keys` /
 :func:`~bookextract_spark.reference_semantics.strip_boilerplate_text`.
 
 Scale design (100 TB): the frequency map needs only the FIRST and LAST
-candidate lines of each turn, so we never explode the corpus into line
-rows.  Per row we derive <= 2 candidate keys natively (split + filter +
-try_element_at), aggregate those tiny keys, and join the per-conv
-boilerplate *set* back to the turns.  The full text therefore crosses
+candidate lines of each ``\\f``-separated page (PDF-layout payloads; a
+turn without ``\\f`` is one page), so we never explode the corpus into
+line rows.  Per row we derive 2-per-page candidate keys natively
+(split + filter + try_element_at), aggregate those tiny keys, and join
+the per-conv boilerplate *set* back to the turns.  The full text therefore crosses
 the wire once (the conv-keyed join), and the line filtering runs
 map-side inside whole-stage codegen.  AQE broadcasts the boilerplate
 side when it is small and splits skewed conv joins otherwise.
@@ -39,20 +40,32 @@ def strip_boilerplate(
     Requires columns ``conv_id`` and ``text_col``.  Null text stays null.
     """
     text = F.col(text_col)
-    lines = F.split(text, "\n", -1)
+    # PDF-layout payloads separate pages with form feed; a turn without
+    # \f is a single page, which round-trips exactly as before.  Null
+    # text is coalesced so the turn still emits its marker row (the
+    # per-conv turn count must include null turns, as the spec does).
+    pages = F.split(F.coalesce(text, F.lit("")), "\f", -1)
 
-    # candidate edge lines: first/last non-empty, non-page-number line.
-    # Per-line work is two cheap rlikes ("has non-whitespace" — which is
-    # exactly normalize(ln) != '' — and the page-number predicate); the
-    # normalize regex chain runs only on the <= 2 winning lines per turn
-    edge_lines = F.filter(
-        lines, lambda ln: ln.rlike(r"\S") & ~is_page_number_col(ln)
+    # candidate edge lines PER PAGE: first/last non-empty,
+    # non-page-number line of every page.  Per-line work is two cheap
+    # rlikes ("has non-whitespace" — which is exactly
+    # normalize(ln) != '' — and the page-number predicate); the
+    # normalize regex chain runs only on the <= 2 winners per page
+    def page_edges(pg):
+        edge_lines = F.filter(
+            F.split(pg, "\n", -1), lambda ln: ln.rlike(r"\S") & ~is_page_number_col(ln)
+        )
+        return F.when(
+            F.size(edge_lines) > 0,
+            F.array(
+                normalize_line_col(F.try_element_at(edge_lines, F.lit(1))),
+                normalize_line_col(F.try_element_at(edge_lines, F.lit(-1))),
+            ),
+        )
+
+    cands = F.array_distinct(
+        F.flatten(F.array_compact(F.transform(pages, page_edges)))
     )
-    first_key = normalize_line_col(F.try_element_at(edge_lines, F.lit(1)))
-    last_key = normalize_line_col(F.try_element_at(edge_lines, F.lit(-1)))
-    cands = F.when(
-        F.size(edge_lines) > 0, F.array_distinct(F.array(first_key, last_key))
-    ).otherwise(F.array().cast("array<string>"))
 
     # one NULL marker element per row rides along with the candidate
     # keys, so a single aggregation pass yields both the per-key
@@ -98,22 +111,38 @@ def strip_boilerplate(
 
     out = df.join(boiler, "conv_id", "left")
     boiler_set = F.col("_boiler_set")
-    # branch per row: most conversations have NO boilerplate set (null
-    # after the left join), and that branch never pays the per-line
-    # normalize chain — only the page-number rlike
-    kept_simple = F.filter(lines, lambda ln: ~is_page_number_col(ln))
-    kept_full = F.filter(
-        lines,
-        lambda ln: ~is_page_number_col(ln)
-        & ~F.array_contains(boiler_set, normalize_line_col(ln)),
+
+    # strip page by page (spec: strip_boilerplate_text), then re-join the
+    # non-empty pages with "\n\n\f\n\n" so each page boundary becomes a
+    # lone-\f piece -> page_division block downstream.  Branch per row:
+    # most conversations have NO boilerplate set (null after the left
+    # join), and that branch never pays the per-line normalize chain —
+    # only the page-number rlike.
+    def strip_page(keep_pred):
+        def inner(pg):
+            kept = F.filter(F.split(pg, "\n", -1), keep_pred)
+            joined = F.array_join(kept, "\n")
+            tidied = F.regexp_replace(joined, r"\n{3,}", "\n\n")
+            return F.regexp_replace(tidied, r"^\n+|\n+$", "")
+
+        return inner
+
+    simple_pages = F.transform(
+        pages, strip_page(lambda ln: ~is_page_number_col(ln))
     )
-    joined = F.array_join(
-        F.when(boiler_set.isNull(), kept_simple).otherwise(kept_full), "\n"
+    full_pages = F.transform(
+        pages,
+        strip_page(
+            lambda ln: ~is_page_number_col(ln)
+            & ~F.array_contains(boiler_set, normalize_line_col(ln))
+        ),
     )
-    # post-drop tidy (spec: strip_boilerplate_text): collapse 3+ newlines,
-    # trim leading/trailing newline runs
-    tidied = F.regexp_replace(joined, r"\n{3,}", "\n\n")
-    tidied = F.regexp_replace(tidied, r"^\n+|\n+$", "")
+    rejoin = lambda ps: F.array_join(  # noqa: E731
+        F.filter(ps, lambda p: p != ""), "\n\n\f\n\n"
+    )
+    stripped = F.when(boiler_set.isNull(), rejoin(simple_pages)).otherwise(
+        rejoin(full_pages)
+    )
     return out.withColumn(
-        out_col, F.when(text.isNull(), F.lit(None).cast("string")).otherwise(tidied)
+        out_col, F.when(text.isNull(), F.lit(None).cast("string")).otherwise(stripped)
     ).drop("_boiler_set")

@@ -72,8 +72,9 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
         lambda p: F.struct(p.alias("raw"), strip_col(p).alias("s")),
     )
     # the oracle drops empty PIECES before classifying (a block whose
-    # content becomes '' after marker removal is still kept)
-    nonempty = F.filter(staged, lambda t: t["s"] != "")
+    # content becomes '' after marker removal is still kept); a lone \f
+    # page boundary strips to '' but must survive -> page_division
+    nonempty = F.filter(staged, lambda t: (t["s"] != "") | (t["raw"] == "\f"))
 
     def classify(t: Column):
         piece, stripped = t["raw"], t["s"]
@@ -90,7 +91,8 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
             & ~F.substring(stripped, -1, 1).isin(".", "!", "?")
         )
         btype = (
-            F.when(is_divider, F.lit("page_division"))
+            F.when(piece == "\f", F.lit("page_division"))
+            .when(is_divider, F.lit("page_division"))
             .when(lowered.rlike(_CHAPTER_BLOCK_PATTERN), F.lit("chapter_header"))
             .when(piece.rlike(r"^(?:\t|    |>)"), F.lit("block_indent"))
             .when(is_header, F.lit("header"))

@@ -483,6 +483,17 @@ def q_t14_boilerplate(spark, sf_dir):
         F.lit("\npress footer line\n"),
         (F.col("turn_idx") + 1).cast("string"),
     )
+    # every 4th turn is a two-page PDF-layout payload: a \f-separated
+    # second page carrying the same header/footer (page-aware T14 path)
+    page2 = F.concat(
+        F.lit("\fBOOK HEADER "),
+        F.col("conv_id"),
+        F.lit("\nSecond page body text\npress footer line\n"),
+        (F.col("turn_idx") + 100).cast("string"),
+    )
+    text = F.concat(
+        text, F.when(F.col("turn_idx") % 4 == 0, page2).otherwise(F.lit(""))
+    )
     df = t.select("conv_id", "turn_idx", text.alias("text"))
     return strip_boilerplate(df).select("conv_id", "turn_idx", "clean_text")
 
@@ -491,29 +502,34 @@ _SQL_NORM_LINE = (
     "lower(regexp_replace(regexp_replace({x}, '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'))"
 )
 
-SQL_T14 = f"""
-WITH {_SQL_TRANSCRIPTS_CTE},
-t AS (
+
+def _sql_boiler_ctes(src: str) -> str:
+    """Shared page-aware T14 CTE chain (DuckDB): ``src`` must expose
+    (conv_id, turn_idx, text).  Ends with ``kept`` producing
+    ``clean_text`` — the twin of ``operators.boilerplate``: pages split
+    on \\f, per-page edge-line candidates, 0.6/5 frequency threshold,
+    per-page strip+tidy, non-empty pages re-joined with
+    ``\\n\\n\\f\\n\\n``."""
+    norm = lambda x: _SQL_NORM_LINE.format(x=x)  # noqa: E731
+    pageno = lambda x: f"regexp_matches({x}, '^\\s*[0-9]{{1,4}}\\s*$')"  # noqa: E731
+    return f"""
+pages AS (SELECT conv_id, turn_idx, string_split(text, chr(12)) AS pgs FROM {src}),
+pedges AS (
   SELECT conv_id, turn_idx,
-    'BOOK HEADER ' || conv_id || chr(10) || content || chr(10) ||
-    'press footer line' || chr(10) || CAST(turn_idx + 1 AS VARCHAR) AS text
-  FROM transcripts_v
-),
-lines AS (SELECT conv_id, turn_idx, string_split(text, chr(10)) AS ls FROM t),
-edges AS (
-  SELECT conv_id, turn_idx,
-    list_filter(ls, x -> {_SQL_NORM_LINE.format(x="x")} <> ''
-                     AND NOT regexp_matches(x, '^\\s*[0-9]{{1,4}}\\s*$')) AS nls
-  FROM lines
+    list_transform(pgs, pg -> list_filter(string_split(pg, chr(10)),
+        x -> {norm("x")} <> '' AND NOT {pageno("x")})) AS nlss
+  FROM pages
 ),
 cand AS (
   SELECT DISTINCT conv_id, turn_idx, unnest(
-    list_distinct([{_SQL_NORM_LINE.format(x="nls[1]")},
-                   {_SQL_NORM_LINE.format(x="nls[-1]")}])) AS k
-  FROM edges WHERE len(nls) > 0
+    list_distinct(flatten(list_transform(nlss, nls ->
+      CASE WHEN len(nls) > 0
+           THEN [{norm("nls[1]")}, {norm("nls[-1]")}]
+           ELSE CAST([] AS VARCHAR[]) END)))) AS k
+  FROM pedges
 ),
 freq AS (SELECT conv_id, k, count(*) AS c FROM cand GROUP BY conv_id, k),
-nt AS (SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id),
+nt AS (SELECT conv_id, count(*) AS n FROM {src} GROUP BY conv_id),
 boiler AS (
   SELECT f.conv_id, list(f.k) AS bl
   FROM freq f JOIN nt ON f.conv_id = nt.conv_id
@@ -521,17 +537,39 @@ boiler AS (
   GROUP BY f.conv_id
 ),
 kept AS (
-  SELECT l.conv_id, l.turn_idx,
+  SELECT p.conv_id, p.turn_idx,
     array_to_string(
-      list_filter(l.ls, x -> NOT regexp_matches(x, '^\\s*[0-9]{{1,4}}\\s*$')
-        AND (b.bl IS NULL OR NOT list_contains(b.bl, {_SQL_NORM_LINE.format(x="x")}))),
-      chr(10)) AS joined
-  FROM lines l LEFT JOIN boiler b ON l.conv_id = b.conv_id
-)
-SELECT conv_id, turn_idx,
-  regexp_replace(regexp_replace(joined, '\\n{{3,}}', chr(10)||chr(10), 'g'),
-                 '^\\n+|\\n+$', '', 'g') AS clean_text
-FROM kept
+      list_filter(
+        list_transform(p.pgs, pg ->
+          regexp_replace(regexp_replace(
+            array_to_string(
+              list_filter(string_split(pg, chr(10)),
+                x -> NOT {pageno("x")}
+                 AND (b.bl IS NULL OR NOT list_contains(b.bl, {norm("x")}))),
+              chr(10)),
+            '\\n{{3,}}', chr(10)||chr(10), 'g'),
+            '^\\n+|\\n+$', '', 'g')),
+        x -> x <> ''),
+      chr(10)||chr(10)||chr(12)||chr(10)||chr(10)) AS clean_text
+  FROM pages p LEFT JOIN boiler b ON p.conv_id = b.conv_id
+)"""
+
+
+SQL_T14 = f"""
+WITH {_SQL_TRANSCRIPTS_CTE},
+t AS (
+  SELECT conv_id, turn_idx,
+    'BOOK HEADER ' || conv_id || chr(10) || content || chr(10) ||
+    'press footer line' || chr(10) || CAST(turn_idx + 1 AS VARCHAR) ||
+    CASE WHEN turn_idx % 4 = 0
+         THEN chr(12) || 'BOOK HEADER ' || conv_id || chr(10) ||
+              'Second page body text' || chr(10) || 'press footer line' ||
+              chr(10) || CAST(turn_idx + 100 AS VARCHAR)
+         ELSE '' END AS text
+  FROM transcripts_v
+),
+{_sql_boiler_ctes("t")}
+SELECT conv_id, turn_idx, clean_text FROM kept
 """
 
 
@@ -1230,42 +1268,9 @@ def q_pipeline_extract(spark, sf_dir):
 # the merge + extract stages.
 SQL_PIPELINE = f"""
 WITH {_SQL_TRANSCRIPTS_CTE},
-lines AS (
-  SELECT conv_id, turn_idx, string_split(content, chr(10)) AS ls FROM transcripts_v
-),
-edges AS (
-  SELECT conv_id, turn_idx,
-    list_filter(ls, x -> {_SQL_NORM_LINE.format(x="x")} <> ''
-                     AND NOT regexp_matches(x, '^\\s*[0-9]{{1,4}}\\s*$')) AS nls
-  FROM lines
-),
-cand AS (
-  SELECT DISTINCT conv_id, turn_idx, unnest(
-    list_distinct([{_SQL_NORM_LINE.format(x="nls[1]")},
-                   {_SQL_NORM_LINE.format(x="nls[-1]")}])) AS k
-  FROM edges WHERE len(nls) > 0
-),
-freq AS (SELECT conv_id, k, count(*) AS c FROM cand GROUP BY conv_id, k),
-nt AS (SELECT conv_id, count(*) AS n FROM transcripts_v GROUP BY conv_id),
-boiler AS (
-  SELECT f.conv_id, list(f.k) AS bl
-  FROM freq f JOIN nt ON f.conv_id = nt.conv_id
-  WHERE nt.n >= 5 AND f.c >= 0.6 * nt.n GROUP BY f.conv_id
-),
-kept_lines AS (
-  SELECT l.conv_id, l.turn_idx,
-    array_to_string(
-      list_filter(l.ls, x -> NOT regexp_matches(x, '^\\s*[0-9]{{1,4}}\\s*$')
-        AND (b.bl IS NULL OR NOT list_contains(b.bl, {_SQL_NORM_LINE.format(x="x")}))),
-      chr(10)) AS joined
-  FROM lines l LEFT JOIN boiler b ON l.conv_id = b.conv_id
-),
-cleaned AS (
-  SELECT conv_id, turn_idx,
-    regexp_replace(regexp_replace(joined, '\\n{{3,}}', chr(10)||chr(10), 'g'),
-                   '^\\n+|\\n+$', '', 'g') AS clean_text
-  FROM kept_lines
-),
+t AS (SELECT conv_id, turn_idx, content AS text FROM transcripts_v),
+{_sql_boiler_ctes("t")},
+cleaned AS (SELECT conv_id, turn_idx, clean_text FROM kept),
 reflowed AS (
   SELECT conv_id, turn_idx,
     replace(replace(replace(
@@ -1276,12 +1281,14 @@ reflowed AS (
 pieces AS (
   SELECT conv_id, turn_idx,
     list_filter(string_split(rt, chr(10)||chr(10)),
-                p -> regexp_replace(p, '^\\s+|\\s+$', '', 'g') <> '') AS ps
+                p -> regexp_replace(p, '^\\s+|\\s+$', '', 'g') <> ''
+                  OR p = chr(12)) AS ps
   FROM reflowed
 ),
 blocks AS (
   SELECT conv_id, turn_idx,
     list_transform(ps, p -> CASE
+      WHEN p = chr(12) THEN NULL
       WHEN length(regexp_replace(p, '^\\s+|\\s+$', '', 'g')) <= 30
        AND regexp_matches(regexp_replace(p, '^\\s+|\\s+$', '', 'g'),
                           '^(?:[*\\-•–—=~_#]\\s*){{3,}}$')

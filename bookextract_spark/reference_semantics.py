@@ -164,10 +164,13 @@ def boilerplate_keys(turn_texts: list[str]) -> set[str]:
     """Per-conversation boilerplate set (normalized line values).
 
     Deterministic replacement for the reference prompt "do not include
-    ... headers, footers" (``ocr_processor.py:413-414``).  Rule: for
-    each turn take its **first and last non-empty lines**; a normalized
-    line value is boilerplate when it appears as a first-or-last line on
-    >= ``BOILER_FRACTION`` of the conversation's turns, provided the
+    ... headers, footers" (``ocr_processor.py:413-414``).  Rule: split
+    each turn into **pages on form feed** (``\\f`` — the separator PDF
+    text extractors emit between pages; a turn without ``\\f`` is one
+    page) and take each page's **first and last non-empty lines**; a
+    normalized line value is boilerplate when it appears as such an edge
+    line on >= ``BOILER_FRACTION`` of the conversation's turns (counted
+    once per turn however many pages repeat it), provided the
     conversation has >= ``BOILER_MIN_TURNS`` turns.  Page-number lines
     are excluded from the map (they are dropped unconditionally).
     """
@@ -176,37 +179,48 @@ def boilerplate_keys(turn_texts: list[str]) -> set[str]:
         return set()
     counts: dict[str, int] = {}
     for text in turn_texts:
-        lines = (text or "").split("\n")
-        # page-number lines are dropped unconditionally, so they are
-        # filtered out BEFORE picking the first/last candidates — else a
-        # footer followed by a bare page number would never be seen.
-        nonempty = [
-            ln for ln in lines if normalize_line(ln) and not is_page_number_line(ln)
-        ]
-        edges = {normalize_line(ln) for ln in (nonempty[:1] + nonempty[-1:])}
+        edges: set[str] = set()
+        for page in (text or "").split("\f"):
+            lines = page.split("\n")
+            # page-number lines are dropped unconditionally, so they are
+            # filtered out BEFORE picking the first/last candidates — else
+            # a footer followed by a bare page number would never be seen.
+            nonempty = [
+                ln for ln in lines if normalize_line(ln) and not is_page_number_line(ln)
+            ]
+            edges |= {normalize_line(ln) for ln in (nonempty[:1] + nonempty[-1:])}
         for key in edges:
             counts[key] = counts.get(key, 0) + 1
     return {k for k, c in counts.items() if c >= BOILER_FRACTION * n}
 
 
 def strip_boilerplate_text(text: str, boiler: set[str]) -> str:
-    """Drop boilerplate + page-number lines from one turn's raw text.
+    """Drop boilerplate + page-number lines from one turn's raw text,
+    page by page (``\\f``-separated — PDF-layout payloads).
 
-    Kept lines are re-joined with ``\\n``; then runs of 3+ newlines are
-    collapsed to 2 and leading/trailing newline runs removed (so a
+    Per page: kept lines are re-joined with ``\\n``; runs of 3+ newlines
+    collapse to 2 and leading/trailing newline runs are removed (so a
     dropped header/footer does not leave a stray blank paragraph).
+    Pages left empty are dropped; the surviving pages are re-joined with
+    ``\\n\\n\\f\\n\\n`` so each page boundary becomes its own ``\\f``
+    piece, which the classifier maps to a contentless ``page_division``
+    block.  A single-page turn round-trips exactly as before.
     """
     if text is None:
         return None
-    kept = [
-        ln
-        for ln in text.split("\n")
-        if not is_page_number_line(ln) and normalize_line(ln) not in boiler
-    ]
-    out = "\n".join(kept)
-    out = re.sub(r"\n{3,}", "\n\n", out)
-    out = re.sub(r"^\n+|\n+$", "", out)
-    return out
+    pages_out: list[str] = []
+    for page in text.split("\f"):
+        kept = [
+            ln
+            for ln in page.split("\n")
+            if not is_page_number_line(ln) and normalize_line(ln) not in boiler
+        ]
+        out = "\n".join(kept)
+        out = re.sub(r"\n{3,}", "\n\n", out)
+        out = re.sub(r"^\n+|\n+$", "", out)
+        if out:
+            pages_out.append(out)
+    return "\n\n\f\n\n".join(pages_out)
 
 
 # --------------------------------------------------------------------------
@@ -237,6 +251,9 @@ def classify_ocr_text(text: str, source: str) -> list[dict]:
     text; blocks are the ``\\n\\n``-separated pieces.  Per stripped
     block, first matching rule wins:
 
+    0. a piece that IS a form feed (``\\f`` — page boundary injected by
+       the page-aware boilerplate strip) -> ``page_division``, content
+       ``None``; checked on the raw piece because ``\\f`` strips to ''.
     1. scene-break divider (3+ repetitions of ``* - • – — = ~ _ #``
        optionally space-separated, <= 30 chars, nothing else) ->
        ``page_division`` with content ``None`` — the ``page_division``
@@ -262,6 +279,12 @@ def classify_ocr_text(text: str, source: str) -> list[dict]:
     """
     blocks: list[dict] = []
     for piece in (text or "").split("\n\n"):
+        # a lone form feed is a page boundary injected by the page-aware
+        # boilerplate strip (PDF-layout payloads) -> page_division; must
+        # be checked on the RAW piece since \f strips to ''
+        if piece == "\f":
+            blocks.append({"type": "page_division", "source": source})
+            continue
         stripped = piece.strip()
         if not stripped:
             continue

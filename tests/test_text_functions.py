@@ -247,3 +247,59 @@ def test_divider_blocks_cross_turn_merge():
     assert res["turn_texts"][1] == "continuation lowercase start."
     types1 = [b["type"] for b in res["turn_blocks"][1]]
     assert types1 == ["page_division", "paragraph"]
+
+
+def test_pdf_layout_page_aware_boilerplate_spec():
+    """\\f-separated pages: per-page edge candidates, per-page strip,
+    page boundaries -> lone-\\f pieces -> page_division blocks."""
+    turns = []
+    for t in range(6):
+        body = f"Paragraph number {t} with some words in it."
+        if t == 2:
+            turns.append(
+                f"HDR X\n\n{body}\n\nFTR Y\n5\fHDR X\n\nPage two para.\n\nFTR Y\n6"
+            )
+        else:
+            turns.append(f"HDR X\n\n{body}\n\nFTR Y\n{t + 1}")
+    keys = ref.boilerplate_keys(turns)
+    assert keys == {"hdr x", "ftr y"}
+    stripped = ref.strip_boilerplate_text(turns[2], keys)
+    assert stripped == (
+        "Paragraph number 2 with some words in it.\n\n\f\n\nPage two para."
+    )
+    res = ref.extract_conversation(turns, conv_id="c")
+    assert [b["type"] for b in res["turn_blocks"][2]] == [
+        "paragraph",
+        "page_division",
+        "paragraph",
+    ]
+    assert all("HDR" not in t and "FTR" not in t for t in res["turn_texts"])
+
+
+def test_pdf_layout_header_only_on_inner_pages():
+    """A header that never appears at a TURN edge (only after \\f) is
+    still detected — the page-aware candidate generation's reason to
+    exist."""
+    turns = []
+    for t in range(6):
+        turns.append(
+            f"Opening para of turn {t} stays.\n\n"
+            f"Closing para of turn {t} stays too.\fRUNNING HEAD\n\nInner page body {t}."
+        )
+    keys = ref.boilerplate_keys(turns)
+    assert "running head" in keys
+    out = ref.strip_boilerplate_text(turns[0], keys)
+    assert "RUNNING HEAD" not in out and "Inner page body 0." in out
+
+
+def test_formfeed_piece_classifies_page_division_spec():
+    blocks = ref.classify_ocr_text("para one\n\n\f\n\npara two", "s")
+    assert [b["type"] for b in blocks] == ["paragraph", "page_division", "paragraph"]
+    assert blocks[1].get("content") is None
+
+
+def test_strip_boilerplate_drops_empty_pages_spec():
+    # page 2 is all boilerplate -> dropped entirely, no dangling divider
+    keys = {"hdr"}
+    out = ref.strip_boilerplate_text("body text\fHDR", keys)
+    assert out == "body text"
