@@ -81,12 +81,14 @@ def run_extraction(
 
     t = spark.read.parquet(fixture)
     n = t.count()
-    out = extract_turns(t, persist_classified=persist).select(
-        "conv_id", "turn_idx", "extracted_text"
-    )
     best = float("inf")
     for i in range(max_runs):
+        # build INSIDE the timed region: extract_turns materializes its
+        # cache boundary eagerly, and that job is part of the pipeline
         t0 = time.time()
+        out = extract_turns(t, persist_classified=persist).select(
+            "conv_id", "turn_idx", "extracted_text"
+        )
         _noop_write(out)
         dt = time.time() - t0
         spark.catalog.clearCache()

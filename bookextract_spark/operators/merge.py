@@ -11,9 +11,13 @@ character).  Therefore the merge DECISION for turn t depends only on
 
 What remains stateful is only WHERE merged fragments land: the
 receiving turn is the most recent preceding turn with >= 1 surviving
-block, i.e. ``last_value(ignorenulls)`` over the same window.
-Fragments are then grouped per receiver (preserving turn order) and
-appended to the receiver's last block with single spaces — exactly the
+block.  In the plain path this is delivered with WINDOWS ONLY: the
+running survivor count ``grp`` names each receiver's group, every
+fragment's ``donor_grp`` (grp, minus one when the donor itself
+survives) equals its receiver's grp, a second window over
+``(conv, donor_grp)`` assembles the ordered fragment string, and a
+third over ``(conv, grp)`` hands it to the surviving row.  Fragments
+append to the receiver's last block with single spaces — exactly the
 reference's repeated ``content + " " + fragment``.
 
 Deterministic decision rule: :func:`reference_semantics.should_merge`
@@ -21,10 +25,10 @@ Deterministic decision rule: :func:`reference_semantics.should_merge`
 "merge"; null contents never merge — see spec for the reference's
 KeyError data-loss bug we do not reproduce).
 
-Shuffle profile: one exchange on ``conv_id`` for the window; the
-fragment groupBy and the receiver join reuse conv-keyed partitioning.
-Fragments are a tiny fraction of rows, so the join's right side is
-usually broadcast by AQE.
+Shuffle profile (plain path): ONE exchange on ``conv_id``; the
+follow-up windows partition by refinements of conv, which
+hash(conv_id) already satisfies, so they add only partition-local
+sorts — no joins, no second consumer, no cache boundary.
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ from bookextract_spark.schemas import BLOCKS_ARRAY
 
 
 def _stage_plain(df: DataFrame, blocks) -> DataFrame:
-    """Decision + receiver over one conv-wide window (default path).
+    """Merge decision over one conv-wide window (default path).
 
     Empty turns stay in the frame (no filter+union split — a split
     makes Spark recompute the whole upstream, classify UDFs included,
@@ -75,11 +79,6 @@ def _stage_plain(df: DataFrame, blocks) -> DataFrame:
                 F.col("_merged"), F.slice(blocks, 2, F.size(blocks) - 1)
             ).otherwise(blocks),
         }
-    ).withColumn(
-        "_receiver",
-        F.last(
-            F.when(F.col("_survivors") >= 1, F.col("turn_idx")), ignorenulls=True
-        ).over(w.rowsBetween(Window.unboundedPreceding, -1)),
     ).drop("_prev_exists")
 
 
@@ -181,6 +180,26 @@ def _stage_salted(nonempty: DataFrame, blocks, bucket_size: int) -> DataFrame:
     )
 
 
+def _amend_kept(extra: F.Column) -> F.Column:
+    """Append the group's fragment string to the last kept block —
+    the reference's repeated ``content + " " + fragment``
+    (``ocr_processor.py:338``)."""
+    kept = F.col("_kept")
+    last = F.try_element_at(kept, F.lit(-1))
+    amended_last = F.struct(
+        last["type"].alias("type"),
+        F.concat(last["content"], F.lit(" "), extra).alias("content"),
+        last["image"].alias("image"),
+        last["caption"].alias("caption"),
+        last["source"].alias("source"),
+    )
+    return F.when(extra.isNull() | (F.size(kept) == 0), kept).otherwise(
+        F.concat(F.slice(kept, 1, F.size(kept) - 1), F.array(amended_last)).cast(
+            BLOCKS_ARRAY
+        )
+    )
+
+
 def merge_across_turns(
     df: DataFrame,
     blocks_col: str = "blocks",
@@ -197,12 +216,17 @@ def merge_across_turns(
     salted sub-window implementation (identical results, bounded
     per-task state — use when single conversations are huge).
 
-    ``persist_staged`` materializes the staged (post-window) frame:
-    the fragment aggregation and the receiver join are both consumers
-    of it, so without a boundary the upstream subtree — including the
-    window sort and everything above it — executes twice.  Persisting
-    *here* (rather than upstream of the window) is the cheapest
-    single boundary: upstream runs once AND the window runs once.
+    The plain path is windows-only (single consumer chain, one
+    exchange) and ignores ``persist_staged``.  In the salted mode the
+    fragment aggregation and the receiver join are two consumers of
+    the staged frame, so ``persist_staged`` materializes it — EAGERLY
+    (a count() fires immediately), because the two consumers launch
+    concurrently (the fragment side runs on the AQE broadcast-exchange
+    thread) and with a cold lazy cache BOTH race to compute every
+    upstream partition before either can store it — measured as the
+    full scan+classify map stage executing twice.  Filling the cache
+    in its own job first makes upstream run exactly once; in
+    production this boundary is the intermediate checkpoint write.
     """
     blocks = F.col(blocks_col)
 
@@ -213,63 +237,116 @@ def merge_across_turns(
         nonempty = df.where(has_blocks)
         empty = df.where(~has_blocks).withColumn(out_col, blocks)
         staged = _stage_salted(nonempty, blocks, salt_bucket_size)
-    else:
-        empty = None
-        staged = _stage_plain(df, blocks)
 
-    if persist_staged:
-        from pyspark import StorageLevel
+        if persist_staged:
+            from pyspark import StorageLevel
 
-        staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+            staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
+            staged.count()  # eager: see docstring (consumer race on cold cache)
 
-    # fragments grouped per receiving turn, in turn order, space-joined —
-    # the reference's repeated `content + " " + fragment` (:338)
-    frags = (
-        staged.where(F.col("_merged"))
-        .select(
-            F.col("conv_id").alias("_recv_conv"),
-            F.col("_receiver").alias("_recv_turn"),
-            F.struct(F.col("turn_idx"), F.col("_first_content").alias("frag")).alias("_tf"),
+        # fragments grouped per receiving turn, in turn order, space-
+        # joined — the reference's repeated `content + " " + fragment`
+        frags = (
+            staged.where(F.col("_merged"))
+            .select(
+                F.col("conv_id").alias("_recv_conv"),
+                F.col("_receiver").alias("_recv_turn"),
+                F.struct(
+                    F.col("turn_idx"), F.col("_first_content").alias("frag")
+                ).alias("_tf"),
+            )
+            .groupBy("_recv_conv", "_recv_turn")
+            .agg(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("_tf")), lambda s: s["frag"]),
+                    " ",
+                ).alias("_extra")
+            )
         )
-        .groupBy("_recv_conv", "_recv_turn")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list("_tf")), lambda s: s["frag"]),
-                " ",
-            ).alias("_extra")
+        joined = staged.join(
+            frags,
+            on=[
+                staged["conv_id"] == frags["_recv_conv"],
+                staged["turn_idx"] == frags["_recv_turn"],
+            ],
+            how="left",
+        ).drop("_recv_conv", "_recv_turn")
+        result = joined.withColumn(out_col, _amend_kept(F.col("_extra"))).drop(
+            "_first_content",
+            "_prev_last",
+            "_merged",
+            "_survivors",
+            "_kept",
+            "_receiver",
+            "_extra",
         )
-    )
+        return result.unionByName(empty)
 
-    joined = staged.join(
-        frags,
-        on=[
-            staged["conv_id"] == frags["_recv_conv"],
-            staged["turn_idx"] == frags["_recv_turn"],
-        ],
-        how="left",
-    ).drop("_recv_conv", "_recv_turn")
+    # ------------------------------------------------------------------
+    # plain path: fragment delivery by WINDOWS ONLY — no groupBy, no
+    # join, no cache boundary, single conv exchange.
+    #
+    # grp = running count of surviving turns; the receiver of any
+    # merged row is exactly the grp-th survivor, so every fragment's
+    # donor group (grp, minus one when the donor itself survives — it
+    # donates to the PREVIOUS survivor) equals its receiver's grp.
+    # Window 2 over (conv, donor_grp) assembles each group's fragment
+    # string; window 3 over (conv, grp) hands it to the surviving row
+    # (taken from any row whose donor_grp == grp, which always exists
+    # whenever the group has fragments).  Both windows repartition by a
+    # REFINEMENT of conv, so hash(conv) satisfies their clustering and
+    # no further exchange is planned — only partition-local sorts.
+    # ------------------------------------------------------------------
+    staged = _stage_plain(df, blocks)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    is_surv = (F.col("_survivors") >= 1).cast("int")
+    staged = staged.withColumn(
+        "_grp",
+        F.sum(is_surv).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).withColumn("_donor_grp", F.col("_grp") - is_surv)
 
-    kept = F.col("_kept")
-    last = F.try_element_at(kept, F.lit(-1))
-    amended_last = F.struct(
-        last["type"].alias("type"),
-        F.concat(last["content"], F.lit(" "), F.col("_extra")).alias("content"),
-        last["image"].alias("image"),
-        last["caption"].alias("caption"),
-        last["source"].alias("source"),
+    w2 = (
+        Window.partitionBy("conv_id", "_donor_grp")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    amended = F.when(
-        F.col("_extra").isNull() | (F.size(kept) == 0), kept
-    ).otherwise(
-        F.concat(F.slice(kept, 1, F.size(kept) - 1), F.array(amended_last)).cast(
-            BLOCKS_ARRAY
+    frag_structs = F.collect_list(
+        F.when(
+            F.col("_merged"),
+            F.struct(F.col("turn_idx"), F.col("_first_content").alias("frag")),
         )
+    ).over(w2)
+    extra_g = F.when(
+        F.size(frag_structs) > 0,
+        F.array_join(F.transform(F.array_sort(frag_structs), lambda s: s["frag"]), " "),
     )
+    staged = staged.withColumn("_extra_g", extra_g)
 
-    result = joined.withColumn(out_col, amended).drop(
-        "_first_content", "_prev_last", "_merged", "_survivors", "_kept", "_receiver", "_extra"
+    # delivery: the row immediately after receiver r has
+    # donor_grp == grp(r) exactly when fragments for r exist (any row
+    # between r and the next survivor — merged donors and empty turns
+    # alike — sits in r's donor group and carries its _extra_g; a
+    # non-merged survivor next door means r has no fragments)
+    nxt = F.lead(
+        F.struct(F.col("_donor_grp").alias("dg"), F.col("_extra_g").alias("eg"))
+    ).over(w)
+    staged = staged.withColumn(
+        "_extra",
+        F.when(
+            (F.col("_survivors") >= 1) & (nxt["dg"] == F.col("_grp")), nxt["eg"]
+        ),
     )
-    return result.unionByName(empty) if empty is not None else result
+    return staged.withColumn(out_col, _amend_kept(F.col("_extra"))).drop(
+        "_first_content",
+        "_prev_last",
+        "_merged",
+        "_survivors",
+        "_kept",
+        "_grp",
+        "_donor_grp",
+        "_extra_g",
+        "_extra",
+    )
 
 
 def extracted_text_col(blocks: F.Column) -> F.Column:

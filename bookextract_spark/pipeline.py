@@ -37,20 +37,14 @@ def extract_turns(
     ``merged_blocks`` and ``extracted_text`` (the north-rule equality
     surface).
 
-    ``persist_classified`` (default on) places ONE materialization
-    boundary in the plan: the merge's fragment aggregation and its
-    receiver join are two consumers of the same subtree, and Catalyst
-    does not reuse the exchange (column pruning makes the two copies
-    differ), so without a boundary the scan + classify UDF + window
-    run twice (verified in the physical plan: 6 parquet scans /
-    2 ArrowEvalPython without the boundary vs 2 / 1 with it).  In the
-    plain-window mode the boundary lands on the merge's *staged*
-    frame (post-window — upstream AND the window sort then run once);
-    the salted skew mode keeps that boundary and adds one before the
-    merge as well, because its empty/non-empty split is an extra
-    consumer upstream of the window.  In production this boundary is the
-    intermediate Iceberg write the north rule's checkpoint/lineage
-    design wants anyway; pass ``False`` only for plan-inspection.
+    The plain (unsalted) merge is windows-only — a single consumer
+    chain with one conv-keyed exchange — so it needs NO materialization
+    boundary and ``persist_classified`` is a no-op there.  The salted
+    skew mode still splits/joins (its empty/non-empty split and
+    fragment join are extra consumers of the classify subtree), so with
+    ``persist_classified`` (default on) it places eager cache
+    boundaries to keep the scan + classify UDF single-executed; in
+    production that boundary is the intermediate checkpoint write.
     """
     df = strip_boilerplate(transcripts)
     df = classify_turns(df, text_col="clean_text", with_density=with_density)
@@ -63,12 +57,13 @@ def extract_turns(
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager, same consumer-race rationale as merge's boundary
     df = merge_across_turns(
         df,
         blocks_col="blocks",
         out_col="merged_blocks",
         salt_bucket_size=salt_bucket_size,
-        persist_staged=bool(persist_classified),
+        persist_staged=bool(persist_classified) and bool(salt_bucket_size),
     )
     return df.withColumn("extracted_text", extracted_text_col(F.col("merged_blocks")))
 
