@@ -1,0 +1,74 @@
+"""Property-based gate: Spark pipeline == pure-Python oracle on
+hypothesis-generated payloads (shrinking finds minimal counterexamples).
+
+Spark jobs are slow per-example, so the strategy batches: hypothesis
+generates a whole small conversation set per example and we run few
+examples with no deadline.  The payload alphabet is adversarial by
+construction: newlines, form feeds, divider glyphs, chapter keywords,
+markers, punctuation-free tails, unicode.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bookextract_spark.oracle import oracle_extract
+from bookextract_spark.pipeline import extract_all
+from bookextract_spark.schemas import TRANSCRIPTS_SCHEMA
+
+# words that steer payloads into every classifier/merge branch
+_TOKENS = [
+    "Chapter 1",
+    "part iv",
+    "* * *",
+    "---",
+    "\f",
+    "\n",
+    "\n\n",
+    "    indented",
+    "> quoted",
+    "Short Heading",
+    "plain words without stop",
+    "A sentence that ends.",
+    "lowercase continuation",
+    "UPPER START",
+    "…",
+    "--",
+    "42",
+    "Página número uña",  # unicode
+    "tail-\nwrapped",
+]
+
+_payload = st.lists(st.sampled_from(_TOKENS), min_size=0, max_size=8).map(
+    lambda parts: "\n".join(parts)
+)
+_turn = st.one_of(st.none(), st.just(""), _payload)
+_conversation = st.lists(_turn, min_size=1, max_size=6)
+_conversations = st.lists(_conversation, min_size=1, max_size=3)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(convs=_conversations)
+def test_pipeline_matches_oracle_on_generated_payloads(spark, convs):
+    rows = []
+    for ci, turns in enumerate(convs):
+        for ti, text in enumerate(turns):
+            rows.append((f"c{ci}", ti, "user", text, None, pd.Timestamp("2026-01-01")))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    sdf = spark.createDataFrame(pdf, TRANSCRIPTS_SCHEMA)
+
+    res = extract_all(sdf)
+    got = {
+        (r.conv_id, r.turn_idx): r.extracted_text for r in res["turns"].collect()
+    }
+    gold = oracle_extract(pdf)["turns"]
+    exp = {(r.conv_id, int(r.turn_idx)): r.extracted_text for r in gold.itertuples()}
+    assert got == exp
