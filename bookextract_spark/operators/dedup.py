@@ -118,25 +118,6 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-def minhash_signature_col(shingles: Column, k: int = 32) -> Column:
-    """k-permutation MinHash signature: min of seeded xxhash64 over the
-    shingle set, one array column, single pass.
-
-    IMPORTANT: ``shingles`` must be a reference to a *materialized*
-    column (a prior projection), not an inline expression — Catalyst
-    inlines the argument into each of the k mins, and an inline
-    shingle pipeline would be evaluated k times per row.
-    """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(F.concat(F.lit(f"seed{i}:"), s)))
-            ).alias(f"mh{i}")
-            for i in range(k)
-        ]
-    )
-
-
 def _seed_hash(shingle, i: int, hash_mode: str):
     """Seeded per-shingle hash: xxhash64 (scale path) or the first 32
     bits of md5 (byte-portable to the DuckDB oracle)."""
