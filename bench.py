@@ -187,8 +187,11 @@ def main() -> None:
         points = {}
         for cores in (n_lo, n_hi):
             s = make_spark(cores)
-            # runs repeat internally until steady-state (JIT warm-up)
-            sec, n = run_extraction(s, scaling_fixture, max_runs=3)
+            # JIT warm-up needs MORE runs at higher parallelism: each
+            # run hands every codegen'd method fewer invocations per
+            # core (measured: local[16] improved monotonically through
+            # run 5, 63.5 -> 40.3 s, while local[4] was steady by run 2)
+            sec, n = run_extraction(s, scaling_fixture, max_runs=3 if cores <= 8 else 5)
             points[cores] = {"sec": round(sec, 3), "turns_per_sec": round(n / sec, 1)}
             s.stop()
         ratio = n_hi / n_lo
