@@ -1346,6 +1346,48 @@ FROM amended
 """
 
 
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-level exact dedup composed over the flagship
+    pipeline: per-conv fingerprint = md5 of the ordered extracted
+    texts, then hash-groupBy dup groups — the curation-pipeline pattern
+    of deduplicating whole documents by their EXTRACTED content rather
+    than raw payloads."""
+    from bookextract_spark.pipeline import extract_turns
+
+    t = _derived_transcripts(spark, sf_dir).withColumnRenamed("content", "text")
+    turns = extract_turns(t).select("conv_id", "turn_idx", "extracted_text")
+    per_conv = turns.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "extracted_text"))
+                    ),
+                    lambda s: s["extracted_text"],
+                ),
+                "\x1e",
+            )
+        ).alias("conv_fp")
+    )
+    return per_conv.groupBy("conv_fp").agg(
+        F.min("conv_id").alias("canonical_conv"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+
+
+SQL_CONV_DEDUP = f"""
+WITH p AS ({SQL_PIPELINE})
+SELECT conv_fp, min(conv_id) AS canonical_conv,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM (
+  SELECT conv_id,
+         md5(string_agg(extracted_text, chr(30) ORDER BY turn_idx)) AS conv_fp
+  FROM p GROUP BY conv_id
+)
+GROUP BY conv_fp
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1384,6 +1426,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "image_metadata": (q_image_metadata, SQL_IMAGE_META),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "pipeline_extract": (q_pipeline_extract, SQL_PIPELINE),
+    "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
 }
 
 
