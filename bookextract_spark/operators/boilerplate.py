@@ -80,33 +80,29 @@ def strip_boilerplate(
     counts = cand_df.groupBy("conv_id", "line_key").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    # fold key counts and the marker count (= n_turns) per conv in one
-    # more (tiny) aggregation.  Splitting counts into freq/n_turns
-    # frames and self-joining them looks natural but makes Catalyst
-    # plan the explode+aggregate subtree TWICE — one full extra pass
-    # over the corpus (verified in the physical plan).
-    per_conv = counts.groupBy("conv_id").agg(
-        F.max(F.when(F.col("line_key").isNull(), F.col("cnt"))).alias("n_turns"),
-        F.collect_list(
-            F.when(
-                F.col("line_key").isNotNull(),
-                F.struct(F.col("line_key").alias("k"), F.col("cnt").alias("c")),
-            )
-        ).alias("_kcs"),
-    )
+    # n_turns = the marker count, spread to every key row of the conv
+    # with a window (single consumer of the counts subtree — splitting
+    # counts into freq/n_turns frames and self-joining would make
+    # Catalyst plan the explode+aggregate subtree TWICE, one full extra
+    # pass over the corpus).  Threshold-filter WHILE STILL DISTRIBUTED,
+    # then collect only the surviving keys: the boilerplate set is tiny
+    # by construction (>= fraction of turns must repeat a line), whereas
+    # collecting all candidate (key, cnt) structs per conv first would
+    # build an unbounded single-row array for a 10^6-turn conversation —
+    # exactly the skew case the salted windows elsewhere are built for.
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("conv_id")
+    n_turns = F.max(F.when(F.col("line_key").isNull(), F.col("cnt"))).over(wc)
     boiler = (
-        per_conv.where(F.col("n_turns") >= F.lit(min_turns))
-        .select(
-            "conv_id",
-            F.transform(
-                F.filter(
-                    F.col("_kcs"),
-                    lambda kc: kc["c"] >= F.lit(float(fraction)) * F.col("n_turns"),
-                ),
-                lambda kc: kc["k"],
-            ).alias("_boiler_set"),
+        counts.withColumn("_n_turns", n_turns)
+        .where(
+            F.col("line_key").isNotNull()
+            & (F.col("_n_turns") >= F.lit(min_turns))
+            & (F.col("cnt") >= F.lit(float(fraction)) * F.col("_n_turns"))
         )
-        .where(F.size("_boiler_set") > 0)
+        .groupBy("conv_id")
+        .agg(F.collect_list("line_key").alias("_boiler_set"))
     )
 
     out = df.join(boiler, "conv_id", "left")

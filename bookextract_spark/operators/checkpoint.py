@@ -106,15 +106,23 @@ def run_with_checkpoint(
     for start in range(0, len(pending), buckets_per_batch):
         batch = pending[start : start + buckets_per_batch]
         subset = with_bucket.where(F.col("bucket").isin(batch))
-        # Observation captures output-side metrics from the SAME job
-        # that writes the data (no extra pass over the output)
+        # SINGLE-PASS metrics: the extraction pipeline is row-preserving
+        # (strip_boilerplate is a 1:1 projection+join, classify adds a
+        # column, the merge keeps every turn row — merged-away turns
+        # emit '' text), so the output-side Observation's row/conv
+        # counts ARE the input-side counts.  One Observation on the one
+        # write job; no second aggregation pass over the batch input.
         obs = Observation(f"extract_{run_id}_{start}")
-        observed = extract_turns(subset, salt_bucket_size=salt_bucket_size).observe(
+        persisted: list = []
+        observed = extract_turns(
+            subset, salt_bucket_size=salt_bucket_size, persisted_out=persisted
+        ).observe(
             obs,
-            F.count(F.lit(1)).alias("rows_out"),
+            F.count(F.lit(1)).alias("n_turns"),
             # observe() forbids DISTINCT aggregates — approx is allowed
-            F.approx_count_distinct(F.col("conv_id")).alias("n_convs_out"),
-            F.sum(F.length(F.col("extracted_text"))).alias("bytes_out"),
+            F.approx_count_distinct(F.col("conv_id")).alias("n_convs"),
+            # octet_length = real utf-8 bytes (length() counts chars)
+            F.sum(F.octet_length(F.col("extracted_text"))).alias("bytes_out"),
         )
         (
             # extract_turns prunes to (conv_id, turn_idx, ...); the bucket
@@ -138,26 +146,28 @@ def run_with_checkpoint(
                 "pending_before": len(pending),
                 "crashed": True,
             }
-        # lineage/metrics rows — one per completed bucket, carrying both
-        # input-side counts and the observed output-side metrics of the
-        # write job above
+        # Manifest rows, built driver-side (the bucket list is already
+        # known — no job over the data): one completion row per bucket
+        # for the resume anti-join, plus ONE batch-level metrics row
+        # (bucket NULL) carrying the observed totals.  Batch totals on a
+        # single row cannot be over-attributed per bucket by downstream
+        # aggregation, and the manifest append job reads no input data.
         got = obs.get
-        metrics = (
-            subset.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("rows_in"),
-                F.count_distinct("conv_id").cast("long").alias("n_convs"),
-            )
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("completed_at", F.current_timestamp())
-            .withColumn("batch_rows_out", F.lit(got.get("rows_out")).cast("long"))
-            .withColumn("batch_bytes_out", F.lit(got.get("bytes_out")).cast("long"))
-        )
+        bucket_rows = [
+            (int(b), run_id, None, None, None) for b in batch
+        ] + [(None, run_id, got["n_turns"], got["n_convs"], got["bytes_out"])]
+        metrics = spark.createDataFrame(
+            bucket_rows,
+            "bucket int, run_id string, batch_n_turns long, "
+            "batch_n_convs long, batch_bytes_out long",
+        ).withColumn("completed_at", F.current_timestamp())
         metrics.write.mode("append").parquet(manifest_path(base_dir))
-        # extract_turns persists its classify stage per batch; drop the
-        # finished batch's cache so storage doesn't accumulate across a
-        # long run
-        spark.catalog.clearCache()
+        # unpersist exactly the frames the pipeline persisted for THIS
+        # batch (salted mode's cache boundary) — a global clearCache()
+        # would also evict caller-owned caches (e.g. notebook-cached
+        # transcripts), forcing their recomputation every batch
+        for p in persisted:
+            p.unpersist()
         done_batches += 1
         total_written += len(batch)
         if fail_after_batches is not None and done_batches >= fail_after_batches:

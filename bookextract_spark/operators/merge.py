@@ -206,6 +206,7 @@ def merge_across_turns(
     out_col: str = "merged_blocks",
     salt_bucket_size: int | None = None,
     persist_staged: bool = False,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Add ``out_col``: per-turn kept blocks after the cross-turn merge.
 
@@ -243,6 +244,8 @@ def merge_across_turns(
 
             staged = staged.persist(StorageLevel.MEMORY_AND_DISK)
             staged.count()  # eager: see docstring (consumer race on cold cache)
+            if persisted_out is not None:
+                persisted_out.append(staged)
 
         # fragments grouped per receiving turn, in turn order, space-
         # joined — the reference's repeated `content + " " + fragment`

@@ -32,6 +32,7 @@ def extract_turns(
     with_density: bool = False,
     persist_classified: bool = True,
     salt_bucket_size: int | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Flagship per-turn extraction: transcripts -> one row per turn with
     ``merged_blocks`` and ``extracted_text`` (the north-rule equality
@@ -45,6 +46,10 @@ def extract_turns(
     ``persist_classified`` (default on) it places eager cache
     boundaries to keep the scan + classify UDF single-executed; in
     production that boundary is the intermediate checkpoint write.
+
+    ``persisted_out``: optional list the function APPENDS every
+    DataFrame it persists to, so callers (the checkpoint loop) can
+    ``unpersist()`` exactly those — and nothing else — when done.
     """
     df = strip_boilerplate(transcripts)
     df = classify_turns(df, text_col="clean_text", with_density=with_density)
@@ -58,12 +63,15 @@ def extract_turns(
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.count()  # eager, same consumer-race rationale as merge's boundary
+        if persisted_out is not None:
+            persisted_out.append(df)
     df = merge_across_turns(
         df,
         blocks_col="blocks",
         out_col="merged_blocks",
         salt_bucket_size=salt_bucket_size,
         persist_staged=bool(persist_classified) and bool(salt_bucket_size),
+        persisted_out=persisted_out,
     )
     return df.withColumn("extracted_text", extracted_text_col(F.col("merged_blocks")))
 

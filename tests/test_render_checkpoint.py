@@ -147,12 +147,47 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     assert r3["pending_before"] == 0
     assert spark.read.parquet(f"{base}/turns").count() == n_total
 
-    # lineage rows cover all processed buckets with row counts
+    # single-pass lineage: batch-level metric rows (bucket NULL) carry
+    # Observation totals from the write job itself; the pipeline is
+    # row-preserving, so summed batch n_turns == total input rows
     manifest = spark.read.parquet(f"{base}/_manifest")
-    assert manifest.agg(F.sum("rows_in")).collect()[0][0] == n_total
-    # observed output-side metrics captured from the write job
-    assert manifest.where(F.col("batch_rows_out") > 0).count() > 0
-    assert manifest.where(F.col("batch_bytes_out") > 0).count() > 0
+    batch_rows = manifest.where(F.col("bucket").isNull())
+    assert batch_rows.agg(F.sum("batch_n_turns")).collect()[0][0] == n_total
+    assert batch_rows.where(F.col("batch_bytes_out") > 0).count() > 0
+    # one completion row per processed bucket, metrics not smeared onto them
+    per_bucket = manifest.where(F.col("bucket").isNotNull())
+    assert per_bucket.count() == r1["completed_buckets"] + r2["pending_before"]
+    assert per_bucket.where(F.col("batch_n_turns").isNotNull()).count() == 0
+
+
+def test_checkpoint_single_scan_per_batch(spark, tmp_path):
+    """Regression guard for the metrics double-scan: one batch must run
+    exactly TWO jobs — the observed data write and the (driver-built)
+    manifest append — with no extra aggregation job over the input."""
+    from bookextract_spark.datagen import transcripts_df
+    from bookextract_spark.operators.checkpoint import run_with_checkpoint
+
+    base = str(tmp_path / "ckpt_jobs")
+    t = transcripts_df(spark, n_convs=6, seed=3, skew=False)
+    t.count()  # materialize datagen outside the counted window
+
+    sc = spark.sparkContext
+    group = "ckpt-scan-count"
+    # AQE splits one query into one job per exchange stage, making job
+    # counts nondeterministic — disable it so 1 action == 1 job here
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "checkpoint job-count test")
+    try:
+        run_with_checkpoint(spark, t, base, n_buckets=4, buckets_per_batch=4)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # 1 pending-buckets collect + 2 for the dynamic-overwrite write
+    # action (data write + partition commit — one input scan) + 1
+    # manifest append.  The old double-scan implementation added a
+    # whole extra aggregation job over the batch input here.
+    assert len(jobs) == 4, f"expected 4 jobs for one batch, saw {len(jobs)}"
 
 
 def test_checkpoint_crash_between_write_and_manifest_no_dupes(spark, tmp_path):
