@@ -1389,6 +1389,264 @@ GROUP BY conv_fp
 
 
 # --------------------------------------------------------------------------
+# S5/S6/S11: intermediate JSON save->load round trip and the legacy
+# book_info.json sink/source pair (book_intermediate.py:121-204,523-556)
+# --------------------------------------------------------------------------
+
+
+def _synthetic_block_rows(spark, sf_dir):
+    """Headered transcripts as single-block rows (the o9 synthesis,
+    reshaped to the block-rows schema the chapter operators consume)."""
+    t = _with_header_type(_derived_transcripts(spark, sf_dir))
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.lit(0).cast("int").alias("block_idx"),
+        F.col("btype").alias("type"),
+        F.col("bcontent").alias("content"),
+        F.lit(None).cast("string").alias("image"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("string").alias("source"),
+    )
+
+
+def _synthetic_books(spark, sf_dir):
+    """Nested BookIntermediate frame built by the REAL operator chain
+    (number_chapters -> assemble_chapters -> assemble_book_intermediate)
+    over the o9 synthesis, with deterministic per-conv metadata."""
+    from bookextract_spark.operators.chapters import assemble_chapters, number_chapters
+    from bookextract_spark.operators.render import assemble_book_intermediate
+
+    rows = _synthetic_block_rows(spark, sf_dir)
+    chapters = assemble_chapters(number_chapters(rows))
+    metadata = rows.select("conv_id").distinct().select(
+        "conv_id",
+        F.concat(F.lit("Book "), F.col("conv_id")).alias("title"),
+        F.lit("An Author").alias("author"),
+        F.lit(None).cast("string").alias("cover_image"),
+    )
+    return assemble_book_intermediate(chapters, metadata)
+
+
+def q_s5_roundtrip(spark, sf_dir):
+    """S5 save + load: serialize the nested BookIntermediate to JSON
+    documents (to_json) and parse them back (from_json on
+    BOOK_INTERMEDIATE_SCHEMA, book_intermediate.py:121-152); emit the
+    per-chapter rows READ FROM THE PARSED JSON.  The oracle recomputes
+    the same rows from the raw tables, so any loss in the round trip
+    breaks the match.  uuid/creation_date stay inside the JSON but are
+    excluded from the surface (nondeterministic in the reference too)."""
+    from bookextract_spark.sources.book_json import (
+        load_intermediate_json,
+        save_intermediate_json,
+    )
+
+    loaded = load_intermediate_json(save_intermediate_json(_synthetic_books(spark, sf_dir)))
+    return loaded.select(
+        "conv_id",
+        F.col("metadata.title").alias("book_title"),
+        "total_chapters",
+        "total_word_count",
+        F.explode("chapters").alias("ch"),
+    ).select(
+        "conv_id",
+        "book_title",
+        "total_chapters",
+        "total_word_count",
+        F.col("ch.number").alias("chapter_number"),
+        F.col("ch.title").alias("title"),
+        F.col("ch.word_count").alias("word_count"),
+        F.size("ch.sections").cast("long").alias("n_sections"),
+    )
+
+
+SQL_S5 = f"""
+WITH {_SQL_HEADERED},
+numbered AS (
+  SELECT *, sum(CASE WHEN btype = 'chapter_header' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chapter_no
+  FROM headered
+),
+wc AS (
+  SELECT *, CASE WHEN bcontent IS NULL OR trim(bcontent) = '' THEN 0
+       ELSE length(regexp_replace(trim(bcontent), '\\s+', ' ', 'g'))
+            - length(replace(regexp_replace(trim(bcontent), '\\s+', ' ', 'g'), ' ', '')) + 1
+  END AS n_words FROM numbered
+),
+grouped AS (
+  SELECT conv_id, chapter_no,
+         max(CASE WHEN btype = 'chapter_header' THEN bcontent END) AS h,
+         sum(n_words)::BIGINT AS word_count,
+         count(*)::BIGINT AS n_sections
+  FROM wc GROUP BY conv_id, chapter_no
+),
+chap AS (
+  SELECT conv_id,
+    CAST(CASE WHEN chapter_no = 0 AND max(chapter_no) OVER (PARTITION BY conv_id) = 0
+              THEN 1 ELSE chapter_no END AS INT) AS chapter_number,
+    CASE WHEN chapter_no = 0 THEN 'Introduction' ELSE 'Chapter ' || h END AS title,
+    word_count, n_sections
+  FROM grouped
+)
+SELECT c.conv_id, 'Book ' || c.conv_id AS book_title,
+       t.total_chapters, t.total_word_count,
+       c.chapter_number, c.title, c.word_count, c.n_sections
+FROM chap c JOIN (
+  SELECT conv_id, CAST(count(*) AS INT) AS total_chapters,
+         sum(word_count)::BIGINT AS total_word_count
+  FROM chap GROUP BY conv_id
+) t ON c.conv_id = t.conv_id
+"""
+
+
+def q_s6_book_info(spark, sf_dir):
+    """S6 legacy book_info.json source (from_epub_extractor,
+    book_intermediate.py:158-204): build legacy documents from the
+    documents table (one flat chapter per doc, grouped per conv),
+    PARSE them with from_json, and emit the synthesized section rows.
+    The oracle computes the expected rows straight from the base
+    columns — parse drift would break the match."""
+    from bookextract_spark.sources.book_json import load_book_info_json
+
+    d = _load(spark, sf_dir, "documents")
+    ch = d.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % N_CONVS).cast("string")).alias("conv_id"),
+        F.struct(
+            F.floor(F.col("doc_id") / N_CONVS).cast("int").alias("number"),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 24).alias("title"),
+            F.lit(None).cast("string").alias("filename"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        ).alias("ch"),
+    )
+    books = (
+        ch.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ch.number").alias("n"), F.col("ch").alias("c")))
+            ).alias("_s")
+        )
+        .select(
+            "conv_id",
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.lit("Legacy Title").alias("title"),
+                        F.lit("Legacy Author").alias("author"),
+                    ).alias("metadata"),
+                    F.transform(F.col("_s"), lambda s: s["c"]).alias("chapters"),
+                    F.size("_s").alias("total_chapters"),
+                )
+            ).alias("book_info_json"),
+        )
+    )
+    loaded = load_book_info_json(books)
+    return loaded.select(
+        "conv_id",
+        F.col("metadata.language").alias("language"),
+        F.explode("chapters").alias("ch"),
+    ).select(
+        "conv_id",
+        "language",
+        F.col("ch.number").alias("number"),
+        F.col("ch.word_count").alias("word_count"),
+        F.posexplode("ch.sections").alias("sec_idx", "sec"),
+    ).select(
+        "conv_id",
+        "language",
+        "number",
+        "word_count",
+        F.col("sec_idx").cast("int").alias("sec_idx"),
+        F.col("sec.type").alias("sec_type"),
+        F.col("sec.content").alias("sec_content"),
+    )
+
+
+_SQL_WC = (
+    "CASE WHEN {x} IS NULL OR trim({x}) = '' THEN 0 "
+    "ELSE length(regexp_replace(trim({x}), '\\s+', ' ', 'g')) "
+    "- length(replace(regexp_replace(trim({x}), '\\s+', ' ', 'g'), ' ', '')) + 1 END"
+)
+
+SQL_S6 = f"""
+WITH base AS (
+  SELECT 'c' || CAST(doc_id % {N_CONVS} AS VARCHAR) AS conv_id,
+         CAST(floor(doc_id / {N_CONVS}) AS INT) AS number,
+         substring(coalesce(text, ''), 1, 24) AS title,
+         coalesce(text, '') AS content
+  FROM documents
+)
+SELECT conv_id, 'en' AS language, number,
+  ({_SQL_WC.format(x="title")} + {_SQL_WC.format(x="content")})::BIGINT AS word_count,
+  CAST(u.i AS INT) AS sec_idx,
+  CASE WHEN u.i = 0 THEN 'chapter_header' ELSE 'paragraph' END AS sec_type,
+  CASE WHEN u.i = 0 THEN title ELSE content END AS sec_content
+FROM base, unnest(range(2)) AS u(i)
+"""
+
+
+def q_s11_book_info(spark, sf_dir):
+    """S11 legacy book_info.json SINK driven end-to-end: assemble books
+    with the real operators, serialize with book_info_json (to_json of
+    the legacy shape, intermediate_to_m4b.py:132-147), parse back with
+    the S6 source, and emit the flat chapter rows.  The oracle
+    recomputes the flattened chapter content (non-header truthy
+    sections joined with blank lines) from the raw tables."""
+    from bookextract_spark.operators.render import book_info_json
+    from bookextract_spark.sources.book_json import load_book_info_json
+
+    books = _synthetic_books(spark, sf_dir)
+    loaded = load_book_info_json(book_info_json(books), "book_info_json")
+    return loaded.select(
+        "conv_id",
+        F.col("metadata.title").alias("book_title"),
+        "total_chapters",
+        F.explode("chapters").alias("ch"),
+    ).select(
+        "conv_id",
+        "book_title",
+        "total_chapters",
+        F.col("ch.number").alias("chapter_number"),
+        F.col("ch.title").alias("title"),
+        # sections = [chapter_header(title), paragraph(flat content)]
+        F.element_at(F.col("ch.sections"), 2)["content"].alias("content"),
+    )
+
+
+SQL_S11 = f"""
+WITH {_SQL_HEADERED},
+numbered AS (
+  SELECT *, sum(CASE WHEN btype = 'chapter_header' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chapter_no
+  FROM headered
+),
+grouped AS (
+  SELECT conv_id, chapter_no,
+         max(CASE WHEN btype = 'chapter_header' THEN bcontent END) AS h,
+         coalesce(string_agg(
+           CASE WHEN btype <> 'chapter_header' AND bcontent IS NOT NULL
+                 AND bcontent <> '' THEN bcontent END,
+           chr(10) || chr(10) ORDER BY turn_idx), '') AS content
+  FROM numbered GROUP BY conv_id, chapter_no
+),
+chap AS (
+  SELECT conv_id,
+    CAST(CASE WHEN chapter_no = 0 AND max(chapter_no) OVER (PARTITION BY conv_id) = 0
+              THEN 1 ELSE chapter_no END AS INT) AS chapter_number,
+    CASE WHEN chapter_no = 0 THEN 'Introduction' ELSE 'Chapter ' || h END AS title,
+    content
+  FROM grouped
+)
+SELECT c.conv_id, 'Book ' || c.conv_id AS book_title,
+       t.total_chapters, c.chapter_number, c.title, c.content
+FROM chap c JOIN (
+  SELECT conv_id, CAST(count(*) AS INT) AS total_chapters FROM chap GROUP BY conv_id
+) t ON c.conv_id = t.conv_id
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1427,6 +1685,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "pipeline_extract": (q_pipeline_extract, SQL_PIPELINE),
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
+    "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
+    "s6_book_info": (q_s6_book_info, SQL_S6),
+    "s11_book_info": (q_s11_book_info, SQL_S11),
 }
 
 

@@ -1,0 +1,181 @@
+"""S5/S6 JSON book sources — the LOAD direction of the nested
+intermediate format and the legacy ``book_info.json`` format.
+
+Transcribed semantics:
+
+* S5 save/load round trip: ``BookIntermediate.save_to_file`` /
+  ``load_from_file`` / ``from_dict`` (reference
+  ``book_intermediate.py:121-152``) — the intermediate JSON document
+  ``{metadata, chapters[{number,title,filename,sections[...]}],
+  total_chapters, total_word_count, format_version}`` parses back into
+  the exact nested frame it was serialized from.  Spark's ``to_json``
+  drops null struct fields (the reference's None-dropping
+  serialization, ``book_intermediate.py:52-63``) and ``from_json``
+  restores them as nulls, so the round trip is lossless.
+* S6 legacy source: ``BookConverter.from_epub_extractor``
+  (``book_intermediate.py:158-204``) — the flat
+  ``{metadata{title,author,language?,identifier?},
+  chapters[{number,title,filename?,content}], total_chapters}``
+  document; each flat chapter expands into exactly two sections,
+  ``chapter_header(title)`` then ``paragraph(content)``
+  (``book_intermediate.py:183-193``), and ``language`` defaults to
+  ``"en"`` (``:176``).
+
+Both loaders are pure projections (``from_json`` + ``transform``) —
+whole-plan native, no Python, no shuffle; at 100 TB they run map-side
+inside the scan stage of whatever file source supplies the JSON
+strings (``spark.read.text`` / a string column of an Iceberg table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bookextract_spark.functions.text import word_count_col
+from bookextract_spark.schemas import (
+    BOOK_INTERMEDIATE_SCHEMA,
+    CHAPTER_STRUCT,
+    METADATA_STRUCT,
+)
+
+# The serialized intermediate document = BOOK_INTERMEDIATE_SCHEMA minus
+# the engine-side conv_id key (one JSON file per book in the reference).
+BOOK_JSON_STRUCT = StructType(
+    [f for f in BOOK_INTERMEDIATE_SCHEMA.fields if f.name != "conv_id"]
+)
+
+# Legacy epub_extractor format (book_intermediate.py:523-556 writes it,
+# :158-204 reads it).
+LEGACY_BOOK_INFO_SCHEMA = StructType(
+    [
+        StructField(
+            "metadata",
+            StructType(
+                [
+                    StructField("title", StringType(), True),
+                    StructField("author", StringType(), True),
+                    StructField("language", StringType(), True),
+                    StructField("identifier", StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        StructField(
+            "chapters",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("number", IntegerType(), True),
+                        StructField("title", StringType(), True),
+                        StructField("filename", StringType(), True),
+                        StructField("content", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("total_chapters", IntegerType(), True),
+    ]
+)
+
+
+def save_intermediate_json(books: DataFrame, out_col: str = "book_json") -> DataFrame:
+    """S5 save: one JSON document per conversation
+    (``BookIntermediate.save_to_file`` / ``to_dict``,
+    book_intermediate.py:102-123).  ``to_json`` drops null fields —
+    the reference's None-dropping ContentSection serialization."""
+    doc = F.struct(*[F.col(f.name) for f in BOOK_JSON_STRUCT.fields])
+    return books.select("conv_id", F.to_json(doc).alias(out_col))
+
+
+def load_intermediate_json(saved: DataFrame, json_col: str = "book_json") -> DataFrame:
+    """S5 load: parse intermediate JSON documents back into the nested
+    frame (``BookIntermediate.load_from_file`` / ``from_dict``,
+    book_intermediate.py:121-152).  Inverse of
+    :func:`save_intermediate_json`: load(save(df)) == df."""
+    parsed = saved.select(
+        "conv_id", F.from_json(F.col(json_col), BOOK_JSON_STRUCT).alias("_doc")
+    )
+    return parsed.select(
+        "conv_id", *[F.col(f"_doc.{f.name}").alias(f.name) for f in BOOK_JSON_STRUCT.fields]
+    )
+
+
+def load_book_info_json(book_info: DataFrame, json_col: str = "book_info_json") -> DataFrame:
+    """S6 legacy source: parse ``book_info.json`` documents into the
+    intermediate shape (``BookConverter.from_epub_extractor``,
+    book_intermediate.py:158-204).
+
+    Per flat chapter the reference synthesizes exactly two sections —
+    ``chapter_header`` carrying the title, then ``paragraph`` carrying
+    the whole content (``:183-193``); metadata keeps title/author as-is,
+    defaults ``language`` to ``"en"`` (``:176``), and passes
+    ``identifier`` through (the dataclass generates a uuid when absent —
+    nondeterministic, excluded from any equality surface just like the
+    save side).
+    """
+    parsed = book_info.select(
+        "conv_id", F.from_json(F.col(json_col), LEGACY_BOOK_INFO_SCHEMA).alias("_bi")
+    )
+
+    def section(stype: str, content):
+        return F.struct(
+            F.lit(stype).alias("type"),
+            content.alias("content"),
+            F.lit(None).cast("string").alias("image"),
+            F.lit(None).cast("string").alias("caption"),
+            F.lit(None).cast("string").alias("source"),
+        )
+
+    chapters = F.transform(
+        F.col("_bi.chapters"),
+        lambda c: F.struct(
+            c["number"].alias("number"),
+            c["title"].alias("title"),
+            c["filename"].alias("filename"),
+            F.array(
+                section("chapter_header", c["title"]),
+                section("paragraph", c["content"]),
+            ).cast(CHAPTER_STRUCT["sections"].dataType).alias("sections"),
+            # Chapter.get_word_count = words of the "\n\n"-joined truthy
+            # section contents (book_intermediate.py:74-85); with the two
+            # synthesized sections that is wc(title) + wc(content)
+            (word_count_col(c["title"]) + word_count_col(c["content"])).alias(
+                "word_count"
+            ),
+        ),
+    )
+    metadata = F.struct(
+        F.col("_bi.metadata.title").alias("title"),
+        F.col("_bi.metadata.author").alias("author"),
+        F.coalesce(F.col("_bi.metadata.language"), F.lit("en")).alias("language"),
+        F.col("_bi.metadata.identifier").alias("identifier"),
+        F.lit(None).cast("string").alias("publisher"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("string").alias("cover_image"),
+        F.lit(None).cast("string").alias("creation_date"),
+    )
+    out = parsed.select(
+        "conv_id",
+        metadata.cast(METADATA_STRUCT).alias("metadata"),
+        chapters.alias("chapters"),
+    )
+    return out.select(
+        "conv_id",
+        "metadata",
+        "chapters",
+        F.size("chapters").alias("total_chapters"),
+        F.aggregate(
+            F.col("chapters"), F.lit(0).cast(LongType()), lambda a, c: a + c["word_count"]
+        ).alias("total_word_count"),
+        F.lit("1.0").alias("format_version"),
+    )

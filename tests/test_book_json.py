@@ -1,0 +1,163 @@
+"""S5/S6 JSON source tests: save -> load round trip on the nested
+intermediate format, and the legacy book_info.json source
+(reference book_intermediate.py:121-152, 158-204)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def _books(spark, transcripts):
+    from bookextract_spark.operators.chapters import (
+        assemble_chapters,
+        explode_blocks,
+        extract_metadata,
+        number_chapters,
+    )
+    from bookextract_spark.operators.render import assemble_book_intermediate
+    from bookextract_spark.pipeline import extract_turns
+
+    turns = extract_turns(transcripts)
+    blocks = explode_blocks(turns, blocks_col="merged_blocks")
+    chapters = assemble_chapters(number_chapters(blocks))
+    metadata = extract_metadata(blocks)
+    return assemble_book_intermediate(chapters, metadata)
+
+
+def test_s5_save_load_round_trip(spark, transcripts):
+    """load(save(books)) must equal books field-for-field on the full
+    nested structure (the reference's load_from_file inverts
+    save_to_file)."""
+    from bookextract_spark.sources.book_json import (
+        load_intermediate_json,
+        save_intermediate_json,
+    )
+
+    books = _books(spark, transcripts).cache()
+    loaded = load_intermediate_json(save_intermediate_json(books))
+    # same names and types (nullability flags differ: from_json output is
+    # always nullable — advisory only in Spark)
+    assert loaded.schema.simpleString() == books.schema.simpleString()
+
+    orig = {r["conv_id"]: r for r in books.collect()}
+    back = {r["conv_id"]: r for r in loaded.collect()}
+    assert orig.keys() == back.keys() and len(orig) > 0
+    for conv, o in orig.items():
+        b = back[conv]
+        assert o == b, f"round-trip mismatch for {conv}:\n{o}\nvs\n{b}"
+    books.unpersist()
+
+
+def test_s5_null_dropping_restores_as_null(spark):
+    """to_json drops null struct fields (the reference's None-dropping
+    ContentSection serialization); from_json restores them as nulls."""
+    from bookextract_spark.sources.book_json import (
+        load_intermediate_json,
+        save_intermediate_json,
+    )
+    from bookextract_spark.schemas import BOOK_INTERMEDIATE_SCHEMA
+
+    row = {
+        "conv_id": "c0",
+        "metadata": {
+            "title": "T",
+            "author": None,
+            "language": "en",
+            "identifier": "id-1",
+            "publisher": None,
+            "description": None,
+            "cover_image": None,
+            "creation_date": "2026-01-01T00:00:00",
+        },
+        "chapters": [
+            {
+                "number": 1,
+                "title": "Chapter 1",
+                "filename": "01_Chapter_1.txt",
+                "sections": [
+                    {
+                        "type": "paragraph",
+                        "content": "Body.",
+                        "image": None,
+                        "caption": None,
+                        "source": "c0:0",
+                    }
+                ],
+                "word_count": 1,
+            }
+        ],
+        "total_chapters": 1,
+        "total_word_count": 1,
+        "format_version": "1.0",
+    }
+    df = spark.createDataFrame([row], BOOK_INTERMEDIATE_SCHEMA)
+    saved = save_intermediate_json(df)
+    js = saved.collect()[0]["book_json"]
+    parsed = json.loads(js)
+    assert "author" not in parsed["metadata"]  # null dropped on save
+    assert "image" not in parsed["chapters"][0]["sections"][0]
+    back = load_intermediate_json(saved).collect()[0]
+    assert back["metadata"]["author"] is None  # restored as null
+    assert back["chapters"][0]["sections"][0]["image"] is None
+    assert back == df.collect()[0]
+
+
+def test_s6_book_info_source(spark):
+    """from_epub_extractor semantics: each flat chapter becomes
+    [chapter_header(title), paragraph(content)]; language defaults to
+    'en' when absent (book_intermediate.py:158-204)."""
+    from bookextract_spark.sources.book_json import load_book_info_json
+
+    doc = {
+        "metadata": {"title": "My Book", "author": "A. Writer"},
+        "chapters": [
+            {"number": 1, "title": "One", "filename": "01_One.txt", "content": "First body text."},
+            {"number": 2, "title": "Two", "content": "Second body."},
+        ],
+        "total_chapters": 2,
+    }
+    df = spark.createDataFrame(
+        [("b1", json.dumps(doc))], "conv_id string, book_info_json string"
+    )
+    out = load_book_info_json(df).collect()[0]
+    assert out["metadata"]["title"] == "My Book"
+    assert out["metadata"]["language"] == "en"  # default applied
+    assert out["total_chapters"] == 2 and out["format_version"] == "1.0"
+    ch1 = out["chapters"][0]
+    assert ch1["number"] == 1 and ch1["title"] == "One"
+    assert [s["type"] for s in ch1["sections"]] == ["chapter_header", "paragraph"]
+    assert ch1["sections"][0]["content"] == "One"
+    assert ch1["sections"][1]["content"] == "First body text."
+    # word_count = words of "\n\n".join(truthy contents) = wc(title)+wc(content)
+    assert ch1["word_count"] == 1 + 3
+    assert out["chapters"][1]["filename"] is None
+    assert out["total_word_count"] == (1 + 3) + (1 + 2)
+
+
+def test_s11_sink_to_s6_source_round_trip(spark, transcripts):
+    """The legacy book_info sink (S11) parses back through the S6
+    source: titles, numbers, and flattened chapter contents survive."""
+    from bookextract_spark.operators.render import book_info_json
+    from bookextract_spark.sources.book_json import load_book_info_json
+
+    books = _books(spark, transcripts).cache()
+    legacy = book_info_json(books)
+    loaded = load_book_info_json(legacy, "book_info_json")
+
+    orig = {r["conv_id"]: r for r in books.collect()}
+    back = {r["conv_id"]: r for r in loaded.collect()}
+    assert orig.keys() == back.keys()
+    for conv, o in orig.items():
+        b = back[conv]
+        assert b["metadata"]["title"] == o["metadata"]["title"]
+        assert [c["number"] for c in b["chapters"]] == [c["number"] for c in o["chapters"]]
+        assert [c["title"] for c in b["chapters"]] == [c["title"] for c in o["chapters"]]
+        # flat content = "\n\n" join of truthy non-chapter_header contents
+        for bc, oc in zip(b["chapters"], o["chapters"]):
+            flat = "\n\n".join(
+                s["content"]
+                for s in oc["sections"]
+                if s["type"] != "chapter_header" and s["content"]
+            )
+            assert bc["sections"][1]["content"] == flat
+    books.unpersist()
