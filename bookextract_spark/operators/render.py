@@ -222,6 +222,70 @@ def assemble_book_intermediate(chapters: DataFrame, metadata: DataFrame) -> Data
     )
 
 
+def m4b_chapter_metadata(files: DataFrame, chapters: DataFrame) -> DataFrame:
+    """O15 complete: FFMETADATA chapter rows with cumulative offsets AND
+    the reference's chapter-title determination
+    (``m4b_generator.py:268-303``).
+
+    ``files``: (conv_id, basename, dur_ms) — one row per audio file;
+    the reference iterates files in SORTED name order (``:169,211``),
+    so the running offset windows order by basename.
+    ``chapters``: (conv_id, number, title) — the intermediate's chapter
+    list used for the title lookup.
+
+    Title rule (``:283-296``): basename ``00_title`` -> ``Title Page``;
+    else parse the leading ``NN_`` as the chapter number and look the
+    chapter up — found -> ``Chapter {number}: {title}``, missing ->
+    ``Chapter {num}``; unparsable basename ->
+    ``basename.replace('_',' ').title()``.
+
+    The chapters side is a per-book list (tiny) — broadcast it; the
+    cumulative window is the only exchange.
+    """
+    from pyspark.sql import Window
+
+    basename = F.col("basename")
+    parsed = F.expr("try_cast(split_part(basename, '_', 1) as int)")
+    f = files.withColumn("_num", parsed)
+    ch = chapters.select(
+        F.col("conv_id").alias("_c_conv"),
+        F.col("number").alias("_c_num"),
+        F.col("title").alias("_c_title"),
+    )
+    joined = f.join(
+        F.broadcast(ch),
+        (f["conv_id"] == ch["_c_conv"]) & (f["_num"] == ch["_c_num"]),
+        "left",
+    ).drop("_c_conv", "_c_num")
+    title = (
+        F.when(basename == "00_title", F.lit("Title Page"))
+        .when(
+            F.col("_num").isNotNull() & F.col("_c_title").isNotNull(),
+            F.concat(
+                F.lit("Chapter "), F.col("_num").cast("string"), F.lit(": "), F.col("_c_title")
+            ),
+        )
+        .when(
+            F.col("_num").isNotNull(),
+            F.concat(F.lit("Chapter "), F.col("_num").cast("string")),
+        )
+        .otherwise(F.initcap(F.replace(basename, F.lit("_"), F.lit(" "))))
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("basename")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("dur_ms").over(w), F.lit(0)).cast("long")
+    return joined.select(
+        "conv_id",
+        "basename",
+        start.alias("start_ms"),
+        (start + F.col("dur_ms")).cast("long").alias("end_ms"),
+        title.alias("chapter_title"),
+    )
+
+
 def book_info_json(books: DataFrame) -> DataFrame:
     """S11 legacy book_info.json sink (book_intermediate.py:523-556):
     one JSON document per conversation via to_json (None-dropping is

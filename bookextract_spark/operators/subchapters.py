@@ -1,0 +1,191 @@
+"""O11 EPUB chapter/sub-chapter chunking with ``page_division`` splits,
+re-architected from the reference's sequential state machine
+(``EpubGenerator._process_content_to_chapters``,
+``epub_generator.py:133-264``) into pure windows + one grouped
+aggregation — the same pattern as the O8/O9 re-architectures.
+
+Spec twin: :func:`bookextract_spark.reference_semantics.epub_subchapters`
+(transcribed loop); the pytest suite drives both over adversarial block
+streams and asserts equality.
+
+Window derivation of the machine's state (all over the conv window
+ordered by ``(turn_idx, block_idx)``):
+
+* ``emits``      — the block appends a piece to the buffer (every
+  handled type; cover/image without an image value appends nothing).
+* ``flush``      — a ``chapter_header``/``page_division`` block flushes
+  iff the buffer is non-empty, which reduces to "some earlier block of
+  the conv emits": after ANY prior flush the boundary block of that
+  flush has itself emitted into the new buffer, and before the first
+  flush the buffer holds every piece since the start.
+* ``chunk_no``   — running flush count (a flushing block STARTS the new
+  chunk, so the running sum includes the current row).
+* ``cc``         — chapter_counter increments only on chapter_header
+  flushes (``:152``): running count of flushing headers.
+* ``dc``         — division_counter: 1 at the last header, +1 per
+  page_division (``:157,:195``); with ``P`` = running page_division
+  count, ``dc = 1 + P - P@last_header`` after a header exists, else
+  ``P``.
+* per-chunk state (title/cc/dc) is read at the chunk's LAST block —
+  emission happens at the next boundary BEFORE that boundary mutates
+  the counters, and within a chunk no state-changing block can occur
+  after the first emitting one (any later header/division would have
+  flushed).
+
+Shuffle profile: ONE exchange on ``conv_id`` (the window), then a
+groupBy on ``(conv_id, chunk_no)`` — a refinement of the window's
+clustering, so hash(conv_id) already satisfies it and AQE plans no
+second exchange.  Skewed million-block conversations are bounded by
+the same salted two-level pattern as O9 if ever needed; chunk contents
+are bounded by page/chapter sizes, not conversation length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_CONTENT_TAGS = {
+    "paragraph": ("<p>", "</p>"),
+    "bold": ("<p><strong>", "</strong></p>"),
+    "block_indent": ("<blockquote>", "</blockquote>"),
+    "sub_header": ("<h3>", "</h3>"),
+    "header": ("<h2>", "</h2>"),
+}
+
+
+def _piece_col(btype: Column, content: Column, image: Column, caption: Column, img_no: Column) -> Column:
+    """The HTML fragment a block appends to the chunk buffer
+    (``epub_generator.py:146-251``); NULL = appends nothing."""
+    text = F.coalesce(content, F.lit(""))
+    has_caption = caption.isNotNull() & (caption != "")
+    img_div = F.concat(
+        F.lit('<div class="image-container"><img src="images/image_'),
+        img_no.cast("string"),
+        F.lit('.png" alt="'),
+        F.when(has_caption, caption).otherwise(F.lit("Image")),
+        F.lit('"/>'),
+        F.when(
+            has_caption,
+            F.concat(F.lit('<p class="caption">'), caption, F.lit("</p>")),
+        ).otherwise(F.lit("")),
+        F.lit("</div>"),
+    )
+    out = (
+        F.when(btype == "chapter_header", F.concat(F.lit("<h1>"), text, F.lit("</h1>")))
+        .when(btype == "title", F.concat(F.lit("<h1>"), text, F.lit("</h1>")))
+        .when(btype == "author", F.concat(F.lit("<h2>"), text, F.lit("</h2>")))
+        .when(btype.isin("cover", "image") & image.isNotNull(), img_div)
+        .when(btype == "page_division", F.lit("<hr/>"))
+    )
+    for t, (open_, close) in _CONTENT_TAGS.items():
+        out = out.when(btype == t, F.concat(F.lit(open_), text, F.lit(close)))
+    return out.otherwise(F.lit(None).cast("string"))
+
+
+def epub_subchapters(block_rows: DataFrame) -> DataFrame:
+    """Chunk ordered block rows into EPUB chapter FILES, splitting
+    chapters into ``chapter_{c}.{d}.xhtml`` sub-chapters on every
+    ``page_division`` (``epub_generator.py:186-196,253-264``).
+
+    Input: block rows (conv_id, turn_idx, block_idx, type, content,
+    image, caption).  Output: one row per emitted chunk with
+    (conv_id, chapter_counter, division_counter, chapter_title,
+    filename, xhtml).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "block_idx")
+    wcur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+
+    btype = F.col("type")
+    is_ch = btype == "chapter_header"
+    is_pd = btype == "page_division"
+    is_img = btype.isin("cover", "image") & F.col("image").isNotNull()
+
+    # the reference's GLOBAL image_{n}.png counter (:165-167): running
+    # count of image-bearing blocks in document order
+    df = block_rows.withColumn(
+        "_img_no", F.sum(is_img.cast("int")).over(wcur)
+    ).withColumn(
+        "_piece",
+        _piece_col(btype, F.col("content"), F.col("image"), F.col("caption"), F.col("_img_no")),
+    )
+    emits = F.col("_piece").isNotNull()
+    df = df.withColumn(
+        "_flush",
+        (is_ch | is_pd) & (F.count(F.when(emits, F.lit(1))).over(wprev) > 0),
+    )
+    P = F.sum(is_pd.cast("int")).over(wcur)
+    df = (
+        df.withColumn("_chunk", F.sum(F.col("_flush").cast("int")).over(wcur))
+        .withColumn("_cc", F.sum((is_ch & F.col("_flush")).cast("int")).over(wcur))
+        .withColumn("_P", P)
+        .withColumn(
+            "_P_at_ch",
+            F.last(F.when(is_ch, F.col("_P")), ignorenulls=True).over(wcur),
+        )
+        .withColumn(
+            "_ch_content",
+            F.last(
+                F.when(is_ch, F.struct(F.coalesce(F.col("content"), F.lit("")).alias("v"))),
+                ignorenulls=True,
+            ).over(wcur),
+        )
+    )
+    dc = F.when(
+        F.col("_P_at_ch").isNotNull(), F.lit(1) + F.col("_P") - F.col("_P_at_ch")
+    ).otherwise(F.col("_P"))
+    title = F.when(
+        F.col("_ch_content").isNotNull(),
+        F.concat(F.lit("Chapter "), F.col("_ch_content")["v"]),
+    ).otherwise(F.lit("Cover"))
+    df = df.withColumn("_dc", dc).withColumn("_title", title)
+
+    grouped = df.groupBy("conv_id", "_chunk").agg(
+        # pieces in document order; ''.join like the reference (:262)
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("turn_idx", "block_idx", F.col("_piece").alias("p"))
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                lambda p: p.isNotNull(),
+            ),
+            "",
+        ).alias("xhtml"),
+        # machine state at the chunk's LAST block = state at emission
+        F.max(
+            F.struct(
+                "turn_idx",
+                "block_idx",
+                F.col("_cc").alias("cc"),
+                F.col("_dc").alias("dc"),
+                F.col("_title").alias("title"),
+            )
+        ).alias("_st"),
+        F.count(F.when(emits, F.lit(1))).alias("_n_pieces"),
+    )
+    # an all-silent chunk (possible only before the first flush) never
+    # emits — the reference flushes only non-empty buffers
+    grouped = grouped.where(F.col("_n_pieces") > 0)
+    cc, dcv, tt = F.col("_st.cc"), F.col("_st.dc"), F.col("_st.title")
+    return grouped.select(
+        "conv_id",
+        F.col("_chunk").cast("int").alias("chunk_idx"),
+        cc.alias("chapter_counter"),
+        dcv.alias("division_counter"),
+        F.when(dcv > 1, F.concat(tt, F.lit(" - "), dcv.cast("string")))
+        .otherwise(tt)
+        .alias("chapter_title"),
+        F.when(
+            dcv > 1,
+            F.format_string("chapter_%d.%d.xhtml", cc, dcv),
+        )
+        .otherwise(F.format_string("chapter_%d.xhtml", cc))
+        .alias("filename"),
+        "xhtml",
+    )

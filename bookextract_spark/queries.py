@@ -1389,6 +1389,541 @@ GROUP BY conv_fp
 
 
 # --------------------------------------------------------------------------
+# O11 page_division sub-chapter split (epub_generator.py:186-196,253-264)
+# --------------------------------------------------------------------------
+
+
+def q_o11_subchapters(spark, sf_dir):
+    """O11 chunking machine over typed block rows synthesized from the
+    derived transcripts (headers, page divisions, images); runs the
+    REAL windowed operator and emits one row per chapter FILE with the
+    reference's ``chapter_{c}[.{d}].xhtml`` naming."""
+    from bookextract_spark.operators.subchapters import epub_subchapters
+
+    t = _derived_transcripts(spark, sf_dir)
+    is_ch = (F.col("turn_idx") % 5 == 0) & (F.col("turn_idx") > 0)
+    is_pd = ~is_ch & (F.col("turn_idx") % 7 == 3)
+    is_img = ~is_ch & ~is_pd & (F.col("turn_idx") % 11 == 4)
+    btype = (
+        F.when(is_ch, F.lit("chapter_header"))
+        .when(is_pd, F.lit("page_division"))
+        .when(is_img, F.lit("image"))
+        .otherwise(F.lit("paragraph"))
+    )
+    rows = t.select(
+        "conv_id",
+        "turn_idx",
+        F.lit(0).cast("int").alias("block_idx"),
+        btype.alias("type"),
+        F.when(is_ch, (F.col("turn_idx") / 5).cast("int").cast("string"))
+        .when(is_pd | is_img, F.lit(None).cast("string"))
+        .otherwise(F.col("content"))
+        .alias("content"),
+        F.when(is_img, F.lit("img.png")).otherwise(F.lit(None).cast("string")).alias("image"),
+        F.when(is_img & (F.col("turn_idx") % 2 == 0), F.col("content"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("caption"),
+    )
+    return epub_subchapters(rows)
+
+
+# every synthesized block type emits a piece (no cover/image-less rows),
+# so "buffer non-empty" == "not the conversation's first block"
+SQL_O11_SUB = f"""
+WITH {_SQL_TRANSCRIPTS_CTE},
+typed AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN turn_idx % 5 = 0 AND turn_idx > 0 THEN 'chapter_header'
+         WHEN turn_idx % 7 = 3 THEN 'page_division'
+         WHEN turn_idx % 11 = 4 THEN 'image'
+         ELSE 'paragraph' END AS btype,
+    CASE WHEN turn_idx % 5 = 0 AND turn_idx > 0 THEN CAST(CAST(turn_idx / 5 AS INT) AS VARCHAR)
+         WHEN turn_idx % 7 = 3 OR turn_idx % 11 = 4 THEN NULL
+         ELSE content END AS bcontent,
+    CASE WHEN turn_idx % 5 <> 0 OR turn_idx = 0 THEN
+      CASE WHEN turn_idx % 7 <> 3 AND turn_idx % 11 = 4 AND turn_idx % 2 = 0
+           THEN content END END AS caption,
+    (turn_idx % 5 <> 0 OR turn_idx = 0) AND turn_idx % 7 <> 3 AND turn_idx % 11 = 4 AS is_img
+  FROM transcripts_v
+),
+st AS (
+  SELECT *,
+    sum(CASE WHEN is_img THEN 1 ELSE 0 END) OVER
+      (PARTITION BY conv_id ORDER BY turn_idx
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS img_no,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+    sum(CASE WHEN btype = 'page_division' THEN 1 ELSE 0 END) OVER
+      (PARTITION BY conv_id ORDER BY turn_idx
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM typed
+),
+pieces AS (
+  SELECT *,
+    CASE btype
+      WHEN 'chapter_header' THEN '<h1>' || coalesce(bcontent, '') || '</h1>'
+      WHEN 'page_division' THEN '<hr/>'
+      WHEN 'image' THEN '<div class="image-container"><img src="images/image_' ||
+        CAST(img_no AS VARCHAR) || '.png" alt="' ||
+        CASE WHEN caption IS NOT NULL AND caption <> '' THEN caption ELSE 'Image' END ||
+        '"/>' ||
+        CASE WHEN caption IS NOT NULL AND caption <> ''
+             THEN '<p class="caption">' || caption || '</p>' ELSE '' END || '</div>'
+      ELSE '<p>' || coalesce(bcontent, '') || '</p>' END AS piece,
+    btype IN ('chapter_header', 'page_division') AND rn > 1 AS flush
+  FROM st
+),
+state AS (
+  SELECT *,
+    sum(CASE WHEN flush THEN 1 ELSE 0 END) OVER w_cur AS chunk,
+    sum(CASE WHEN flush AND btype = 'chapter_header' THEN 1 ELSE 0 END) OVER w_cur AS cc,
+    last_value(CASE WHEN btype = 'chapter_header' THEN p END IGNORE NULLS) OVER w_cur AS p_at_ch,
+    last_value(CASE WHEN btype = 'chapter_header' THEN coalesce(bcontent, '') END IGNORE NULLS)
+      OVER w_cur AS ch_content
+  FROM pieces
+  WINDOW w_cur AS (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+dct AS (
+  SELECT *,
+    CASE WHEN p_at_ch IS NOT NULL THEN 1 + p - p_at_ch ELSE p END AS dc,
+    CASE WHEN ch_content IS NOT NULL THEN 'Chapter ' || ch_content ELSE 'Cover' END AS title
+  FROM state
+),
+grouped AS (
+  SELECT conv_id, chunk,
+    string_agg(piece, '' ORDER BY turn_idx) AS xhtml,
+    arg_max(cc, turn_idx) AS cc,
+    arg_max(dc, turn_idx) AS dc,
+    arg_max(title, turn_idx) AS title
+  FROM dct GROUP BY conv_id, chunk
+)
+SELECT conv_id, CAST(chunk AS INT) AS chunk_idx,
+  CAST(cc AS BIGINT) AS chapter_counter,
+  CAST(dc AS BIGINT) AS division_counter,
+  CASE WHEN dc > 1 THEN title || ' - ' || CAST(dc AS VARCHAR) ELSE title END AS chapter_title,
+  CASE WHEN dc > 1
+       THEN printf('chapter_%d.%d.xhtml', CAST(cc AS BIGINT), CAST(dc AS BIGINT))
+       ELSE printf('chapter_%d.xhtml', CAST(cc AS BIGINT)) END AS filename,
+  xhtml
+FROM grouped
+"""
+
+
+# --------------------------------------------------------------------------
+# O10/O11/O12 render dispatches + P5 validation, driver-visible
+# --------------------------------------------------------------------------
+
+# synthesized chapter rows shared by the render queries: chapters of 5
+# turns; slot cycle paragraph / header-or-chapter_header / page_division
+# / image / bold covers every dispatch branch
+def _synthetic_chapters(spark, sf_dir):
+    t = _derived_transcripts(spark, sf_dir)
+    slot = F.col("turn_idx") % 5
+    btype = (
+        F.when(slot == 0, F.lit("paragraph"))
+        .when(slot == 1, F.when(F.col("turn_idx") % 10 == 1, F.lit("chapter_header")).otherwise(F.lit("header")))
+        .when(slot == 2, F.lit("page_division"))
+        .when(slot == 3, F.lit("image"))
+        .otherwise(F.lit("bold"))
+    )
+    content = F.when(slot == 2, F.lit(None).cast("string")).otherwise(F.col("content"))
+    sec = F.struct(
+        btype.alias("type"),
+        content.alias("content"),
+        F.when(slot == 3, F.lit("img.png")).otherwise(F.lit(None).cast("string")).alias("image"),
+        F.when((slot == 3) & (F.col("turn_idx") % 2 == 0), F.concat(F.lit("Cap "), F.col("turn_idx").cast("string")))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("caption"),
+        F.lit(None).cast("string").alias("source"),
+    )
+    grouped = (
+        t.select(
+            "conv_id",
+            F.floor(F.col("turn_idx") / 5).cast("int").alias("chapter_number"),
+            F.struct(F.col("turn_idx").alias("o"), sec.alias("s")).alias("_os"),
+        )
+        .groupBy("conv_id", "chapter_number")
+        .agg(F.array_sort(F.collect_list("_os")).alias("_oss"))
+    )
+    return grouped.select(
+        "conv_id",
+        "chapter_number",
+        F.concat(F.lit("Ch "), F.col("chapter_number").cast("string"), F.lit(" A?b/c")).alias(
+            "title"
+        ),
+        F.transform(F.col("_oss"), lambda s: s["s"]).alias("sections"),
+    )
+
+
+_SQL_SYNTH_SECTIONS = f"""
+{_SQL_TRANSCRIPTS_CTE},
+secs AS (
+  SELECT conv_id, turn_idx,
+    CAST(floor(turn_idx / 5) AS INT) AS chapter_number,
+    CASE turn_idx % 5
+      WHEN 0 THEN 'paragraph'
+      WHEN 1 THEN CASE WHEN turn_idx % 10 = 1 THEN 'chapter_header' ELSE 'header' END
+      WHEN 2 THEN 'page_division'
+      WHEN 3 THEN 'image'
+      ELSE 'bold' END AS btype,
+    CASE WHEN turn_idx % 5 = 2 THEN NULL ELSE content END AS bcontent,
+    CASE WHEN turn_idx % 5 = 3 THEN 'img.png' END AS image,
+    CASE WHEN turn_idx % 5 = 3 AND turn_idx % 2 = 0
+         THEN 'Cap ' || CAST(turn_idx AS VARCHAR) END AS caption
+  FROM transcripts_v
+),
+chap_titles AS (
+  SELECT DISTINCT conv_id, chapter_number,
+    'Ch ' || CAST(chapter_number AS VARCHAR) || ' A?b/c' AS title
+  FROM secs
+)
+"""
+
+
+def _sql_clean_tts(x: str) -> str:
+    """Inline DuckDB twin of clean_text_for_tts_col (T2-T8 chain) for an
+    arbitrary expression; null input -> ''."""
+    s2 = f"regexp_replace(regexp_replace(coalesce({x}, ''), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')"
+    s3 = f"regexp_replace({s2}, '\\.{{2,}}', '...', 'g')"
+    s4 = f"regexp_replace({s3}, '--+', ' -- ', 'g')"
+    s5 = f"regexp_replace({s4}, '([.!?])\\s*([A-Z])', '\\1 \\2', 'g')"
+    s6 = f"regexp_replace(replace({s5}, '…', '...'), '<[^>]+>', '', 'g')"
+    return (
+        f"CASE WHEN {s6} = '' OR substring({s6}, length({s6}), 1) IN ('.', '!', '?')"
+        f" THEN {s6} ELSE {s6} || '.' END"
+    )
+
+
+def q_o10_tts_render(spark, sf_dir):
+    """O10 per-type TTS dispatch + S10 chapter file assembly
+    (intermediate_to_m4b.py:26-88) on the synthesized chapters, via the
+    REAL render_tts_chapters operator."""
+    from bookextract_spark.operators.render import render_tts_chapters
+
+    return render_tts_chapters(_synthetic_chapters(spark, sf_dir))
+
+
+SQL_O10 = f"""
+WITH {_SQL_SYNTH_SECTIONS},
+pieces AS (
+  SELECT conv_id, chapter_number, turn_idx,
+    CASE btype
+      WHEN 'chapter_header' THEN NULL
+      WHEN 'page_division' THEN chr(10)
+      WHEN 'image' THEN
+        CASE WHEN caption IS NOT NULL AND caption <> '' THEN '[Image: ' || caption || ']'
+             WHEN bcontent IS NOT NULL AND bcontent <> '' THEN '[Image: ' || bcontent || ']'
+        END
+      WHEN 'paragraph' THEN CASE WHEN bcontent IS NOT NULL AND bcontent <> ''
+                                 THEN {_sql_clean_tts("bcontent")} END
+      WHEN 'bold' THEN CASE WHEN bcontent IS NOT NULL AND bcontent <> ''
+                            THEN {_sql_clean_tts("bcontent")} END
+      ELSE CASE WHEN bcontent IS NOT NULL AND bcontent <> ''
+                THEN chr(10) || {_sql_clean_tts("bcontent")} || chr(10) END
+    END AS piece
+  FROM secs
+),
+bodies AS (
+  SELECT conv_id, chapter_number,
+    coalesce(string_agg(CASE WHEN piece <> '' THEN piece END, chr(10) || chr(10)
+             ORDER BY turn_idx), '') AS body
+  FROM pieces GROUP BY conv_id, chapter_number
+),
+assembled AS (
+  SELECT b.conv_id, b.chapter_number, t.title,
+    'Chapter ' || CAST(b.chapter_number AS VARCHAR) || ': ' || t.title AS header,
+    b.body
+  FROM bodies b JOIN chap_titles t
+    ON b.conv_id = t.conv_id AND b.chapter_number = t.chapter_number
+),
+content AS (
+  SELECT conv_id, chapter_number, title,
+    CASE WHEN body = '' THEN header ELSE header || chr(10) || chr(10) || body END AS tts_text
+  FROM assembled
+)
+SELECT conv_id, chapter_number,
+  printf('%02d_%s.txt', chapter_number,
+         replace(regexp_replace(regexp_replace(title, '[^[:alnum:] \\-_]', '', 'g'),
+                 '\\s+$', ''), ' ', '_')) AS filename,
+  tts_text,
+  -- NOTE: DuckDB trim() strips only spaces; the tts body can end with a
+  -- page_division newline, so strip with the regexp like the Python spec
+  CASE WHEN tts_text IS NULL
+         OR regexp_replace(tts_text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+       ELSE length(regexp_replace(regexp_replace(tts_text, '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+', ' ', 'g'))
+            - length(replace(regexp_replace(regexp_replace(tts_text, '^\\s+|\\s+$', '', 'g'),
+                                            '\\s+', ' ', 'g'), ' ', '')) + 1
+  END::BIGINT AS n_words
+FROM content
+"""
+
+
+def q_o11_html_render(spark, sf_dir):
+    """O11 per-type XHTML dispatch + S9 chapter document assembly
+    (epub_generator.py:144-251) via the REAL render_html_chapters."""
+    from bookextract_spark.operators.render import render_html_chapters
+
+    return render_html_chapters(_synthetic_chapters(spark, sf_dir))
+
+
+SQL_O11_HTML = f"""
+WITH {_SQL_SYNTH_SECTIONS},
+pieces AS (
+  SELECT conv_id, chapter_number, turn_idx,
+    CASE btype
+      WHEN 'image' THEN '<figure><img src="' || coalesce(image, '') || '" alt="' ||
+        coalesce(caption, '') || '"/>' ||
+        CASE WHEN caption IS NOT NULL AND caption <> ''
+             THEN '<figcaption>' || caption || '</figcaption>' ELSE '' END || '</figure>'
+      WHEN 'page_division' THEN '<hr/>'
+      WHEN 'paragraph' THEN CASE WHEN bcontent IS NOT NULL AND bcontent <> ''
+                                 THEN '<p>' || bcontent || '</p>' END
+      WHEN 'bold' THEN CASE WHEN bcontent IS NOT NULL AND bcontent <> ''
+                            THEN '<p><strong>' || bcontent || '</strong></p>' END
+      WHEN 'header' THEN CASE WHEN bcontent IS NOT NULL AND bcontent <> ''
+                              THEN '<h2>' || bcontent || '</h2>' END
+      WHEN 'chapter_header' THEN CASE WHEN bcontent IS NOT NULL AND bcontent <> ''
+                                      THEN '<h1>Chapter ' || bcontent || '</h1>' END
+    END AS piece
+  FROM secs
+),
+bodies AS (
+  SELECT conv_id, chapter_number,
+    coalesce(string_agg(piece, chr(10) ORDER BY turn_idx), '') AS body
+  FROM pieces GROUP BY conv_id, chapter_number
+)
+SELECT b.conv_id, b.chapter_number,
+  printf('chapter_%02d.xhtml', b.chapter_number) AS filename,
+  '<html><head><title>' || t.title || '</title></head><body>' || chr(10) ||
+    b.body || chr(10) || '</body></html>' AS xhtml
+FROM bodies b JOIN chap_titles t
+  ON b.conv_id = t.conv_id AND b.chapter_number = t.chapter_number
+"""
+
+
+def q_o12_preview(spark, sf_dir):
+    """O12 preview dispatch (rich_text_renderer.py:199-256) via the
+    REAL render_preview_chapters."""
+    from bookextract_spark.operators.render import render_preview_chapters
+
+    return render_preview_chapters(_synthetic_chapters(spark, sf_dir))
+
+
+SQL_O12 = f"""
+WITH {_SQL_SYNTH_SECTIONS},
+pieces AS (
+  SELECT conv_id, chapter_number, turn_idx,
+    CASE
+      WHEN btype = 'page_division' THEN repeat('─', 50)
+      WHEN btype = 'image' THEN '[Image: ' || coalesce(caption, bcontent, '') || ']'
+      WHEN btype = 'chapter_header' THEN 'Chapter ' || bcontent
+      WHEN bcontent IS NOT NULL AND bcontent <> '' THEN bcontent
+    END AS piece
+  FROM secs
+),
+bodies AS (
+  SELECT conv_id, chapter_number,
+    coalesce(string_agg(CASE WHEN piece <> '' THEN piece END,
+             chr(10) || chr(10) ORDER BY turn_idx), '') AS body
+  FROM pieces GROUP BY conv_id, chapter_number
+)
+SELECT b.conv_id, b.chapter_number,
+  'Chapter ' || CAST(b.chapter_number AS VARCHAR) || ': ' || t.title ||
+    chr(10) || chr(10) || b.body AS preview_text
+FROM bodies b JOIN chap_titles t
+  ON b.conv_id = t.conv_id AND b.chapter_number = t.chapter_number
+"""
+
+
+def q_p5_validate(spark, sf_dir):
+    """P5 required-section validation (edit_gui.py:736-751) on block
+    rows where some conversations lack title/author/cover."""
+    from bookextract_spark.operators.edit import validate_required_sections
+
+    rows = _p5_block_rows(spark, sf_dir)
+    out = validate_required_sections(rows)
+    return out.select(
+        "conv_id",
+        "has_title",
+        "has_author",
+        "has_cover",
+        "valid",
+        F.array_join("missing_sections", ",").alias("missing_csv"),
+    )
+
+
+def _p5_block_rows(spark, sf_dir):
+    t = _derived_transcripts(spark, sf_dir)
+    cnum = F.substring(F.col("conv_id"), 2, 10).cast("int")
+    btype = (
+        F.when((F.col("turn_idx") == 0) & (cnum % 3 != 0), F.lit("title"))
+        .when((F.col("turn_idx") == 1) & (cnum % 4 != 0), F.lit("author"))
+        .when((F.col("turn_idx") == 2) & (cnum % 5 == 0), F.lit("cover"))
+        .otherwise(F.lit("paragraph"))
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.lit(0).cast("int").alias("block_idx"),
+        btype.alias("type"),
+        F.col("content"),
+        F.when(btype == "cover", F.lit("cov.png")).otherwise(F.lit(None).cast("string")).alias("image"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("string").alias("source"),
+    )
+
+
+_SQL_P5_ROWS = f"""
+{_SQL_TRANSCRIPTS_CTE},
+cn AS (SELECT *, CAST(substring(conv_id, 2, 10) AS INT) AS cnum FROM transcripts_v),
+typed AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN turn_idx = 0 AND cnum % 3 <> 0 THEN 'title'
+         WHEN turn_idx = 1 AND cnum % 4 <> 0 THEN 'author'
+         WHEN turn_idx = 2 AND cnum % 5 = 0 THEN 'cover'
+         ELSE 'paragraph' END AS btype,
+    content
+  FROM cn
+)
+"""
+
+SQL_P5 = f"""
+WITH {_SQL_P5_ROWS},
+flags AS (
+  SELECT conv_id,
+    bool_or(btype = 'title') AS has_title,
+    bool_or(btype = 'author') AS has_author,
+    bool_or(btype = 'cover') AS has_cover
+  FROM typed GROUP BY conv_id
+)
+SELECT conv_id, has_title, has_author, has_cover,
+  (has_title AND has_author AND has_cover) AS valid,
+  coalesce(array_to_string(list_filter(
+    [CASE WHEN NOT has_title THEN 'title' ELSE '' END,
+     CASE WHEN NOT has_author THEN 'author' ELSE '' END,
+     CASE WHEN NOT has_cover THEN 'cover' ELSE '' END],
+    x -> x <> ''), ','), '') AS missing_csv
+FROM flags
+"""
+
+
+def q_p5_stubs(spark, sf_dir):
+    """P5 stub insertion (edit_gui.py:764-797): the synthesized stub
+    rows for each conversation's missing required sections."""
+    from bookextract_spark.operators.edit import insert_stub_sections
+
+    out = insert_stub_sections(_p5_block_rows(spark, sf_dir))
+    return out.where(F.col("source") == "stub").select(
+        "conv_id", "turn_idx", "block_idx", "type", "content", "image"
+    )
+
+
+SQL_P5_STUBS = f"""
+WITH {_SQL_P5_ROWS},
+flags AS (
+  SELECT conv_id,
+    bool_or(btype = 'title') AS has_title,
+    bool_or(btype = 'author') AS has_author,
+    bool_or(btype = 'cover') AS has_cover
+  FROM typed GROUP BY conv_id
+)
+SELECT conv_id, -1 AS turn_idx, block_idx, stype AS type, content, image
+FROM (
+  SELECT conv_id, -3 AS block_idx, 'title' AS stype,
+         'Your Book Title Here' AS content, NULL AS image
+  FROM flags WHERE NOT has_title
+  UNION ALL
+  SELECT conv_id, -2, 'author', 'Your Name Here', NULL FROM flags WHERE NOT has_author
+  UNION ALL
+  SELECT conv_id, -1, 'cover', NULL, conv_id || '.png' FROM flags WHERE NOT has_cover
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# O15 complete: cumulative offsets + chapter-title lookup
+# (m4b_generator.py:268-303)
+# --------------------------------------------------------------------------
+
+
+def q_o15_chapter_titles(spark, sf_dir):
+    """O15 with the title determination: audio files synthesized from
+    events ('00_title' special case, NN_ parsed lookups, an unparsable
+    name), chapter dim from the same table, REAL m4b_chapter_metadata
+    operator."""
+    from bookextract_spark.operators.render import m4b_chapter_metadata
+
+    e = _load(spark, sf_dir, "events")
+    basename = (
+        F.when(F.col("event_id") % 17 == 0, F.lit("00_title"))
+        .when(F.col("event_id") % 23 == 0, F.lit("notes_extra"))
+        .otherwise(
+            F.format_string(
+                "%02d_Part_%d", (F.col("event_id") % 20).cast("int"), F.col("event_id")
+            )
+        )
+    )
+    files = e.select(
+        F.col("user_id").alias("conv_id"),
+        basename.alias("basename"),
+        F.floor(F.col("value") * 1000).cast("long").alias("dur_ms"),
+    ).groupBy("conv_id", "basename").agg(F.max("dur_ms").alias("dur_ms"))
+    chapters = (
+        e.where(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("user_id").alias("conv_id"),
+            (F.col("event_id") % 20).cast("int").alias("number"),
+        )
+        .distinct()
+        .withColumn("title", F.concat(F.lit("Sec "), F.col("number").cast("string")))
+    )
+    return m4b_chapter_metadata(files, chapters)
+
+
+SQL_O15_TITLES = """
+WITH files AS (
+  SELECT user_id AS conv_id, basename, max(dur_ms) AS dur_ms
+  FROM (
+    SELECT user_id, event_id,
+      CASE WHEN event_id % 17 = 0 THEN '00_title'
+           WHEN event_id % 23 = 0 THEN 'notes_extra'
+           ELSE printf('%02d_Part_%d', CAST(event_id % 20 AS INT), event_id) END AS basename,
+      CAST(floor(value * 1000) AS BIGINT) AS dur_ms
+    FROM events
+  ) GROUP BY user_id, basename
+),
+chapters AS (
+  SELECT DISTINCT user_id AS conv_id, CAST(event_id % 20 AS INT) AS number,
+         'Sec ' || CAST(event_id % 20 AS VARCHAR) AS title
+  FROM events WHERE event_id % 5 = 0
+),
+parsed AS (
+  SELECT f.*, try_cast(split_part(f.basename, '_', 1) AS INT) AS num
+  FROM files f
+),
+joined AS (
+  SELECT p.*, c.title AS ch_title
+  FROM parsed p LEFT JOIN chapters c
+    ON p.conv_id = c.conv_id AND p.num = c.number
+),
+offs AS (
+  SELECT *,
+    coalesce(sum(dur_ms) OVER (PARTITION BY conv_id ORDER BY basename
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_ms
+  FROM joined
+)
+SELECT conv_id, basename, start_ms, (start_ms + dur_ms)::BIGINT AS end_ms,
+  CASE WHEN basename = '00_title' THEN 'Title Page'
+       WHEN num IS NOT NULL AND ch_title IS NOT NULL
+         THEN 'Chapter ' || CAST(num AS VARCHAR) || ': ' || ch_title
+       WHEN num IS NOT NULL THEN 'Chapter ' || CAST(num AS VARCHAR)
+       ELSE 'Notes Extra' END AS chapter_title
+FROM offs
+"""
+
+
+# --------------------------------------------------------------------------
 # S5/S6/S11: intermediate JSON save->load round trip and the legacy
 # book_info.json sink/source pair (book_intermediate.py:121-204,523-556)
 # --------------------------------------------------------------------------
@@ -1688,6 +2223,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
     "s6_book_info": (q_s6_book_info, SQL_S6),
     "s11_book_info": (q_s11_book_info, SQL_S11),
+    "o11_subchapters": (q_o11_subchapters, SQL_O11_SUB),
+    "o10_tts_render": (q_o10_tts_render, SQL_O10),
+    "o11_html_render": (q_o11_html_render, SQL_O11_HTML),
+    "o12_preview": (q_o12_preview, SQL_O12),
+    "p5_validate": (q_p5_validate, SQL_P5),
+    "p5_stubs": (q_p5_stubs, SQL_P5_STUBS),
+    "o15_chapter_titles": (q_o15_chapter_titles, SQL_O15_TITLES),
 }
 
 

@@ -264,7 +264,9 @@ def classify_ocr_text(text: str, source: str) -> list[dict]:
        piece, so a centered (indented) divider is still a divider.
        Null content means a divider never participates in a cross-turn
        merge (null never merges) and contributes nothing to extracted
-       text, while still driving the O9/O11 sub-chapter splits.
+       text, while still driving the O11 page_division sub-chapter
+       split (:func:`epub_subchapters` /
+       ``operators.subchapters.epub_subchapters``).
     2. ``^(chapter|part)\\s*(\\d+|roman)\\b`` on the lowercased block ->
        ``chapter_header`` with content = the captured number (mirrors
        ``book_intermediate.py:471-473``).
@@ -784,3 +786,119 @@ def extract_conversation(
     flat = [b for blocks in kept for b in blocks]
     chapters = segment_chapters(flat)
     return {"turn_texts": per_turn, "turn_blocks": kept, "chapters": chapters}
+
+
+# --------------------------------------------------------------------------
+# O11 — EPUB chapter/sub-chapter chunking with page_division splits
+# --------------------------------------------------------------------------
+
+
+def epub_subchapters(sections: list[dict]) -> list[dict]:
+    """O11 chunking state machine — faithful transcription of
+    ``EpubGenerator._process_content_to_chapters`` + ``_create_chapter``
+    (``epub_generator.py:133-264``).
+
+    State (``:136-141``): buffer, title ``"Cover"``, chapter_counter 0,
+    division_counter 0, image_counter 1.  Events:
+
+    * ``chapter_header`` (``:146-157``): flush the buffer if non-empty
+      (chapter_counter increments ONLY when a flush happened), then
+      title = ``f"Chapter {content}"``, append ``<h1>``,
+      division_counter = 1.
+    * ``page_division`` (``:186-196``): flush if non-empty (same
+      chapter_counter — this is the sub-chapter split), then
+      division_counter += 1 (even when nothing flushed) and the
+      ``<hr/>`` opens the NEXT chunk.
+    * ``title``/``author`` -> h1/h2 (``:159-163``); ``cover``/``image``
+      WITH an image value -> image-container div with a GLOBAL running
+      ``image_{n}.png`` counter (``:165-183``, ``:227-237``);
+      paragraph/bold/block_indent/sub_header/header -> their tags
+      (``:239-251``); anything else appends nothing.
+    * end (``:204-208``): flush a non-empty buffer.
+
+    Emission (``_create_chapter``, ``:253-264``): division_counter > 1
+    -> filename ``chapter_{c}.{d}.xhtml`` and title ``{title} - {d}``,
+    else ``chapter_{c}.xhtml`` / ``{title}``; content = ``''.join``.
+    """
+    chunks: list[dict] = []
+    buffer: list[str] = []
+    title = "Cover"
+    cc = 0
+    dc = 0
+    image_counter = 1
+
+    def flush():
+        if dc > 1:
+            chunks.append(
+                {
+                    "chapter_counter": cc,
+                    "division_counter": dc,
+                    "chapter_title": f"{title} - {dc}",
+                    "filename": f"chapter_{cc}.{dc}.xhtml",
+                    "xhtml": "".join(buffer),
+                }
+            )
+        else:
+            chunks.append(
+                {
+                    "chapter_counter": cc,
+                    "division_counter": dc,
+                    "chapter_title": title,
+                    "filename": f"chapter_{cc}.xhtml",
+                    "xhtml": "".join(buffer),
+                }
+            )
+
+    for item in sections:
+        t = item.get("type")
+        # absent/None content cannot occur in classifier output (the
+        # reference indexes item['content'] and would KeyError); both
+        # this spec and the Spark operator render None as ''
+        content = item.get("content") or ""
+        if t == "chapter_header":
+            if buffer:
+                flush()
+                cc += 1
+                buffer = []
+            title = f"Chapter {content}"
+            buffer.append(f"<h1>{content}</h1>")
+            dc = 1
+        elif t == "title":
+            buffer.append(f"<h1>{content}</h1>")
+        elif t == "author":
+            buffer.append(f"<h2>{content}</h2>")
+        elif t in ("cover", "image") and item.get("image") is not None:
+            img_filename = f"image_{image_counter}.png"
+            image_counter += 1
+            caption = item.get("caption") or ""
+            if caption:
+                buffer.append(
+                    f'<div class="image-container"><img src="images/{img_filename}"'
+                    f' alt="{caption}"/><p class="caption">{caption}</p></div>'
+                )
+            else:
+                buffer.append(
+                    f'<div class="image-container"><img src="images/{img_filename}"'
+                    f' alt="Image"/></div>'
+                )
+        elif t == "page_division":
+            if buffer:
+                flush()
+                buffer = []
+            dc += 1
+            buffer.append("<hr/>")
+        elif t in ("paragraph", "bold", "block_indent", "sub_header", "header"):
+            text = content
+            tag = {
+                "paragraph": ("<p>", "</p>"),
+                "bold": ("<p><strong>", "</strong></p>"),
+                "block_indent": ("<blockquote>", "</blockquote>"),
+                "sub_header": ("<h3>", "</h3>"),
+                "header": ("<h2>", "</h2>"),
+            }[t]
+            buffer.append(f"{tag[0]}{text}{tag[1]}")
+        # anything else: appends nothing (reference's fall-through only
+        # handles the five content types above)
+    if buffer:
+        flush()
+    return chunks

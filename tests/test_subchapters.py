@@ -1,0 +1,155 @@
+"""O11 page_division sub-chapter split: the windowed Spark operator vs
+the pure-Python spec transcription of the reference chunking machine
+(epub_generator.py:133-264)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bookextract_spark import reference_semantics as ref
+
+BLOCK_COLS = ["conv_id", "turn_idx", "block_idx", "type", "content", "image", "caption"]
+
+
+def _spark_chunks(spark, rows):
+    from bookextract_spark.operators.subchapters import epub_subchapters
+
+    pdf = pd.DataFrame(rows, columns=BLOCK_COLS)
+    df = spark.createDataFrame(
+        pdf,
+        "conv_id string, turn_idx int, block_idx int, type string, "
+        "content string, image string, caption string",
+    )
+    out = epub_subchapters(df).orderBy("conv_id", "chunk_idx").collect()
+    by_conv: dict = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(
+            {
+                "chapter_counter": r["chapter_counter"],
+                "division_counter": r["division_counter"],
+                "chapter_title": r["chapter_title"],
+                "filename": r["filename"],
+                "xhtml": r["xhtml"],
+            }
+        )
+    return by_conv
+
+
+def _spec_chunks(rows):
+    by_conv: dict = {}
+    for conv_id, t, b, ty, c, img, cap in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_conv.setdefault(conv_id, []).append(
+            {"type": ty, "content": c, "image": img, "caption": cap}
+        )
+    return {conv: ref.epub_subchapters(secs) for conv, secs in by_conv.items()}
+
+
+def _assert_match(spark, rows):
+    got = _spark_chunks(spark, rows)
+    exp = _spec_chunks(rows)
+    exp = {c: v for c, v in exp.items() if v}  # convs emitting nothing
+    assert got.keys() == exp.keys()
+    for conv in exp:
+        assert got[conv] == exp[conv], (
+            f"{conv}:\n" + "\n".join(f"  got {g}\n  exp {e}" for g, e in zip(got[conv], exp[conv]))
+        )
+
+
+def test_basic_chapter_and_division_split(spark):
+    rows = [
+        ("c1", 0, 0, "title", "My Book", None, None),
+        ("c1", 0, 1, "author", "A. Writer", None, None),
+        ("c1", 1, 0, "chapter_header", "1", None, None),
+        ("c1", 1, 1, "paragraph", "First para.", None, None),
+        ("c1", 2, 0, "page_division", None, None, None),
+        ("c1", 2, 1, "paragraph", "After the break.", None, None),
+        ("c1", 3, 0, "page_division", None, None, None),
+        ("c1", 3, 1, "bold", "Loud bit", None, None),
+        ("c1", 4, 0, "chapter_header", "2", None, None),
+        ("c1", 4, 1, "block_indent", "Quoted.", None, None),
+    ]
+    got = _spark_chunks(spark, rows)["c1"]
+    _assert_match(spark, rows)
+    # reference naming: cover chunk, ch1, ch1 sub-divisions 2 and 3, ch2
+    assert [c["filename"] for c in got] == [
+        "chapter_0.xhtml",
+        "chapter_1.xhtml",
+        "chapter_1.2.xhtml",
+        "chapter_1.3.xhtml",
+        "chapter_2.xhtml",
+    ]
+    assert got[2]["chapter_title"] == "Chapter 1 - 2"
+    assert got[3]["xhtml"].startswith("<hr/>")  # hr opens the next chunk
+
+
+@pytest.mark.parametrize(
+    "rows",
+    [
+        # leading page_division (empty buffer: no flush, dc increments)
+        [
+            ("a", 0, 0, "page_division", None, None, None),
+            ("a", 0, 1, "paragraph", "p1", None, None),
+            ("a", 1, 0, "page_division", None, None, None),
+            ("a", 1, 1, "paragraph", "p2", None, None),
+        ],
+        # consecutive page_divisions (each flushes the lone <hr/>)
+        [
+            ("b", 0, 0, "paragraph", "x", None, None),
+            ("b", 1, 0, "page_division", None, None, None),
+            ("b", 2, 0, "page_division", None, None, None),
+            ("b", 3, 0, "page_division", None, None, None),
+            ("b", 4, 0, "paragraph", "y", None, None),
+        ],
+        # consecutive chapter_headers; header as very first block
+        [
+            ("c", 0, 0, "chapter_header", "1", None, None),
+            ("c", 1, 0, "chapter_header", "2", None, None),
+            ("c", 2, 0, "paragraph", "body", None, None),
+        ],
+        # no chapter_header at all -> everything under "Cover"
+        [
+            ("d", 0, 0, "paragraph", "only", None, None),
+            ("d", 1, 0, "page_division", None, None, None),
+            ("d", 2, 0, "paragraph", "more", None, None),
+        ],
+        # images: with/without caption, global counter across chapters;
+        # image-typed block WITHOUT image value appends nothing
+        [
+            ("e", 0, 0, "image", None, "cov.png", "The cover"),
+            ("e", 1, 0, "chapter_header", "1", None, None),
+            ("e", 1, 1, "image", None, "a.png", None),
+            ("e", 2, 0, "image", "orphan alt-text", None, None),
+            ("e", 3, 0, "chapter_header", "2", None, None),
+            ("e", 3, 1, "cover", None, "b.png", "Late cover"),
+        ],
+        # non-emitting block first, then a header (header must NOT flush)
+        [
+            ("f", 0, 0, "image", None, None, None),
+            ("f", 1, 0, "chapter_header", "9", None, None),
+            ("f", 2, 0, "paragraph", "tail", None, None),
+        ],
+        # empty-string and sub_header/header content types
+        [
+            ("g", 0, 0, "header", "", None, None),
+            ("g", 1, 0, "sub_header", "Sub", None, None),
+            ("g", 2, 0, "page_division", None, None, None),
+            ("g", 3, 0, "paragraph", "", None, None),
+        ],
+    ],
+)
+def test_adversarial_streams_match_spec(spark, rows):
+    _assert_match(spark, rows)
+
+
+def test_pipeline_blocks_match_spec(spark, transcripts):
+    """Drive the operator over the REAL pipeline's exploded block rows
+    and compare with the spec machine per conversation."""
+    from bookextract_spark.operators.chapters import explode_blocks
+    from bookextract_spark.pipeline import extract_turns
+
+    blocks = explode_blocks(extract_turns(transcripts), blocks_col="merged_blocks")
+    rows = [
+        (r["conv_id"], r["turn_idx"], r["block_idx"], r["type"], r["content"], r["image"], r["caption"])
+        for r in blocks.collect()
+    ]
+    _assert_match(spark, rows)
