@@ -884,9 +884,17 @@ WHERE round(p.shared / CAST(ca.n_sh + cb.n_sh - p.shared AS DOUBLE), 6) >= 0.05
 
 
 def q_minhash_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs verified with exact Jaccard
-    (xxhash64 scale path; rows-only driver check — see
-    ``minhash_dedup_md5`` for the oracle-checked twin)."""
+    """MinHash+LSH near-dup pairs verified with exact Jaccard — the
+    xxhash64 scale path, oracle-checked: the FINAL output (pairs with
+    exact Jaccard >= threshold among LSH candidates) is independent of
+    the hash family whenever LSH recall is complete on the qualifying
+    pairs, because the Jaccard values themselves come from the exact
+    shingle-set verification, not the hashes.  The md5-blocked oracle
+    therefore predicts the xxhash64 path's output exactly (asserted
+    set-equal at sf0.001 and sf0.01; both families recover every
+    planted near-dup).  Candidate-set internals of the xxhash64
+    blocking are additionally pinned by the pure-Python XXH64 twin
+    (``functions/xxhash.py``) used by the ``simhash`` oracle."""
     from bookextract_spark.operators.dedup import minhash_dedup
 
     return minhash_dedup(_load(spark, sf_dir, "documents"), threshold=0.05)
@@ -944,11 +952,82 @@ WHERE round(s.inter / CAST(ca.n_sh + cb.n_sh - s.inter AS DOUBLE), 6) >= 0.05
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per document (xxhash64 scale path; rows-only
-    driver check — see ``simhash_md5`` for the oracle-checked twin)."""
+    """64-bit SimHash per document — the xxhash64 scale path,
+    oracle-checked: the oracle inlines a (token, hi, lo) hash table
+    computed by the INDEPENDENT pure-Python XXH64 implementation
+    (``functions/xxhash.py``, bit-verified against Spark over
+    adversarial inputs), so DuckDB reproduces the exact vote/bit-pack
+    pipeline over the exact hash values.  Feasible because the
+    synthetic corpus vocabulary is tiny (~31 distinct tokens); at
+    production scale the same check runs on a sampled vocabulary."""
     from bookextract_spark.operators.dedup import simhash_df
 
     return simhash_df(_load(spark, sf_dir, "documents"))
+
+
+def _sql_simhash_xxh() -> str:
+    """Build the simhash oracle with the token->xxhash64 halves table
+    inlined as VALUES.  The token list comes from DuckDB itself running
+    the SAME normalization SQL the md5 twin uses (definitionally
+    identical tokenization), over every fixture scale so one SQL string
+    serves any sf the driver picks; the hash values come from the
+    pure-Python XXH64."""
+    import os
+
+    import duckdb
+
+    from bookextract_spark.functions.xxhash import spark_xxhash64
+
+    con = duckdb.connect()
+    tokens: set[str] = set()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        rows = con.execute(
+            f"""
+            SELECT DISTINCT tok FROM (
+              SELECT unnest(string_split(lower(regexp_replace(regexp_replace(
+                  coalesce(text,''), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')), ' ')) AS tok
+              FROM read_parquet('{path}')) WHERE tok <> ''
+            """
+        ).fetchall()
+        tokens.update(r[0] for r in rows)
+    vals = []
+    for tok in sorted(tokens):
+        h = spark_xxhash64(tok)
+        u = h & 0xFFFFFFFFFFFFFFFF
+        esc = tok.replace("'", "''")
+        vals.append(f"('{esc}', {u >> 32}::BIGINT, {u & 0xFFFFFFFF}::BIGINT)")
+    values_sql = ",\n    ".join(vals)
+    return rf"""
+WITH hash_lut(tok, hi, lo) AS (
+  VALUES
+    {values_sql}
+),
+n AS (
+  SELECT doc_id AS id,
+    lower(regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
+          '\s+', ' ', 'g')) AS nx
+  FROM documents
+),
+toks AS (SELECT id, unnest(string_split(nx, ' ')) AS tok FROM n),
+th AS (
+  SELECT t.id, l.hi, l.lo
+  FROM toks t JOIN hash_lut l ON t.tok = l.tok
+  WHERE t.tok <> ''
+),
+votes AS (
+  SELECT id, b,
+    sum(CASE WHEN ((CASE WHEN b < 32 THEN lo ELSE hi END >> (b % 32)) & 1) = 1
+             THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN range(64) AS r(b) GROUP BY id, b
+)
+SELECT id, CAST(sum(CASE WHEN v > 0 THEN
+    CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END
+  ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY id
+"""
 
 
 def q_simhash_md5(spark, sf_dir):
@@ -1186,8 +1265,40 @@ WHERE round(list_dot_product(a.vec, b.vec) /
 
 
 def q_image_metadata(spark, sf_dir):
-    """Opaque-binary image metadata via mapInPandas (deterministic fake
-    decode derived from sha256, so DuckDB can replicate it exactly)."""
+    """REAL image decode end-to-end: genuine grayscale PNG payloads are
+    generated distributed (pure-zlib encoder, mapInPandas), then decoded
+    for real — IHDR parse, IDAT inflate, scanline unfiltering, true
+    mean luminance.  Geometry and gray level follow a closed form of
+    doc_id, so the oracle predicts the DECODED values without touching
+    the bytes; a decoder that skipped unfiltering or misread IHDR would
+    mismatch.  (n_bytes/sha256 of the compressed stream are
+    zlib-version-dependent and excluded from the surface; the sha-fake
+    plumbing twin remains ``image_metadata_sha``.)"""
+    from bookextract_spark.operators.multimodal import (
+        image_metadata,
+        png_media_from_documents,
+    )
+
+    media = png_media_from_documents(_load(spark, sf_dir, "documents"))
+    meta = image_metadata(media, fake_decode=False)
+    return meta.select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
+SQL_IMAGE_META_REAL = """
+SELECT doc_id AS media_id,
+  CAST(8 + doc_id % 32 AS INT) AS width,
+  CAST(8 + (doc_id * 7) % 32 AS INT) AS height,
+  round((doc_id % 256) / 255.0, 6) AS mean_luma
+FROM documents
+"""
+
+
+def q_image_metadata_sha(spark, sf_dir):
+    """Opaque-binary plumbing twin (deterministic sha-derived fake
+    decode over non-image payloads — exercises n_bytes/sha256 and the
+    kind-pruned mapInPandas path for formats without a stdlib codec)."""
     from bookextract_spark.operators.multimodal import image_metadata, media_from_documents
 
     media = media_from_documents(_load(spark, sf_dir, "documents"))
@@ -2208,15 +2319,19 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "minhash_dedup": (q_minhash_dedup, None),
+    # the xxhash64 scale paths carry real oracles: minhash via the
+    # blocking-independent verified-pairs argument (see q_minhash_dedup
+    # docstring), simhash via the inlined pure-Python XXH64 hash table
+    "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_MD5),
     "minhash_dedup_md5": (q_minhash_dedup_md5, SQL_MINHASH_MD5),
-    "simhash": (q_simhash, None),
+    "simhash": (q_simhash, _sql_simhash_xxh()),
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh()),
     "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
     "embedding_near_dup_exact": (q_embedding_near_dup_exact, SQL_NEAR_DUP_EXACT),
-    "image_metadata": (q_image_metadata, SQL_IMAGE_META),
+    "image_metadata": (q_image_metadata, SQL_IMAGE_META_REAL),
+    "image_metadata_sha": (q_image_metadata_sha, SQL_IMAGE_META),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "pipeline_extract": (q_pipeline_extract, SQL_PIPELINE),
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
