@@ -8,10 +8,13 @@ in the hot path.  Regexes are written in Java dialect (``$1`` group
 refs); the pytest suite checks each against the pure-Python spec.
 
 Dialect note (judge-parity): Java ``\\s`` is ASCII-only while Python
-``re`` is Unicode-aware.  The equality surface is defined over
-ASCII-whitespace inputs (FIXTURES.md payloads); Unicode whitespace in
-payloads would need ``(?U)`` flags, at a codegen cost we do not pay
-until the data demands it.
+``re`` (the spec) is Unicode-aware.  Every ``\\s``-dependent function
+here takes ``unicode_ws=False``: the default ASCII mode is the
+DuckDB-oracle-parity surface (RE2 ``\\s`` is ASCII too — the documented
+cut line of the equality spec), while ``unicode_ws=True`` prepends
+``(?U)`` (Java UNICODE_CHARACTER_CLASS) and matches the Python spec on
+NBSP/em-space/line-separator payloads — golden-tested in
+``tests/test_text_functions.py::test_unicode_whitespace_variants``.
 """
 
 from __future__ import annotations
@@ -21,6 +24,12 @@ from pyspark.sql import functions as F
 
 # Sentinel for the reflow triple-replace (ocr_processor.py:123-125 uses NUL)
 _REFLOW_SENTINEL = "\x00"
+
+
+def _u(unicode_ws: bool) -> str:
+    """Regex prefix selecting the whitespace dialect: ``(?U)`` makes
+    Java ``\\s`` Unicode-aware like the Python spec."""
+    return "(?U)" if unicode_ws else ""
 
 
 def reflow_col(col: Column) -> Column:
@@ -38,27 +47,28 @@ def repair_hyphenation_col(col: Column) -> Column:
     return F.regexp_replace(col, r"(\p{L})-\n(\p{L})", r"$1$2")
 
 
-def strip_col(col: Column) -> Column:
-    """Python ``str.strip()`` over ASCII whitespace."""
-    return F.regexp_replace(col, r"^\s+|\s+$", "")
+def strip_col(col: Column, unicode_ws: bool = False) -> Column:
+    """Python ``str.strip()`` (ASCII whitespace by default; see module
+    dialect note)."""
+    return F.regexp_replace(col, _u(unicode_ws) + r"^\s+|\s+$", "")
 
 
-def collapse_ws_col(col: Column) -> Column:
+def collapse_ws_col(col: Column, unicode_ws: bool = False) -> Column:
     """``re.sub(r'\\s+', ' ', x)`` — intermediate_to_m4b.py:107."""
-    return F.regexp_replace(col, r"\s+", " ")
+    return F.regexp_replace(col, _u(unicode_ws) + r"\s+", " ")
 
 
-def clean_text_for_tts_col(col: Column) -> Column:
+def clean_text_for_tts_col(col: Column, unicode_ws: bool = False) -> Column:
     """T2-T8 OCR-noise normalization chain —
     ``reference_semantics.clean_text_for_tts``
     (intermediate_to_m4b.py:91-129), statement for statement:
     strip+collapse, ellipses, dashes, sentence spacing, (smart quotes =
     reference no-op, omitted), U+2026, tag strip, terminal punctuation.
     Null/empty -> ``''``."""
-    x = collapse_ws_col(strip_col(col))
+    x = collapse_ws_col(strip_col(col, unicode_ws), unicode_ws)
     x = F.regexp_replace(x, r"\.{2,}", "...")
     x = F.regexp_replace(x, r"--+", " -- ")
-    x = F.regexp_replace(x, r"([.!?])\s*([A-Z])", r"$1 $2")
+    x = F.regexp_replace(x, _u(unicode_ws) + r"([.!?])\s*([A-Z])", r"$1 $2")
     x = F.replace(x, F.lit("…"), F.lit("..."))
     x = F.regexp_replace(x, r"<[^>]+>", "")
     x = F.when(
@@ -67,24 +77,24 @@ def clean_text_for_tts_col(col: Column) -> Column:
     return F.when(col.isNull(), F.lit("")).otherwise(x)
 
 
-def word_count_col(col: Column) -> Column:
+def word_count_col(col: Column, unicode_ws: bool = False) -> Column:
     """T11 ``len(text.split())`` (book_intermediate.py:82-85).
     Python ``split()`` with no args drops leading/trailing whitespace
     and collapses runs — equivalent: size of split of strip, 0 for
     empty/null."""
-    stripped = strip_col(col)
+    stripped = strip_col(col, unicode_ws)
     return F.when(
         col.isNull() | (stripped == ""), F.lit(0)
-    ).otherwise(F.size(F.split(stripped, r"\s+"))).cast("long")
+    ).otherwise(F.size(F.split(stripped, _u(unicode_ws) + r"\s+"))).cast("long")
 
 
-def sanitize_filename_col(title: Column, number: Column) -> Column:
+def sanitize_filename_col(title: Column, number: Column, unicode_ws: bool = False) -> Column:
     """T9 chapter filename ``NN_Safe_Title.txt``
     (intermediate_to_m4b.py:28-30): keep alnum/space/-/_, rstrip,
     spaces -> underscores.  ``\\p{L}\\p{N}`` mirrors Python
     ``str.isalnum`` for the Unicode surface."""
     safe = F.regexp_replace(title, r"[^\p{L}\p{N} \-_]", "")
-    safe = F.regexp_replace(safe, r"\s+$", "")
+    safe = F.regexp_replace(safe, _u(unicode_ws) + r"\s+$", "")
     safe = F.replace(safe, F.lit(" "), F.lit("_"))
     return F.format_string("%02d_%s.txt", number, safe)
 
@@ -99,10 +109,10 @@ def extract_chapter_number_col(col: Column) -> Column:
     return F.regexp_extract(F.lower(col), CHAPTER_NUM_PATTERN, 1)
 
 
-def normalize_line_col(col: Column) -> Column:
+def normalize_line_col(col: Column, unicode_ws: bool = False) -> Column:
     """T14 line key: strip, collapse whitespace, lowercase —
     ``reference_semantics.normalize_line``."""
-    return F.lower(collapse_ws_col(strip_col(col)))
+    return F.lower(collapse_ws_col(strip_col(col, unicode_ws), unicode_ws))
 
 
 PAGENO_PATTERN = r"^\s*\d{1,4}\s*$"

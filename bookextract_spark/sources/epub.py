@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     StringType,
     StructField,
@@ -47,6 +48,7 @@ EPUB_CHAPTER_SCHEMA = StructType(
         StructField("language", StringType(), True),
         StructField("identifier", StringType(), True),
         StructField("cover_name", StringType(), True),
+        StructField("cover_bytes", BinaryType(), True),
         StructField("chapter_number", IntegerType(), True),
         StructField("chapter_title", StringType(), True),
         StructField("filename", StringType(), True),
@@ -99,11 +101,20 @@ def parse_epub_bytes(payload: bytes, path: str) -> list[dict]:
     ]
 
     # cover scan (book_intermediate.py:374-389): first image item whose
-    # name mentions 'cover'
+    # name mentions 'cover' — the reference extracts the BYTES (:382-386,
+    # writing them next to the output); we carry them as a binary column
     cover_name = None
+    cover_bytes = None
     for _id, (href, mt) in manifest.items():
         if mt.startswith("image/") and "cover" in href.lower():
             cover_name = href
+            try:
+                cover_bytes = zf.read(opf_dir + href)
+            except KeyError:
+                try:
+                    cover_bytes = zf.read(href)
+                except KeyError:
+                    cover_bytes = None
             break
 
     html_items = [
@@ -143,6 +154,7 @@ def parse_epub_bytes(payload: bytes, path: str) -> list[dict]:
                 "language": language,
                 "identifier": identifier,
                 "cover_name": cover_name,
+                "cover_bytes": cover_bytes,
                 "chapter_number": chapter_number,
                 "chapter_title": chapter_title or f"Chapter {chapter_number}",
                 "filename": href,

@@ -58,6 +58,11 @@ def test_epub_source_spine_order_and_metadata(spark, epub_path):
     assert rows[0].title == "Test Epub Book" and rows[0].author == "E. Author"
     assert rows[0].identifier == "book-42"
     assert rows[0].cover_name == "images/cover.png"
+    # cover BYTES extracted from the zip (book_intermediate.py:382-386)
+    import hashlib
+
+    assert bytes(rows[0].cover_bytes) == b"\x89PNGfake"
+    assert hashlib.sha256(bytes(rows[0].cover_bytes)).hexdigest() == hashlib.sha256(b"\x89PNGfake").hexdigest()
     # spine order first; non-spine item sorted last (index 999)
     assert [r.filename for r in rows] == ["ch1.xhtml", "ch2.xhtml", "extra.xhtml"]
     assert rows[0].chapter_title == "Chapter 1"

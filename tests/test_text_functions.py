@@ -303,3 +303,38 @@ def test_strip_boilerplate_drops_empty_pages_spec():
     keys = {"hdr"}
     out = ref.strip_boilerplate_text("body text\fHDR", keys)
     assert out == "body text"
+
+
+def test_unicode_whitespace_variants(spark):
+    """Golden test for the (?U) dialect switch: on payloads containing
+    NBSP / em-space / line-separator, the unicode_ws=True variants must
+    match the Python spec (which is Unicode-aware), while the default
+    ASCII variants are the documented oracle-parity surface."""
+    from pyspark.sql import functions as F
+
+    from bookextract_spark import reference_semantics as ref
+    from bookextract_spark.functions import text as T
+
+    cases = [
+        "a b",                 # NBSP between words
+        " lead em-space",      # leading em-space
+        "trail thin ",         # trailing thin space
+        "line sep",            # LINE SEPARATOR
+        "mix  \t　 ws.",   # ideographic space + tab + NBSP
+        "Plain ascii  text.",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    out = df.select(
+        "s",
+        T.clean_text_for_tts_col(F.col("s"), unicode_ws=True).alias("tts_u"),
+        T.word_count_col(F.col("s"), unicode_ws=True).alias("wc_u"),
+        T.normalize_line_col(F.col("s"), unicode_ws=True).alias("norm_u"),
+        T.clean_text_for_tts_col(F.col("s")).alias("tts_a"),
+    ).collect()
+    for r in out:
+        assert r.tts_u == ref.clean_text_for_tts(r.s), r.s
+        assert r.wc_u == ref.word_count(r.s), r.s
+        assert r.norm_u == ref.normalize_line(r.s), r.s
+    # the ASCII default genuinely differs on unicode whitespace —
+    # otherwise the flag would be dead code
+    assert any(r.tts_a != ref.clean_text_for_tts(r.s) for r in out)
