@@ -33,6 +33,7 @@ def extract_turns(
     persist_classified: bool = True,
     salt_bucket_size: int | None = None,
     persisted_out: list | None = None,
+    html_mode: str = "auto",
 ) -> DataFrame:
     """Flagship per-turn extraction: transcripts -> one row per turn with
     ``merged_blocks`` and ``extracted_text`` (the north-rule equality
@@ -52,7 +53,9 @@ def extract_turns(
     ``unpersist()`` exactly those — and nothing else — when done.
     """
     df = strip_boilerplate(transcripts)
-    df = classify_turns(df, text_col="clean_text", with_density=with_density)
+    df = classify_turns(
+        df, text_col="clean_text", with_density=with_density, html_mode=html_mode
+    )
     # prune before the window exchange: the merge needs only
     # (conv_id, turn_idx, blocks [+ density]) — shuffling the raw text
     # and clean_text strings doubles the exchange bytes for nothing

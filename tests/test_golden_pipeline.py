@@ -82,3 +82,27 @@ def test_chapters_equality(results):
     assert len(got) == len(exp), f"{len(got)} != {len(exp)} chapters"
     for col in cols:
         assert list(got[col]) == list(exp[col]), f"column {col} differs"
+
+
+def test_html_mode_none_matches_auto_on_html_free_corpus(spark, transcripts):
+    """html_mode='none' (pure-native plan, no Arrow UDF stage) must be
+    result-identical to 'auto' whenever the corpus has no markup rows,
+    and its physical plan must contain no Python evaluation."""
+    from pyspark.sql import functions as F
+
+    from bookextract_spark.operators.classify import is_html_col
+    from bookextract_spark.pipeline import extract_turns
+
+    plain = transcripts.where(~is_html_col(F.col("text")) | F.col("text").isNull())
+    auto = extract_turns(plain, html_mode="auto").select(
+        "conv_id", "turn_idx", "extracted_text"
+    )
+    none = extract_turns(plain, html_mode="none").select(
+        "conv_id", "turn_idx", "extracted_text"
+    )
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    assert sorted(map(tuple, auto.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, none.collect()), key=lambda t: t[:2]
+    )
+    plan = none._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
