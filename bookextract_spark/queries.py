@@ -1175,6 +1175,83 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN (the mandate's 'IVF variant as the scale path'):
+    deterministic coarse k-means quantizer (lowest-id seeds, 2 Lloyd
+    iterations, 6-dp fixed-point so the iteration is reproducible
+    across engines/shuffle orders) + nprobe=2 probed search; the oracle
+    unrolls the identical iterations in SQL."""
+    from bookextract_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(_load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+
+
+def _sql_ivf_ann(k_clusters: int = 8, iters: int = 2, nprobe: int = 2, dim: int = 64) -> str:
+    ids = ",".join(map(str, ANN_QUERY_IDS))
+    cos = (
+        lambda a, b: f"round(list_dot_product({a}, {b}) / "  # noqa: E731
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sql = f"""
+WITH base AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(id AS INT) AS j, list_transform(vec, x -> round(x, 6)) AS cvec
+  FROM base WHERE id < {k_clusters}
+)"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+s{it} AS (
+  SELECT b.id, b.vec, c.j,
+    row_number() OVER (PARTITION BY b.id
+      ORDER BY {cos('b.vec', 'c.cvec')} DESC, c.j ASC) AS rn
+  FROM base b CROSS JOIN {prev} c
+),
+a{it} AS (SELECT id, vec, j FROM s{it} WHERE rn = 1),
+m{it} AS (
+  SELECT j, r.i AS dim, round(avg(vec[r.i]), 6) AS m
+  FROM a{it}, range(1, {dim + 1}) AS r(i) GROUP BY j, r.i
+),
+n{it} AS (SELECT j, list(m ORDER BY dim) AS cvec FROM m{it} GROUP BY j),
+c{it} AS (
+  SELECT p.j, coalesce(n.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN n{it} n ON p.j = n.j
+)"""
+        prev = f"c{it}"
+    sql += f""",
+fs AS (
+  SELECT b.id, b.vec, c.j,
+    row_number() OVER (PARTITION BY b.id
+      ORDER BY {cos('b.vec', 'c.cvec')} DESC, c.j ASC) AS rn
+  FROM base b CROSS JOIN {prev} c
+),
+lists AS (SELECT id AS neighbor_id, vec AS c_vec, j FROM fs WHERE rn = 1),
+qp AS (
+  SELECT b.id AS query_id, b.vec AS q_vec, c.j,
+    row_number() OVER (PARTITION BY b.id
+      ORDER BY {cos('b.vec', 'c.cvec')} DESC, c.j ASC) AS rn
+  FROM base b CROSS JOIN {prev} c WHERE b.id IN ({ids})
+),
+probes AS (SELECT query_id, q_vec, j FROM qp WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.query_id, l.neighbor_id, {cos('p.q_vec', 'l.c_vec')} AS cosine
+  FROM lists l JOIN probes p ON l.j = p.j
+  WHERE l.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+    return sql
+
+
 # fixture has no high-cosine near-dups (max pairwise ~0.51), so the
 # registered threshold exercises blocking + verification on a
 # non-trivial pair set; the oracle reproduces the SAME LSH blocking
@@ -1496,6 +1573,250 @@ FROM (
   FROM p GROUP BY conv_id
 )
 GROUP BY conv_fp
+"""
+
+
+# --------------------------------------------------------------------------
+# C1 HTML -> typed sections + C3 density scores, driver-visible
+# (book_intermediate.py:447-521): HTML payloads CONSTRUCTED with known
+# structure, classified by the REAL Arrow-UDF path; the oracle predicts
+# the parsed sections / densities from the base columns without parsing
+# --------------------------------------------------------------------------
+
+
+def _c1_pieces(spark, sf_dir):
+    """Deterministic HTML-safe text pieces per document (identical
+    expressions in both dialects)."""
+    d = _load(spark, sf_dir, "documents")
+
+    def piece(i, fallback):
+        raw = F.substring(F.coalesce(F.col("text"), F.lit("")), 1 + i * 13, 10)
+        clean = F.trim(F.regexp_replace(raw, "[^A-Za-z0-9 ]", ""))
+        return F.coalesce(F.nullif(clean, F.lit("")), F.lit(fallback))
+
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % 30).cast("int").alias("k"),
+        piece(0, "pz0").alias("p1"),
+        piece(1, "pz1").alias("q"),
+        piece(2, "pz2").alias("b"),
+        piece(3, "pz3").alias("bq"),
+        piece(4, "pz4").alias("sh"),
+        piece(5, "pz5").alias("lt"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("cap "), (F.col("doc_id") % 100).cast("string")),
+        ).otherwise(F.lit("")).alias("cap"),
+    )
+
+
+def _c1_html_col():
+    c = lambda *xs: F.concat(*[F.lit(x) if isinstance(x, str) else x for x in xs])  # noqa: E731
+    return c(
+        "<html><body><h1>Chapter ", F.col("k").cast("string"), "</h1><p>", F.col("p1"),
+        '</p><div class="indent">', F.col("q"), "</div><p><strong>", F.col("b"),
+        '</strong></p><img src="x.png" alt="', F.col("cap"), '"/><blockquote>',
+        F.col("bq"), "</blockquote><h3>", F.col("sh"), '</h3><p>see <a href="u">',
+        F.col("lt"), "</a> link</p></body></html>",
+    )
+
+
+def _sql_c1_pieces() -> str:
+    def piece(i, fb):
+        return (
+            f"coalesce(nullif(trim(regexp_replace(substring(coalesce(text, ''), "
+            f"{1 + i * 13}, 10), '[^A-Za-z0-9 ]', '', 'g')), ''), '{fb}')"
+        )
+
+    return f"""
+pieces AS (
+  SELECT doc_id, CAST(doc_id % 30 AS INT) AS k,
+    {piece(0, 'pz0')} AS p1, {piece(1, 'pz1')} AS q, {piece(2, 'pz2')} AS b,
+    {piece(3, 'pz3')} AS bq, {piece(4, 'pz4')} AS sh, {piece(5, 'pz5')} AS lt,
+    CASE WHEN doc_id % 2 = 0 THEN 'cap ' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS cap
+  FROM documents
+)"""
+
+
+def q_c1_html_classify(spark, sf_dir):
+    """C1 markup classification through the REAL distributed path
+    (HTML sniff -> Arrow UDF -> stdlib DOM walk): every rule fires —
+    chapter_header number capture, indent-class block_indent,
+    single-strong bold, img src/alt (empty alt -> null caption), nested
+    blockquote, h3 sub_header, anchor text folded into its paragraph —
+    and the oracle reconstructs the expected sections from the base
+    columns without any HTML parsing."""
+    from bookextract_spark.operators.classify import classify_turns
+
+    p = _c1_pieces(spark, sf_dir)
+    df = p.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        _c1_html_col().alias("clean_text"),
+        "doc_id", "k", "p1", "q", "b", "bq", "sh", "lt", "cap",
+    )
+    out = classify_turns(df, text_col="clean_text", with_density=False)
+    return out.select(
+        "doc_id", F.posexplode("blocks").alias("block_idx", "blk")
+    ).select(
+        "doc_id",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.col("blk.type").alias("type"),
+        F.col("blk.content").alias("content"),
+        F.col("blk.image").alias("image"),
+        F.col("blk.caption").alias("caption"),
+        F.col("blk.source").alias("source"),
+    )
+
+
+SQL_C1 = f"""
+WITH {_sql_c1_pieces()}
+SELECT doc_id, CAST(u.i AS INT) AS block_idx,
+  CASE u.i WHEN 0 THEN 'chapter_header' WHEN 1 THEN 'paragraph'
+           WHEN 2 THEN 'block_indent' WHEN 3 THEN 'bold' WHEN 4 THEN 'image'
+           WHEN 5 THEN 'block_indent' WHEN 6 THEN 'sub_header'
+           ELSE 'paragraph' END AS type,
+  CASE u.i WHEN 0 THEN CAST(k AS VARCHAR) WHEN 1 THEN p1 WHEN 2 THEN q
+           WHEN 3 THEN b WHEN 4 THEN NULL WHEN 5 THEN bq WHEN 6 THEN sh
+           ELSE 'see ' || lt || ' link' END AS content,
+  CASE WHEN u.i = 4 THEN 'image_d' || CAST(doc_id AS VARCHAR) || ':0_1' END AS image,
+  CASE WHEN u.i = 4 AND cap <> '' THEN cap END AS caption,
+  'd' || CAST(doc_id AS VARCHAR) || ':0' AS source
+FROM pieces, unnest(range(8)) AS u(i)
+"""
+
+
+def q_c3_density(spark, sf_dir):
+    """C3 graded density scores (text/link density, tag depth) through
+    the REAL Arrow density UDF over the constructed HTML; the oracle
+    computes the closed form from the piece lengths."""
+    from bookextract_spark.operators.classify import classify_turns
+
+    p = _c1_pieces(spark, sf_dir)
+    df = p.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        _c1_html_col().alias("clean_text"),
+        "doc_id",
+    )
+    out = classify_turns(df, text_col="clean_text", with_density=True)
+    return out.select(
+        "doc_id",
+        F.round(F.col("density.text_density"), 6).alias("text_density"),
+        F.round(F.col("density.link_density"), 6).alias("link_density"),
+        F.col("density.tag_depth").alias("tag_depth"),
+    )
+
+
+SQL_C3 = f"""
+WITH {_sql_c1_pieces()},
+lens AS (
+  SELECT doc_id,
+    length('Chapter ' || CAST(k AS VARCHAR)) + length(p1) + length(q) + length(b)
+      + length(bq) + length(sh) + length('see ' || lt || ' link') AS text_len,
+    length(lt) AS link_len,
+    length('<html><body><h1>Chapter ' || CAST(k AS VARCHAR) || '</h1><p>' || p1 ||
+      '</p><div class="indent">' || q || '</div><p><strong>' || b ||
+      '</strong></p><img src="x.png" alt="' || cap || '"/><blockquote>' || bq ||
+      '</blockquote><h3>' || sh || '</h3><p>see <a href="u">' || lt ||
+      '</a> link</p></body></html>') AS html_len
+  FROM pieces
+)
+SELECT doc_id,
+  round(text_len / CAST(html_len AS DOUBLE), 6) AS text_density,
+  round(link_len / CAST(text_len AS DOUBLE), 6) AS link_density,
+  -- constant parse depth of the constructed document:
+  -- root -> html -> body -> p -> strong/a
+  4 AS tag_depth
+FROM lens
+"""
+
+
+# --------------------------------------------------------------------------
+# S7 EPUB source + S9 zip assembly, driver-visible: build REAL EPUB zips
+# distributed, parse them back through the full S7 machinery
+# (container.xml -> OPF -> spine sort w/ missing->999 -> C1 walk ->
+# cover bytes), oracle on the closed-form construction
+# --------------------------------------------------------------------------
+
+
+def q_s7_epub_roundtrip(spark, sf_dir):
+    """One genuine EPUB per document: three chapters with spine order
+    [ch2, ch1] and ch3 ABSENT from the spine (sorted last, the
+    reference's missing->999 rule), a cover image with known bytes.
+    Built with the engine's S9 zip assembler, parsed with the S7 source;
+    output = parsed chapter rows + metadata + cover sha."""
+    import pandas as pd  # noqa: F811 — worker-side import pattern
+
+    from bookextract_spark.sources.epub import parse_epub_column
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 30).cast("int").alias("k")
+    )
+
+    def gen(batches):
+        from bookextract_spark.sources.epub import build_epub_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id, k in zip(pdf["doc_id"], pdf["k"]):
+                d, kk = int(doc_id), int(k)
+                chapters = [
+                    (
+                        f"c{i}",
+                        f"ch{i}.xhtml",
+                        f"<html><body><h1>Chapter {kk + i}</h1>"
+                        f"<p>body {d} {i}</p></body></html>",
+                    )
+                    for i in (1, 2, 3)
+                ]
+                payload = build_epub_bytes(
+                    title=f"Book {d % 40}",
+                    author="Auth",
+                    identifier=f"id{d}",
+                    chapters=chapters,
+                    spine_ids=["c2", "c1"],
+                    cover=("images/cover.png", f"PNG{d}".encode()),
+                )
+                rows.append((f"mem://{d}", payload))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    binary = docs.mapInPandas(gen, schema="path string, content binary")
+    parsed = parse_epub_column(binary)
+    return parsed.select(
+        F.regexp_extract("path", r"mem://(\d+)", 1).cast("long").alias("doc_id"),
+        "title",
+        "author",
+        "identifier",
+        "cover_name",
+        F.sha2(F.col("cover_bytes"), 256).alias("cover_sha"),
+        "chapter_number",
+        "chapter_title",
+        "filename",
+        F.size("sections").cast("int").alias("n_sections"),
+        F.element_at(F.col("sections"), 2)["content"].alias("first_para"),
+    )
+
+
+SQL_S7 = """
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 30 AS INT) AS k FROM documents
+)
+SELECT doc_id,
+  'Book ' || CAST(doc_id % 40 AS VARCHAR) AS title,
+  'Auth' AS author,
+  'id' || CAST(doc_id AS VARCHAR) AS identifier,
+  'images/cover.png' AS cover_name,
+  sha256('PNG' || CAST(doc_id AS VARCHAR)) AS cover_sha,
+  CAST(u.n AS INT) AS chapter_number,
+  'Chapter ' || CAST(k + CASE u.n WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 3 END AS VARCHAR)
+    AS chapter_title,
+  'ch' || CAST(CASE u.n WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 3 END AS VARCHAR) || '.xhtml'
+    AS filename,
+  2 AS n_sections,
+  'body ' || CAST(doc_id AS VARCHAR) || ' ' ||
+    CAST(CASE u.n WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 3 END AS VARCHAR) AS first_para
+FROM base, unnest(range(1, 4)) AS u(n)
 """
 
 
@@ -2328,6 +2649,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh()),
+    "ivf_ann_topk": (q_ivf_ann_topk, _sql_ivf_ann()),
     "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
     "embedding_near_dup_exact": (q_embedding_near_dup_exact, SQL_NEAR_DUP_EXACT),
     "image_metadata": (q_image_metadata, SQL_IMAGE_META_REAL),
@@ -2338,6 +2660,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
     "s6_book_info": (q_s6_book_info, SQL_S6),
     "s11_book_info": (q_s11_book_info, SQL_S11),
+    "c1_html_classify": (q_c1_html_classify, SQL_C1),
+    "c3_density": (q_c3_density, SQL_C3),
+    "s7_epub_roundtrip": (q_s7_epub_roundtrip, SQL_S7),
     "o11_subchapters": (q_o11_subchapters, SQL_O11_SUB),
     "o10_tts_render": (q_o10_tts_render, SQL_O10),
     "o11_html_render": (q_o11_html_render, SQL_O11_HTML),

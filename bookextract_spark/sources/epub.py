@@ -173,18 +173,89 @@ def parse_epub_bytes(payload: bytes, path: str) -> list[dict]:
     return rows
 
 
-def read_epub_chapters(spark: SparkSession, glob_path: str) -> DataFrame:
-    """EPUB files -> one row per chapter, spine-ordered."""
-    binary = spark.read.format("binaryFile").load(glob_path).select("path", "content")
+def parse_epub_column(binary: DataFrame, path_col: str = "path", payload_col: str = "content") -> DataFrame:
+    """Parse a (path, zip-bytes) frame into chapter rows — the S7 parse
+    stage over ANY binary source (binaryFile scan, an Iceberg binary
+    column, or engine-built payloads)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in EPUB_CHAPTER_SCHEMA.fields]
         for pdf in batches:
             rows = []
-            for path, payload in zip(pdf["path"], pdf["content"]):
+            for path, payload in zip(pdf[path_col], pdf[payload_col]):
                 rows.extend(parse_epub_bytes(bytes(payload), path))
             yield pd.DataFrame(
                 [[r[c] for c in cols] for r in rows], columns=cols
             )
 
-    return binary.mapInPandas(parse, schema=EPUB_CHAPTER_SCHEMA)
+    return binary.select(path_col, payload_col).mapInPandas(
+        parse, schema=EPUB_CHAPTER_SCHEMA
+    )
+
+
+def read_epub_chapters(spark: SparkSession, glob_path: str) -> DataFrame:
+    """EPUB files -> one row per chapter, spine-ordered."""
+    binary = spark.read.format("binaryFile").load(glob_path).select("path", "content")
+    return parse_epub_column(binary)
+
+
+def build_epub_bytes(
+    title: str,
+    author: str,
+    identifier: str | None,
+    chapters: list[tuple[str, str, str]],
+    spine_ids: list[str],
+    cover: tuple[str, bytes] | None = None,
+) -> bytes:
+    """S9 zip-assembly finisher as an ENGINE capability: build a real
+    EPUB (mimetype + container.xml + OPF manifest/spine + documents)
+    from rendered XHTML strings — the part of ``epub.write_epub``
+    (reference ``epub_generator.py:71``) that is pure bytes-in-a-zip.
+
+    ``chapters``: (item_id, href, xhtml); ``spine_ids``: itemref order
+    (items absent from the spine land at the end on re-parse — the
+    reference's missing->999 sort).  Deterministic: fixed zip
+    timestamps, no compression randomness (stored entries).
+    """
+    items = "\n".join(
+        f'    <item id="{iid}" href="{href}" media-type="application/xhtml+xml"/>'
+        for iid, href, _ in chapters
+    )
+    if cover is not None:
+        items += f'\n    <item id="cov" href="{cover[0]}" media-type="image/png"/>'
+    spine = "\n".join(f'    <itemref idref="{iid}"/>' for iid in spine_ids)
+    ident = f"<dc:identifier>{identifier}</dc:identifier>" if identifier else ""
+    opf = f"""<?xml version="1.0"?>
+<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+  <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
+    <dc:title>{title}</dc:title>
+    <dc:creator>{author}</dc:creator>
+    <dc:language>en</dc:language>
+    {ident}
+  </metadata>
+  <manifest>
+{items}
+  </manifest>
+  <spine>
+{spine}
+  </spine>
+</package>"""
+    container = """<?xml version="1.0"?>
+<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+  <rootfiles><rootfile full-path="OEBPS/content.opf"
+    media-type="application/oebps-package+xml"/></rootfiles>
+</container>"""
+    buf = io.BytesIO()
+    ts = (2020, 1, 1, 0, 0, 0)
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, data in [
+            ("mimetype", b"application/epub+zip"),
+            ("META-INF/container.xml", container.encode()),
+            ("OEBPS/content.opf", opf.encode()),
+        ]:
+            zf.writestr(zipfile.ZipInfo(name, ts), data)
+        for _iid, href, xhtml in chapters:
+            zf.writestr(zipfile.ZipInfo(f"OEBPS/{href}", ts), xhtml.encode())
+        if cover is not None:
+            zf.writestr(zipfile.ZipInfo(f"OEBPS/{cover[0]}", ts), cover[1])
+    return buf.getvalue()

@@ -256,3 +256,18 @@ def test_real_png_media_decode_end_to_end(spark):
         assert r.width == 8 + d % 32 and r.height == 8 + (d * 7) % 32
         assert abs(r.mean_luma - (d % 256) / 255.0) < 1e-12
         assert r.n_bytes > 50  # real compressed stream, not a fake
+
+
+def test_ivf_ann_recall_vs_brute(spark):
+    """IVF-probed ANN must recover a solid fraction of the exact top-k
+    (nprobe=2 of 8 lists on the synthetic embeddings)."""
+    from bookextract_spark.operators.similarity import brute_force_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    brute = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qids, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_ann_topk(emb, qids, k=5).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # every IVF hit is a genuine corpus vector with exact cosine rank
+    assert len(ivf) == len(qids) * 5
