@@ -1,0 +1,134 @@
+"""Curation-pipeline composition ops: the decisions a training-data
+pipeline makes ON TOP of the per-document signals — keep/drop
+filtering, deterministic dataset splitting, and sequence packing for
+context-window training.
+
+All native Spark SQL; each op is registered with a DuckDB oracle in
+:mod:`bookextract_spark.queries`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bookextract_spark.operators.quality import (
+    fingerprint_col,
+    lang_id_col,
+    punct_ratio_col,
+    token_count_col,
+)
+from bookextract_spark.functions.text import word_count_col
+
+
+def curation_decisions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_punct: float = 0.2,
+    lang: str = "en",
+) -> DataFrame:
+    """Per-document keep/drop decision composing the quality signals:
+    exact-dup canonicalization (lowest id per fingerprint wins), language
+    gate, length gate, punctuation gate — with the FIRST failing rule as
+    the drop reason (the order is the filter cascade a curation run
+    reports).
+
+    Scale shape: one window over the fingerprint hash (same shuffle the
+    exact-dedup groupBy needs anyway) + pure map columns; the
+    punctuation ratio is compared on its 6-dp rounding so the gate is
+    reproducible across engines.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        fingerprint_col(F.col(text_col)).alias("_fp"),
+        lang_id_col(F.col(text_col)).alias("pred_lang"),
+        word_count_col(F.col(text_col)).alias("n_words"),
+        F.round(punct_ratio_col(F.col(text_col)), 6).alias("punct_ratio"),
+    )
+    w = Window.partitionBy("_fp")
+    d = d.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
+    reason = (
+        F.when(~F.col("is_canonical"), F.lit("duplicate"))
+        .when(F.col("pred_lang") != lang, F.lit("language"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("punct_ratio") > max_punct, F.lit("punctuation"))
+        .otherwise(F.lit("keep"))
+    )
+    return d.select(
+        "doc_id",
+        "pred_lang",
+        "n_words",
+        "punct_ratio",
+        "is_canonical",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash-bucket the document
+    id into 100 buckets (first 32 md5 bits — engine-portable, stable
+    under re-runs, insertion order, and resharding) and threshold.
+    Pure map — no shuffle, no state; at 100 TB the split IS the column.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(100)).cast("int")
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Sequence packing for context-window training: concatenate each
+    shard's documents (deterministic id order) into a token stream and
+    chunk it into ``budget``-token bins; a document's bin is the bin
+    containing its START offset — the standard distributed
+    approximation of greedy packing (documents spanning a boundary
+    overflow into the next bin rather than being re-ordered, keeping
+    the op a single running-sum window instead of a sequential fold).
+
+    ``n_shards`` is the parallelism knob: one running-sum window task
+    per shard, so size it ~4x the executor-core count; a shard too
+    large for one task takes the same two-level prefix-sum treatment as
+    the salted chapter numbering (``chapters.number_chapters``).
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_cum", F.sum("n_tokens").over(w))
+    start = (F.col("_cum") - F.col("n_tokens")).cast("long")
+    return d.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / budget).cast("long").alias("bin"),
+    )

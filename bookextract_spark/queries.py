@@ -1534,6 +1534,112 @@ FROM amended
 """
 
 
+# --------------------------------------------------------------------------
+# Curation composition: keep/drop cascade, dataset split, seq packing
+# --------------------------------------------------------------------------
+
+
+def q_curation_filter(spark, sf_dir):
+    """Keep/drop cascade composing dedup canonicalization + language +
+    length + punctuation gates, with the first failing rule as the
+    reported reason."""
+    from bookextract_spark.operators.curation import curation_decisions
+
+    return curation_decisions(_load(spark, sf_dir, "documents"))
+
+
+SQL_CURATION = r"""
+WITH sig AS (
+  SELECT doc_id,
+    md5(lower(regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
+        '\s+', ' ', 'g'))) AS fp,
+    CASE WHEN text IS NULL OR regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+         ELSE length(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))
+              - length(replace(regexp_replace(regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                               '\s+', ' ', 'g'), ' ', '')) + 1
+    END::BIGINT AS n_words,
+    round(CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+          ELSE (length(coalesce(text,'')) -
+                length(regexp_replace(coalesce(text,''), '[.,!?;:''"()\[\]-]', '', 'g')))
+               / CAST(length(coalesce(text,'')) AS DOUBLE) END, 6) AS punct_ratio,
+    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:the|a|of|and|to|in|is|that|it|was)\b')) AS en,
+    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:der|die|das|und|ist|nicht|ein|zu|den|von)\b')) AS de,
+    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:el|la|los|las|de|que|y|es|en|un)\b')) AS es,
+    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:le|la|les|des|et|est|que|une|dans|pour)\b')) AS fr
+  FROM documents
+),
+langed AS (
+  SELECT *, CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+       WHEN en = greatest(en, de, es, fr) THEN 'en'
+       WHEN de = greatest(en, de, es, fr) THEN 'de'
+       WHEN es = greatest(en, de, es, fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+    doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+  FROM sig
+)
+SELECT doc_id, pred_lang, n_words, punct_ratio, is_canonical,
+  CASE WHEN NOT is_canonical THEN 'duplicate'
+       WHEN pred_lang <> 'en' THEN 'language'
+       WHEN n_words < 10 THEN 'too_short'
+       WHEN punct_ratio > 0.2 THEN 'punctuation'
+       ELSE 'keep' END AS reason,
+  (CASE WHEN NOT is_canonical THEN 'duplicate'
+       WHEN pred_lang <> 'en' THEN 'language'
+       WHEN n_words < 10 THEN 'too_short'
+       WHEN punct_ratio > 0.2 THEN 'punctuation'
+       ELSE 'keep' END) = 'keep' AS keep
+FROM langed
+"""
+
+
+def q_train_val_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split (80/10/10) — pure
+    map, stable under re-runs and resharding."""
+    from bookextract_spark.operators.curation import split_assign
+
+    return split_assign(_load(spark, sf_dir, "documents"))
+
+
+SQL_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS INT)
+      AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_seq_packing(spark, sf_dir):
+    """Sequence packing: per-shard token streams chunked into 512-token
+    bins via one running-sum window (bin = bin of the start offset)."""
+    from bookextract_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_load(spark, sf_dir, "documents"))
+
+
+SQL_PACKING = r"""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+    length(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+      AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT doc_id, shard, n_tokens,
+  (c - n_tokens)::BIGINT AS start_offset,
+  CAST(floor((c - n_tokens) / 512.0) AS BIGINT) AS bin
+FROM cum
+"""
+
+
 def q_conv_dedup(spark, sf_dir):
     """Conversation-level exact dedup composed over the flagship
     pipeline: per-conv fingerprint = md5 of the ordered extracted
@@ -2657,6 +2763,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "pipeline_extract": (q_pipeline_extract, SQL_PIPELINE),
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
+    "curation_filter": (q_curation_filter, SQL_CURATION),
+    "train_val_split": (q_train_val_split, SQL_SPLIT),
+    "seq_packing": (q_seq_packing, SQL_PACKING),
     "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
     "s6_book_info": (q_s6_book_info, SQL_S6),
     "s11_book_info": (q_s11_book_info, SQL_S11),
