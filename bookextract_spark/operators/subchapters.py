@@ -5,8 +5,8 @@ re-architected from the reference's sequential state machine
 aggregation — the same pattern as the O8/O9 re-architectures.
 
 Spec twin: :func:`bookextract_spark.reference_semantics.epub_subchapters`
-(transcribed loop); the pytest suite drives both over adversarial block
-streams and asserts equality.
+(transcribed loop); the pytest suite drives both over adversarial and
+hypothesis-generated block streams and asserts equality.
 
 Window derivation of the machine's state (all over the conv window
 ordered by ``(turn_idx, block_idx)``):
@@ -32,12 +32,18 @@ ordered by ``(turn_idx, block_idx)``):
   after the first emitting one (any later header/division would have
   flushed).
 
-Shuffle profile: ONE exchange on ``conv_id`` (the window), then a
-groupBy on ``(conv_id, chunk_no)`` — a refinement of the window's
-clustering, so hash(conv_id) already satisfies it and AQE plans no
-second exchange.  Skewed million-block conversations are bounded by
-the same salted two-level pattern as O9 if ever needed; chunk contents
-are bounded by page/chapter sizes, not conversation length.
+Shuffle profile (plain path): ONE exchange on ``conv_id`` (the window),
+then a groupBy on ``(conv_id, chunk_no)`` — a refinement of the
+window's clustering, so hash(conv_id) already satisfies it and AQE
+plans no second exchange.
+
+Skew (``salt_bucket_size``): every per-row state above is a prefix
+aggregate, so the salted mode computes bucket-local versions over
+``(conv_id, turn_idx // bucket_size)`` sub-windows plus per-bucket
+totals cumulated over the (tiny) bucket-edge frame and joined back —
+the same two-level prefix-sum treatment as the salted O8/O9 paths.  A
+million-block conversation becomes bucket-sized window tasks; results
+are byte-identical (equivalence-tested).
 """
 
 from __future__ import annotations
@@ -54,7 +60,26 @@ _CONTENT_TAGS = {
 }
 
 
-def _piece_col(btype: Column, content: Column, image: Column, caption: Column, img_no: Column) -> Column:
+def _preds(btype: Column, image: Column):
+    is_ch = btype == "chapter_header"
+    is_pd = btype == "page_division"
+    is_img = btype.isin("cover", "image") & image.isNotNull()
+    return is_ch, is_pd, is_img
+
+
+def _emits_col(btype: Column, image: Column) -> Column:
+    """True iff the block appends a piece to the chunk buffer."""
+    is_ch, is_pd, is_img = _preds(btype, image)
+    return (
+        is_ch
+        | is_pd
+        | is_img
+        | btype.isin("title", "author")
+        | btype.isin(*_CONTENT_TAGS.keys())
+    )
+
+
+def _piece_for(btype: Column, content: Column, image: Column, caption: Column, img_no: Column) -> Column:
     """The HTML fragment a block appends to the chunk buffer
     (``epub_generator.py:146-251``); NULL = appends nothing."""
     text = F.coalesce(content, F.lit(""))
@@ -83,24 +108,15 @@ def _piece_col(btype: Column, content: Column, image: Column, caption: Column, i
     return out.otherwise(F.lit(None).cast("string"))
 
 
-def epub_subchapters(block_rows: DataFrame) -> DataFrame:
-    """Chunk ordered block rows into EPUB chapter FILES, splitting
-    chapters into ``chapter_{c}.{d}.xhtml`` sub-chapters on every
-    ``page_division`` (``epub_generator.py:186-196,253-264``).
-
-    Input: block rows (conv_id, turn_idx, block_idx, type, content,
-    image, caption).  Output: one row per emitted chunk with
-    (conv_id, chapter_counter, division_counter, chapter_title,
-    filename, xhtml).
-    """
+def _state_plain(block_rows: DataFrame) -> DataFrame:
+    """Per-row machine state over one conv-wide window (default path)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "block_idx")
     wcur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
 
     btype = F.col("type")
-    is_ch = btype == "chapter_header"
-    is_pd = btype == "page_division"
-    is_img = btype.isin("cover", "image") & F.col("image").isNotNull()
+    is_ch, is_pd, is_img = _preds(btype, F.col("image"))
+    emits = _emits_col(btype, F.col("image"))
 
     # the reference's GLOBAL image_{n}.png counter (:165-167): running
     # count of image-bearing blocks in document order
@@ -108,18 +124,16 @@ def epub_subchapters(block_rows: DataFrame) -> DataFrame:
         "_img_no", F.sum(is_img.cast("int")).over(wcur)
     ).withColumn(
         "_piece",
-        _piece_col(btype, F.col("content"), F.col("image"), F.col("caption"), F.col("_img_no")),
+        _piece_for(btype, F.col("content"), F.col("image"), F.col("caption"), F.col("_img_no")),
     )
-    emits = F.col("_piece").isNotNull()
     df = df.withColumn(
         "_flush",
         (is_ch | is_pd) & (F.count(F.when(emits, F.lit(1))).over(wprev) > 0),
     )
-    P = F.sum(is_pd.cast("int")).over(wcur)
-    df = (
+    return (
         df.withColumn("_chunk", F.sum(F.col("_flush").cast("int")).over(wcur))
         .withColumn("_cc", F.sum((is_ch & F.col("_flush")).cast("int")).over(wcur))
-        .withColumn("_P", P)
+        .withColumn("_P", F.sum(is_pd.cast("int")).over(wcur))
         .withColumn(
             "_P_at_ch",
             F.last(F.when(is_ch, F.col("_P")), ignorenulls=True).over(wcur),
@@ -132,6 +146,181 @@ def epub_subchapters(block_rows: DataFrame) -> DataFrame:
             ).over(wcur),
         )
     )
+
+
+def _state_salted(block_rows: DataFrame, bucket_size: int) -> DataFrame:
+    """Two-level prefix-sum state: bucket-local windows + per-bucket
+    totals cumulated over the bucket-edge frame (one row per
+    ``(conv, turn_idx // bucket_size)``) and joined back.  Identical
+    per-row state as :func:`_state_plain`, bounded task size."""
+    btype = F.col("type")
+    is_ch, is_pd, is_img = _preds(btype, F.col("image"))
+    emits = _emits_col(btype, F.col("image"))
+
+    df = block_rows.withColumn(
+        "_salt", (F.col("turn_idx") / bucket_size).cast("long")
+    )
+    wb = Window.partitionBy("conv_id", "_salt").orderBy("turn_idx", "block_idx")
+    wbcur = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wbprev = wb.rowsBetween(Window.unboundedPreceding, -1)
+
+    # ---- round 1: flush-independent locals ----
+    df = df.withColumns(
+        {
+            "_l_P": F.sum(is_pd.cast("int")).over(wbcur),
+            "_l_img": F.sum(is_img.cast("int")).over(wbcur),
+            "_l_emits_prev": F.count(F.when(emits, F.lit(1))).over(wbprev),
+        }
+    ).withColumn(
+        # bucket-local last chapter_header with its bucket-local P
+        "_l_ch",
+        F.last(
+            F.when(
+                is_ch,
+                F.struct(
+                    F.col("_l_P").alias("p"),
+                    F.coalesce(F.col("content"), F.lit("")).alias("v"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(wbcur),
+    )
+    edges = df.groupBy("conv_id", "_salt").agg(
+        F.sum(is_pd.cast("int")).alias("_P_tot"),
+        F.sum(is_img.cast("int")).alias("_img_tot"),
+        F.count(F.when(emits, F.lit(1))).alias("_emits_tot"),
+        F.max(
+            F.when(
+                is_ch,
+                F.struct(
+                    "turn_idx",
+                    "block_idx",
+                    F.col("_l_P").alias("p"),
+                    F.coalesce(F.col("content"), F.lit("")).alias("v"),
+                ),
+            )
+        ).alias("_b_ch"),
+    )
+    we = Window.partitionBy("conv_id").orderBy("_salt")
+    weprev = we.rowsBetween(Window.unboundedPreceding, -1)
+    edges = edges.withColumns(
+        {
+            "_offP": F.coalesce(F.sum("_P_tot").over(weprev), F.lit(0)),
+            "_offImg": F.coalesce(F.sum("_img_tot").over(weprev), F.lit(0)),
+            "_offE": F.coalesce(F.sum("_emits_tot").over(weprev), F.lit(0)),
+        }
+    )
+    # the bucket's last chapter_header with its GLOBAL P, carried to
+    # later buckets
+    edges = edges.withColumn(
+        "_b_ch_glob",
+        F.when(
+            F.col("_b_ch").isNotNull(),
+            F.struct(
+                (F.col("_offP") + F.col("_b_ch.p")).alias("p"),
+                F.col("_b_ch.v").alias("v"),
+            ),
+        ),
+    ).withColumn(
+        "_carry_ch", F.last("_b_ch_glob", ignorenulls=True).over(weprev)
+    )
+    e = edges.select(
+        F.col("conv_id").alias("_e_conv"),
+        F.col("_salt").alias("_e_salt"),
+        "_offP",
+        "_offImg",
+        "_offE",
+        "_carry_ch",
+    )
+    df = df.join(
+        e,
+        (df["conv_id"] == e["_e_conv"]) & (df["_salt"] == e["_e_salt"]),
+        "left",
+    ).drop("_e_conv", "_e_salt")
+
+    ch_state = F.coalesce(
+        F.when(
+            F.col("_l_ch").isNotNull(),
+            F.struct(
+                (F.col("_offP") + F.col("_l_ch.p")).alias("p"),
+                F.col("_l_ch.v").alias("v"),
+            ),
+        ),
+        F.col("_carry_ch"),
+    )
+    df = df.withColumns(
+        {
+            "_P": (F.col("_offP") + F.col("_l_P")).cast("int"),
+            "_img_no": (F.col("_offImg") + F.col("_l_img")).cast("int"),
+            "_ch_state": ch_state,
+        }
+    ).withColumns(
+        {
+            "_P_at_ch": F.col("_ch_state.p").cast("int"),
+            "_ch_content": F.when(
+                F.col("_ch_state").isNotNull(), F.struct(F.col("_ch_state.v").alias("v"))
+            ),
+            "_piece": _piece_for(
+                btype, F.col("content"), F.col("image"), F.col("caption"), F.col("_img_no")
+            ),
+            "_flush": (is_ch | is_pd)
+            & ((F.col("_offE") + F.col("_l_emits_prev")) > 0),
+        }
+    )
+
+    # ---- round 2: flush-dependent running sums ----
+    df = df.withColumns(
+        {
+            "_l_chunk": F.sum(F.col("_flush").cast("int")).over(wbcur),
+            "_l_cc": F.sum((is_ch & F.col("_flush")).cast("int")).over(wbcur),
+        }
+    )
+    edges2 = df.groupBy("conv_id", "_salt").agg(
+        F.sum(F.col("_flush").cast("int")).alias("_f_tot"),
+        F.sum((is_ch & F.col("_flush")).cast("int")).alias("_cf_tot"),
+    )
+    edges2 = edges2.withColumns(
+        {
+            "_offF": F.coalesce(F.sum("_f_tot").over(weprev), F.lit(0)),
+            "_offCC": F.coalesce(F.sum("_cf_tot").over(weprev), F.lit(0)),
+        }
+    ).select(
+        F.col("conv_id").alias("_f_conv"),
+        F.col("_salt").alias("_f_salt"),
+        "_offF",
+        "_offCC",
+    )
+    df = df.join(
+        edges2,
+        (df["conv_id"] == edges2["_f_conv"]) & (df["_salt"] == edges2["_f_salt"]),
+        "left",
+    ).drop("_f_conv", "_f_salt")
+    return df.withColumns(
+        {
+            "_chunk": (F.col("_offF") + F.col("_l_chunk")).cast("int"),
+            "_cc": (F.col("_offCC") + F.col("_l_cc")).cast("int"),
+        }
+    )
+
+
+def epub_subchapters(block_rows: DataFrame, salt_bucket_size: int | None = None) -> DataFrame:
+    """Chunk ordered block rows into EPUB chapter FILES, splitting
+    chapters into ``chapter_{c}.{d}.xhtml`` sub-chapters on every
+    ``page_division`` (``epub_generator.py:186-196,253-264``).
+
+    Input: block rows (conv_id, turn_idx, block_idx, type, content,
+    image, caption).  Output: one row per emitted chunk with
+    (conv_id, chunk_idx, chapter_counter, division_counter,
+    chapter_title, filename, xhtml).  ``salt_bucket_size`` switches to
+    the two-level prefix-sum skew mode (identical results; use when
+    single conversations are huge).
+    """
+    if salt_bucket_size:
+        df = _state_salted(block_rows, salt_bucket_size)
+    else:
+        df = _state_plain(block_rows)
+
+    emits = F.col("_piece").isNotNull()
     dc = F.when(
         F.col("_P_at_ch").isNotNull(), F.lit(1) + F.col("_P") - F.col("_P_at_ch")
     ).otherwise(F.col("_P"))
@@ -176,8 +365,8 @@ def epub_subchapters(block_rows: DataFrame) -> DataFrame:
     return grouped.select(
         "conv_id",
         F.col("_chunk").cast("int").alias("chunk_idx"),
-        cc.alias("chapter_counter"),
-        dcv.alias("division_counter"),
+        cc.cast("long").alias("chapter_counter"),
+        dcv.cast("long").alias("division_counter"),
         F.when(dcv > 1, F.concat(tt, F.lit(" - "), dcv.cast("string")))
         .otherwise(tt)
         .alias("chapter_title"),

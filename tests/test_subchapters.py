@@ -153,3 +153,85 @@ def test_pipeline_blocks_match_spec(spark, transcripts):
         for r in blocks.collect()
     ]
     _assert_match(spark, rows)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TYPES = [
+    "chapter_header", "page_division", "paragraph", "bold", "block_indent",
+    "header", "sub_header", "title", "author", "image", "cover", "unknown_type",
+]
+_block = st.tuples(
+    st.sampled_from(_TYPES),
+    st.one_of(st.none(), st.just(""), st.sampled_from(["5", "xii", "Some text here"])),
+    st.one_of(st.none(), st.just("img.png")),
+    st.one_of(st.none(), st.just(""), st.just("a caption")),
+)
+_stream = st.lists(_block, min_size=0, max_size=14)
+_streams = st.lists(_stream, min_size=1, max_size=3)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(streams=_streams)
+def test_subchapters_property_matches_spec(spark, streams):
+    """Hypothesis gate: random typed block streams (incl. non-emitting
+    types, null/empty contents, image-less images, leading boundaries)
+    — the windowed operator must equal the transcribed reference
+    machine on every generated stream."""
+    rows = []
+    for ci, stream in enumerate(streams):
+        for bi, (t, c, img, cap) in enumerate(stream):
+            rows.append((f"h{ci}", bi // 3, bi % 3, t, c, img, cap))
+    if not rows:
+        return
+    _assert_match(spark, rows)
+
+
+def test_salted_subchapters_equivalent(spark, transcripts):
+    """The two-level prefix-sum skew mode must be byte-identical to the
+    plain window path on real pipeline blocks (bucket size small enough
+    that every conversation spans several buckets)."""
+    from bookextract_spark.operators.chapters import explode_blocks
+    from bookextract_spark.operators.subchapters import epub_subchapters
+    from bookextract_spark.pipeline import extract_turns
+
+    blocks = explode_blocks(extract_turns(transcripts), blocks_col="merged_blocks").cache()
+    plain = {tuple(r) for r in epub_subchapters(blocks).collect()}
+    salted = {tuple(r) for r in epub_subchapters(blocks, salt_bucket_size=3).collect()}
+    assert plain == salted and len(plain) > 0
+    blocks.unpersist()
+
+
+@pytest.mark.parametrize("bucket", [1, 2, 5])
+def test_salted_subchapters_adversarial(spark, bucket):
+    """Skew mode on the nastiest stream shapes: boundaries landing
+    exactly on bucket edges, leading divisions, non-emitting prefixes."""
+    rows = [
+        ("z", 0, 0, "page_division", None, None, None),
+        ("z", 1, 0, "image", None, None, None),          # non-emitting
+        ("z", 2, 0, "chapter_header", "1", None, None),
+        ("z", 3, 0, "page_division", None, None, None),
+        ("z", 4, 0, "page_division", None, None, None),
+        ("z", 5, 0, "paragraph", "body", None, None),
+        ("z", 6, 0, "chapter_header", "2", None, None),
+        ("z", 7, 0, "image", None, "i.png", "cap"),
+        ("z", 8, 0, "image", None, "j.png", None),
+        ("z", 9, 0, "page_division", None, None, None),
+        ("y", 0, 0, "paragraph", "only", None, None),
+    ]
+    from bookextract_spark.operators.subchapters import epub_subchapters
+
+    pdf = pd.DataFrame(rows, columns=BLOCK_COLS)
+    df = spark.createDataFrame(
+        pdf,
+        "conv_id string, turn_idx int, block_idx int, type string, "
+        "content string, image string, caption string",
+    )
+    plain = {tuple(r) for r in epub_subchapters(df).collect()}
+    salted = {tuple(r) for r in epub_subchapters(df, salt_bucket_size=bucket).collect()}
+    assert plain == salted
