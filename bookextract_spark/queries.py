@@ -999,6 +999,8 @@ def _sql_simhash_xxh() -> str:
         u = h & 0xFFFFFFFFFFFFFFFF
         esc = tok.replace("'", "''")
         vals.append(f"('{esc}', {u >> 32}::BIGINT, {u & 0xFFFFFFFF}::BIGINT)")
+    if not vals:  # no fixture dirs on this machine: keep the SQL valid
+        vals.append("('', 0::BIGINT, 0::BIGINT)")
     values_sql = ",\n    ".join(vals)
     return rf"""
 WITH hash_lut(tok, hi, lo) AS (
