@@ -132,3 +132,34 @@ def test_regex_search_and_replace(spark, block_rows):
     replaced = regex_replace_all(block_rows, r"metadata", "META")
     texts = [r.content for r in replaced.where("conv_id = 'c2'").collect()]
     assert texts == ["No META at all."]
+
+
+def test_build_epub_bytes_zip_structure():
+    """The engine's S9 zip assembler must satisfy the reference's EPUB
+    structural invariants (tests/test_epub_generator.py:67-72: required
+    member files) plus the EPUB-spec rules the reference gets from
+    ebooklib: 'mimetype' is the FIRST entry, STORED (uncompressed),
+    with the exact payload; output is byte-deterministic."""
+    import zipfile as zf
+    from io import BytesIO
+
+    from bookextract_spark.sources.epub import build_epub_bytes, parse_epub_bytes
+
+    chapters = [("c1", "ch1.xhtml", "<html><body><h1>Chapter 1</h1><p>x</p></body></html>")]
+    b1 = build_epub_bytes("T", "A", "id1", chapters, ["c1"], cover=("images/cover.png", b"PNGX"))
+    b2 = build_epub_bytes("T", "A", "id1", chapters, ["c1"], cover=("images/cover.png", b"PNGX"))
+    assert b1 == b2  # deterministic bytes (fixed timestamps, stored entries)
+
+    z = zf.ZipFile(BytesIO(b1))
+    names = z.namelist()
+    for required in ["META-INF/container.xml", "mimetype"]:  # reference invariant
+        assert required in names
+    assert names[0] == "mimetype"
+    info = z.getinfo("mimetype")
+    assert info.compress_type == zf.ZIP_STORED
+    assert z.read("mimetype") == b"application/epub+zip"
+
+    # and it parses back through the S7 source
+    rows = parse_epub_bytes(b1, "mem://t")
+    assert len(rows) == 1 and rows[0]["chapter_title"] == "Chapter 1"
+    assert rows[0]["cover_bytes"] == b"PNGX"
