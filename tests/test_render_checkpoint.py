@@ -233,3 +233,45 @@ def test_load_transcripts_parquet_and_pruning(spark, transcripts, tmp_path):
     # the pruned columns, never role/tool/ts)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "role" not in plan and "tool" not in plan
+
+
+def test_bucketed_table_skips_window_exchange(spark, transcripts, tmp_path):
+    """A conv_id-bucketed transcripts table must let the merge window
+    run WITHOUT a shuffle exchange (bucketing satisfies the hash
+    clustering at scan time), with identical results."""
+    import re
+
+    from bookextract_spark.pipeline import extract_turns
+    from bookextract_spark.sources.transcripts import write_bucketed_transcripts
+
+    # warehouse dir is a static conf — use the session default and a
+    # unique table name; clear any orphaned location from a previous
+    # aborted run (DROP alone won't if the table isn't registered)
+    import shutil
+
+    table = "tx_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    write_bucketed_transcripts(transcripts, table, n_buckets=8)
+
+    def conv_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            e
+            for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+            if "line_key" not in e
+        ]
+
+    bucketed = spark.table(table)
+    out = extract_turns(bucketed).select("conv_id", "turn_idx", "extracted_text")
+    plain = extract_turns(transcripts).select("conv_id", "turn_idx", "extracted_text")
+    # plain plan: 2 conv-keyed exchanges (the tiny boilerplate threshold
+    # window over the candidate-counts frame + the corpus-carrying merge
+    # window).  Bucketed scan satisfies the merge window's clustering,
+    # so exactly the corpus exchange disappears.
+    assert len(conv_exchanges(plain)) == 2
+    assert len(conv_exchanges(out)) == 1, f"exchanges: {conv_exchanges(out)}"
+
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
