@@ -80,9 +80,21 @@ def extract_turns(
 
 
 def extract_all(transcripts: DataFrame, with_density: bool = False) -> dict[str, DataFrame]:
-    """Full pipeline; returns turns / blocks / chapters / metadata frames."""
+    """Full pipeline; returns turns / blocks / chapters / metadata /
+    subchapters (O11 EPUB chapter files) / books (nested
+    BookIntermediate) frames — all lazy views over one extraction."""
+    from bookextract_spark.operators.render import assemble_book_intermediate
+    from bookextract_spark.operators.subchapters import epub_subchapters
+
     turns = extract_turns(transcripts, with_density=with_density)
     blocks = explode_blocks(turns, blocks_col="merged_blocks")
     chapters = assemble_chapters(number_chapters(blocks))
     metadata = extract_metadata(blocks)
-    return {"turns": turns, "blocks": blocks, "chapters": chapters, "metadata": metadata}
+    return {
+        "turns": turns,
+        "blocks": blocks,
+        "chapters": chapters,
+        "metadata": metadata,
+        "subchapters": epub_subchapters(blocks),
+        "books": assemble_book_intermediate(chapters, metadata),
+    }

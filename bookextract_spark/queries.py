@@ -2348,6 +2348,30 @@ FROM flags
 """
 
 
+def q_edit_regex(spark, sf_dir):
+    """Editor regex search + replace-all (edit_gui.py:588-711) over
+    block rows: matching rows with the first match extracted, content
+    rewritten by regexp_replace — predicate pushed into the scan."""
+    from bookextract_spark.operators.edit import regex_replace_all, regex_search
+
+    rows = _synthetic_block_rows(spark, sf_dir)
+    found = regex_search(rows, r"(?i)\b(spark|shuffle)\b")
+    replaced = regex_replace_all(found, r"(?i)\b(spark|shuffle)\b", "ENGINE")
+    return replaced.select(
+        "conv_id", "turn_idx", F.lower(F.col("match")).alias("match_lower"), "content"
+    )
+
+
+SQL_EDIT_REGEX = f"""
+WITH {_SQL_HEADERED}
+SELECT conv_id, turn_idx,
+  lower(regexp_extract(bcontent, '(?i)\\b(spark|shuffle)\\b', 0)) AS match_lower,
+  regexp_replace(bcontent, '(?i)\\b(spark|shuffle)\\b', 'ENGINE', 'g') AS content
+FROM headered
+WHERE regexp_matches(bcontent, '(?i)\\b(spark|shuffle)\\b')
+"""
+
+
 def q_p5_stubs(spark, sf_dir):
     """P5 stub insertion (edit_gui.py:764-797): the synthesized stub
     rows for each conversation's missing required sections."""
@@ -2780,6 +2804,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "o12_preview": (q_o12_preview, SQL_O12),
     "p5_validate": (q_p5_validate, SQL_P5),
     "p5_stubs": (q_p5_stubs, SQL_P5_STUBS),
+    "edit_regex": (q_edit_regex, SQL_EDIT_REGEX),
     "o15_chapter_titles": (q_o15_chapter_titles, SQL_O15_TITLES),
 }
 
