@@ -1,16 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The IMAGE kernel is REAL: a dependency-free PNG codec (stdlib
-``zlib``/``struct``) — the encoder writes genuine 8-bit grayscale PNG
-streams (mixing filter types so decoding must actually unfilter) and
-the decoder parses IHDR, inflates IDAT, undoes all five PNG filter
-types, and computes true mean luminance; JPEG headers are parsed for
-dimensions (SOF scan).  Payload kinds without a pure-stdlib decoder
-(video frames, audio) remain STUBBED behind ``fake=True`` with
-deterministic hash-derived fakes — the Spark-side plumbing (schemas,
-Arrow batch shapes, ``mapInPandas`` contracts, 1->N expansion) is real
-and tested either way.
+The IMAGE and AUDIO kernels are REAL, dependency-free codecs (stdlib
+``zlib``/``struct``/``array``): the PNG encoder writes genuine 8-bit
+grayscale streams (mixing filter types so decoding must actually
+unfilter) and the decoder parses IHDR, inflates IDAT, undoes all five
+PNG filter types, and computes true mean luminance; JPEG headers are
+parsed for dimensions (SOF scan); the WAV codec writes and parses
+RIFF/fmt/data PCM16 streams with real sample statistics (RMS, peak,
+duration).  Only VIDEO frames remain STUBBED behind ``fake=True`` with
+deterministic hash-derived fakes (no pure-stdlib video decoder exists)
+— the Spark-side plumbing (schemas, Arrow batch shapes, ``mapInPandas``
+contracts, 1->N expansion) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -310,3 +311,114 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096, fake_decode: bool
 
     videos = media.where(F.col("kind") == "video").select("media_id", "payload")
     return videos.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL audio kernel: WAV (RIFF/PCM) encode + decode, stdlib only
+# --------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(sample_rate: int, samples) -> bytes:
+    """Minimal REAL PCM16 mono WAV encoder (RIFF + fmt + data)."""
+    import array
+
+    data = array.array("h", samples).tobytes()
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+
+WAV_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("peak", IntegerType(), True),
+    ]
+)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
+    """REAL WAV decode -> (sample_rate, n_channels, n_samples,
+    duration_ms, rms in [0,1], peak amplitude).  Parses the RIFF chunk
+    stream (fmt + data; other chunks skipped), supports 16-bit PCM."""
+    import array
+    import math
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    sample_rate = n_channels = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, n_channels, sample_rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM WAV supported")
+        elif tag == b"data":
+            data = body
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) - len(data) % 2])
+    n_frames = len(samples) // n_channels
+    if len(samples) == 0:
+        return sample_rate, n_channels, 0, 0, 0.0, 0
+    rms = math.sqrt(sum(s * s for s in samples) / len(samples)) / 32768.0
+    peak = max(max(samples), -min(samples))
+    duration_ms = n_frames * 1000 // sample_rate
+    return sample_rate, n_channels, n_frames, duration_ms, rms, peak
+
+
+def wav_media_from_documents(docs: DataFrame) -> DataFrame:
+    """REAL audio media table: one genuine PCM16 WAV per document with
+    SQL-predictable stats — a constant-amplitude square wave
+    (amplitude ``256 + (doc_id % 64) * 64``, so RMS == amplitude/32768
+    exactly) of ``1000 + doc_id % 500`` samples at 8 kHz."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 1000 + d % 500
+                amp = 256 + (d % 64) * 64
+                samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+                rows.append((d, encode_wav_pcm16(8000, samples), "audio/wav"))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
+
+    out = docs.select("doc_id").mapInPandas(
+        gen, schema="media_id long, payload binary, mime string"
+    )
+    return out.select("media_id", F.lit("audio").alias("kind"), "payload", "mime")
+
+
+def wav_metadata(media: DataFrame) -> DataFrame:
+    """Decode WAV rows via mapInPandas (real RIFF parse + PCM stats)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                sr, ch, n, ms, rms, peak = decode_wav(bytes(payload))
+                rows.append((int(media_id), sr, ch, n, ms, rms, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms", "peak",
+                ],
+            )
+
+    audio = media.where(F.col("kind") == "audio").select("media_id", "payload")
+    return audio.mapInPandas(extract, schema=WAV_META_SCHEMA)

@@ -1410,6 +1410,34 @@ FROM h
 """
 
 
+def q_wav_metadata(spark, sf_dir):
+    """REAL audio decode end-to-end: genuine PCM16 WAV payloads
+    (constant-amplitude square waves) generated distributed, parsed for
+    real — RIFF chunk walk, fmt/data extraction, sample statistics.
+    Amplitude/length follow a closed form of doc_id, so the oracle
+    predicts the DECODED stats without touching the bytes (square-wave
+    RMS == amplitude/32768 exactly, all values binary fractions)."""
+    from bookextract_spark.operators.multimodal import (
+        wav_media_from_documents,
+        wav_metadata,
+    )
+
+    media = wav_media_from_documents(_load(spark, sf_dir, "documents"))
+    return wav_metadata(media)
+
+
+SQL_WAV_META = """
+SELECT doc_id AS media_id,
+  8000 AS sample_rate,
+  1 AS n_channels,
+  (1000 + doc_id % 500)::BIGINT AS n_samples,
+  (((1000 + doc_id % 500) * 1000) // 8000)::BIGINT AS duration_ms,
+  (256 + (doc_id % 64) * 64) / 32768.0 AS rms,
+  CAST(256 + (doc_id % 64) * 64 AS INT) AS peak
+FROM documents
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame-sampling plumbing (1->N mapInPandas expansion; fake
     decode = sha256 per 4096-byte window, so DuckDB replicates it)."""
@@ -2787,6 +2815,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "image_metadata": (q_image_metadata, SQL_IMAGE_META_REAL),
     "image_metadata_sha": (q_image_metadata_sha, SQL_IMAGE_META),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "wav_metadata": (q_wav_metadata, SQL_WAV_META),
     "pipeline_extract": (q_pipeline_extract, SQL_PIPELINE),
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
     "curation_filter": (q_curation_filter, SQL_CURATION),

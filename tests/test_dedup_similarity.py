@@ -271,3 +271,43 @@ def test_ivf_ann_recall_vs_brute(spark):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
     # every IVF hit is a genuine corpus vector with exact cosine rank
     assert len(ivf) == len(qids) * 5
+
+
+def test_wav_codec_round_trip():
+    """The stdlib WAV decoder must parse real RIFF streams (including a
+    skipped extra chunk) and compute true PCM statistics."""
+    import struct as st
+
+    from bookextract_spark.operators.multimodal import decode_wav, encode_wav_pcm16
+
+    samples = [1000, -1000, 500, -500, 0, 32767, -32768, 123]
+    wav = encode_wav_pcm16(16000, samples)
+    sr, ch, n, ms, rms, peak = decode_wav(wav)
+    assert (sr, ch, n) == (16000, 1, len(samples))
+    assert peak == 32768
+    import math
+
+    expected_rms = math.sqrt(sum(s * s for s in samples) / len(samples)) / 32768.0
+    assert abs(rms - expected_rms) < 1e-12
+
+    # decoder skips unknown chunks (e.g. LIST) before data
+    body = wav[12:]
+    extra = b"LIST" + st.pack("<I", 4) + b"INFO"
+    wav2 = wav[:12] + extra + body
+    assert decode_wav(wav2)[2] == len(samples)
+
+
+def test_wav_media_decode_end_to_end(spark):
+    from bookextract_spark.operators.multimodal import (
+        wav_media_from_documents,
+        wav_metadata,
+    )
+
+    docs = spark.createDataFrame([(i, "t") for i in range(30)], "doc_id long, text string")
+    out = {r.media_id: r for r in wav_metadata(wav_media_from_documents(docs)).collect()}
+    assert len(out) == 30
+    for d, r in out.items():
+        amp = 256 + (d % 64) * 64
+        assert r.peak == amp and r.n_samples == 1000 + d % 500
+        assert abs(r.rms - amp / 32768.0) < 1e-15
+        assert r.sample_rate == 8000 and r.n_channels == 1
