@@ -132,3 +132,49 @@ def pack_sequences(
         start.alias("start_offset"),
         F.floor(start / budget).cast("long").alias("bin"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    n-gram shingles with any benchmark/eval document — the standard
+    guard against test-set leakage into training data.
+
+    Scale shape: the benchmark side is small by definition — its
+    distinct shingle set BROADCASTS, so the check is one map-side join
+    over the corpus shingles plus a per-doc count; no corpus self-join,
+    no shuffle of document text.
+    """
+    from bookextract_spark.operators.dedup import word_shingles_col
+
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("s"),
+    )
+    bench_sh = benchmark.select(
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("s")
+    ).distinct()
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared_shingles"), F.lit(0).cast("long")).alias(
+                "n_shared_shingles"
+            ),
+            (F.coalesce(F.col("n_shared_shingles"), F.lit(0)) >= min_shared).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -1670,6 +1670,94 @@ FROM cum
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus = docs with doc_id%50 != 0,
+    benchmark = the rest; flag corpus docs sharing any word-3-gram with
+    the benchmark (broadcast benchmark shingles, map-side check)."""
+    from bookextract_spark.operators.curation import decontaminate
+
+    d = _load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    benchmark = d.where(F.col("doc_id") % 50 == 0)
+    return decontaminate(corpus, benchmark)
+
+
+SQL_DECONTAM = r"""
+WITH toks AS (
+  SELECT doc_id,
+    string_split(lower(regexp_replace(regexp_replace(coalesce(text,''),
+        '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT d.doc_id, count(*)::BIGINT AS n
+  FROM sh d JOIN bench b ON d.s = b.s
+  WHERE d.doc_id % 50 <> 0 GROUP BY d.doc_id
+)
+SELECT c.doc_id,
+  coalesce(h.n, 0)::BIGINT AS n_shared_shingles,
+  coalesce(h.n, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) c
+LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+def q_s5_quarantine(spark, sf_dir):
+    """Malformed-JSON quarantine (SURVEY §2.9 robustness: the
+    reference's retry-on-bad-JSON becomes route-to-quarantine):
+    payloads are valid intermediate JSON, malformed JSON, or
+    alien-shaped JSON depending on conv ordinal; the valid/quarantined
+    split must land each where the oracle says."""
+    from bookextract_spark.sources.book_json import split_quarantine
+
+    t = _derived_transcripts(spark, sf_dir)
+    convs = t.select("conv_id").distinct()
+    cnum = F.substring(F.col("conv_id"), 2, 10).cast("int")
+    payload = (
+        F.when(cnum % 3 == 0, F.concat(F.lit('{"broken": '), F.col("conv_id")))
+        .when(cnum % 3 == 1, F.lit("[1, 2, 3]"))
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.struct(F.concat(F.lit("Book "), F.col("conv_id")).alias("title")).alias(
+                        "metadata"
+                    ),
+                    F.lit(1).alias("total_chapters"),
+                )
+            )
+        )
+    )
+    saved = convs.select("conv_id", payload.alias("book_json"))
+    valid, quarantined = split_quarantine(saved)
+    v = valid.select(
+        "conv_id",
+        F.lit("valid").alias("status"),
+        F.col("metadata.title").alias("title"),
+    )
+    q = quarantined.select(
+        "conv_id", F.lit("quarantined").alias("status"), F.lit(None).cast("string").alias("title")
+    )
+    return v.unionByName(q)
+
+
+SQL_S5_QUAR = f"""
+WITH {_SQL_TRANSCRIPTS_CTE},
+convs AS (SELECT DISTINCT conv_id, CAST(substring(conv_id, 2, 10) AS INT) AS cnum
+          FROM transcripts_v)
+SELECT conv_id,
+  CASE WHEN cnum % 3 = 2 THEN 'valid' ELSE 'quarantined' END AS status,
+  CASE WHEN cnum % 3 = 2 THEN 'Book ' || conv_id END AS title
+FROM convs
+"""
+
+
 def q_conv_dedup(spark, sf_dir):
     """Conversation-level exact dedup composed over the flagship
     pipeline: per-conv fingerprint = md5 of the ordered extracted
@@ -2821,6 +2909,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "curation_filter": (q_curation_filter, SQL_CURATION),
     "train_val_split": (q_train_val_split, SQL_SPLIT),
     "seq_packing": (q_seq_packing, SQL_PACKING),
+    "decontaminate": (q_decontaminate, SQL_DECONTAM),
+    "s5_quarantine": (q_s5_quarantine, SQL_S5_QUAR),
     "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
     "s6_book_info": (q_s6_book_info, SQL_S6),
     "s11_book_info": (q_s11_book_info, SQL_S11),

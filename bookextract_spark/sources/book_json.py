@@ -110,6 +110,40 @@ def load_intermediate_json(saved: DataFrame, json_col: str = "book_json") -> Dat
     )
 
 
+def split_quarantine(
+    saved: DataFrame, json_col: str = "book_json"
+) -> tuple[DataFrame, DataFrame]:
+    """Robustness (SURVEY §2.9): the reference retries LLM responses
+    that fail JSON parsing with appended error context
+    (``ocr_processor.py:502-564``); the deterministic engine equivalent
+    routes unparseable documents to a QUARANTINE frame instead of
+    failing the job or silently nulling them.
+
+    Returns ``(valid, quarantined)``: a non-null payload that from_json
+    cannot parse into the intermediate schema (malformed JSON, or JSON
+    whose shape matches nothing — no parseable field at all) goes to
+    quarantine with the raw payload preserved for inspection/replay.
+    """
+    parsed = saved.withColumn(
+        "_doc", F.from_json(F.col(json_col), BOOK_JSON_STRUCT)
+    )
+    # from_json yields NULL for malformed input and an all-null struct
+    # for valid-but-alien JSON; both are unusable downstream
+    bad = F.col(json_col).isNotNull() & (
+        F.col("_doc").isNull()
+        | (
+            F.col("_doc.metadata").isNull()
+            & F.col("_doc.chapters").isNull()
+            & F.col("_doc.total_chapters").isNull()
+        )
+    )
+    quarantined = parsed.where(bad).select("conv_id", F.col(json_col).alias("raw_payload"))
+    valid = parsed.where(~bad).select(
+        "conv_id", *[F.col(f"_doc.{f.name}").alias(f.name) for f in BOOK_JSON_STRUCT.fields]
+    )
+    return valid, quarantined
+
+
 def load_book_info_json(book_info: DataFrame, json_col: str = "book_info_json") -> DataFrame:
     """S6 legacy source: parse ``book_info.json`` documents into the
     intermediate shape (``BookConverter.from_epub_extractor``,

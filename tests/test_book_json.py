@@ -161,3 +161,21 @@ def test_s11_sink_to_s6_source_round_trip(spark, transcripts):
             )
             assert bc["sections"][1]["content"] == flat
     books.unpersist()
+
+
+def test_split_quarantine_routes_malformed_payloads(spark):
+    from bookextract_spark.sources.book_json import split_quarantine
+
+    rows = [
+        ("ok", '{"metadata": {"title": "T"}, "total_chapters": 1}'),
+        ("broken", '{"metadata": '),
+        ("alien", "[1, 2, 3]"),
+        ("nulled", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, book_json string")
+    valid, quarantined = split_quarantine(df)
+    v = {r.conv_id for r in valid.collect()}
+    q = {r.conv_id: r.raw_payload for r in quarantined.collect()}
+    assert v == {"ok", "nulled"}  # null payload is absent, not malformed
+    assert set(q) == {"broken", "alien"}
+    assert q["broken"] == '{"metadata": '  # raw payload preserved for replay

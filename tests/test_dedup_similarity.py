@@ -311,3 +311,15 @@ def test_wav_media_decode_end_to_end(spark):
         assert r.peak == amp and r.n_samples == 1000 + d % 500
         assert abs(r.rms - amp / 32768.0) < 1e-15
         assert r.sample_rate == 8000 and r.n_channels == 1
+
+
+def test_decontaminate_planted_leak(spark, docs):
+    """A corpus document that copies a benchmark document must be
+    flagged; unrelated documents must not."""
+    from bookextract_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate(docs, bench).collect()}
+    assert out[0].contaminated and out[0].n_shared_shingles > 10  # BASE itself
+    assert out[1].contaminated  # near-copy still shares most shingles
+    assert not out[2].contaminated and out[2].n_shared_shingles == 0
