@@ -178,3 +178,32 @@ def decontaminate(
             ),
         )
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    domain_col: str = "label",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Domain-mixture sampling: keep each document with its domain's
+    target rate, decided by a DETERMINISTIC per-document hash threshold
+    (md5 bucket of the id, same family as :func:`split_assign`) — so the
+    mixture is reproducible, order-independent, and consistent across
+    re-runs/backfills, unlike ``DataFrame.sample``.  Pure map.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(10_000)).cast("int")  # 0.01% rate resolution
+    rate = F.lit(float(default_rate))
+    for dom, r in sorted(rates.items()):
+        rate = F.when(F.col(domain_col) == dom, F.lit(float(r))).otherwise(rate)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        bucket.alias("bucket"),
+        F.round(rate, 6).alias("rate"),
+        (bucket < (rate * 10_000).cast("int")).alias("keep"),
+    )

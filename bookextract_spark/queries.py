@@ -1670,6 +1670,41 @@ FROM cum
 """
 
 
+MIXTURE_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.0, "src3": 1.0}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling over the documents `source` column:
+    deterministic md5-threshold keep decision per document at each
+    domain's target rate (default 0.75 for unlisted domains)."""
+    from bookextract_spark.operators.curation import mixture_sample
+
+    return mixture_sample(
+        _load(spark, sf_dir, "documents"),
+        rates=MIXTURE_RATES,
+        domain_col="source",
+        default_rate=0.75,
+    )
+
+
+def _sql_mixture() -> str:
+    rate_case = " ".join(
+        f"WHEN '{d}' THEN {r}" for d, r in sorted(MIXTURE_RATES.items())
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, source AS domain,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 10000 AS INT)
+      AS bucket,
+    round(CASE source {rate_case} ELSE 0.75 END, 6) AS rate
+  FROM documents
+)
+SELECT doc_id, domain, bucket, rate,
+  bucket < CAST(rate * 10000 AS INT) AS keep
+FROM b
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus = docs with doc_id%50 != 0,
     benchmark = the rest; flag corpus docs sharing any word-3-gram with
@@ -2911,6 +2946,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "seq_packing": (q_seq_packing, SQL_PACKING),
     "decontaminate": (q_decontaminate, SQL_DECONTAM),
     "s5_quarantine": (q_s5_quarantine, SQL_S5_QUAR),
+    "mixture_sample": (q_mixture_sample, _sql_mixture()),
     "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
     "s6_book_info": (q_s6_book_info, SQL_S6),
     "s11_book_info": (q_s11_book_info, SQL_S11),
