@@ -113,9 +113,17 @@ def pack_sequences(
     large for one task takes the same two-level prefix-sum treatment as
     the salted chapter numbering (``chapters.number_chapters``).
     """
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_shards),
+    ).cast("int")
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        # md5-hash shard (not arithmetic modulo): works for any id type
+        # and never yields a NULL mega-partition for string ids
+        shard.alias("shard"),
         token_count_col(F.col(text_col)).alias("n_tokens"),
     )
     w = (
@@ -205,5 +213,7 @@ def mixture_sample(
         F.col(domain_col).alias("domain"),
         bucket.alias("bucket"),
         F.round(rate, 6).alias("rate"),
-        (bucket < (rate * 10_000).cast("int")).alias("keep"),
+        # round before the int cast: Spark casts truncate while DuckDB
+        # rounds, and rate*10000 is inexact for non-dyadic rates
+        (bucket < F.round(rate * 10_000).cast("int")).alias("keep"),
     )

@@ -151,7 +151,7 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         raise ValueError("not a PNG stream")
     pos = 8
     width = height = None
-    bit_depth = color_type = None
+    bit_depth = color_type = interlace = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -159,7 +159,9 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -168,6 +170,10 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         raise ValueError("PNG missing IHDR")
     if bit_depth != 8 or color_type not in (0, 2, 4, 6):
         raise NotImplementedError(f"PNG bit depth {bit_depth} / color type {color_type}")
+    if interlace:
+        # Adam7 passes are NOT straight scanlines — unfiltering them as
+        # such would return silently-wrong luma; refuse loudly instead
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     pixels = _unfilter_scanlines(zlib.decompress(bytes(idat)), width, height, channels)
     n = width * height
@@ -194,7 +200,12 @@ def decode_jpeg_dims(payload: bytes) -> tuple[int, int, float | None]:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # 0xFF fill bytes before a marker are spec-legal (T.81 B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI — no sized segment follows
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue

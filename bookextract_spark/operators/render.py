@@ -247,10 +247,16 @@ def m4b_chapter_metadata(files: DataFrame, chapters: DataFrame) -> DataFrame:
     basename = F.col("basename")
     parsed = F.expr("try_cast(split_part(basename, '_', 1) as int)")
     f = files.withColumn("_num", parsed)
-    ch = chapters.select(
-        F.col("conv_id").alias("_c_conv"),
-        F.col("number").alias("_c_num"),
-        F.col("title").alias("_c_title"),
+    # one title per (conv, number): the reference's `next(...)` takes
+    # the FIRST list entry; a DataFrame has no defined order, so take the
+    # deterministic min — and never fan out the join (a duplicated
+    # chapter number would duplicate file rows and corrupt every later
+    # cumulative offset)
+    ch = (
+        chapters.groupBy(
+            F.col("conv_id").alias("_c_conv"), F.col("number").alias("_c_num")
+        )
+        .agg(F.min("title").alias("_c_title"))
     )
     joined = f.join(
         F.broadcast(ch),

@@ -246,15 +246,20 @@ def ivf_centroids(
     base = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     )
+    # seed from the n_clusters LOWEST ids (works for any id space —
+    # a `id < n_clusters` filter would silently yield an empty/degenerate
+    # quantizer when ids do not start at 0)
     seeds = (
-        base.where(F.col("id") < n_clusters)
+        base.orderBy("id")
+        .limit(n_clusters)
         .select(
-            F.col("id").cast("int").alias("j"),
-            F.transform(F.col("vec"), lambda x: F.round(x, 6)).alias("cvec"),
+            "id", F.transform(F.col("vec"), lambda x: F.round(x, 6)).alias("cvec")
         )
         .collect()
     )
-    cent_map = {int(r["j"]): list(r["cvec"]) for r in seeds}
+    cent_map = {j: list(r["cvec"]) for j, r in enumerate(seeds)}
+    if not cent_map:
+        raise ValueError("ivf_centroids: empty embeddings input")
     for _ in range(iters):
         assigned = _ivf_assign(base, _cents_df(embeddings, cent_map))
         dims = assigned.select("j", F.posexplode("vec").alias("dim", "v"))

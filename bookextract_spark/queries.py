@@ -974,15 +974,18 @@ def _sql_simhash_xxh() -> str:
     pure-Python XXH64."""
     import os
 
-    import duckdb
-
     from bookextract_spark.functions.xxhash import spark_xxhash64
 
-    con = duckdb.connect()
+    try:
+        import duckdb
+    except ImportError:  # oracle host without duckdb: degenerate LUT
+        duckdb = None
+
+    con = duckdb.connect() if duckdb else None
     tokens: set[str] = set()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         path = f"/root/testdata/{sf}/documents.parquet"
-        if not os.path.exists(path):
+        if con is None or not os.path.exists(path):
             continue
         rows = con.execute(
             f"""
@@ -1200,8 +1203,9 @@ WITH base AS (
   FROM embeddings
 ),
 c0 AS (
-  SELECT CAST(id AS INT) AS j, list_transform(vec, x -> round(x, 6)) AS cvec
-  FROM base WHERE id < {k_clusters}
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS j,
+         list_transform(vec, x -> round(x, 6)) AS cvec
+  FROM base ORDER BY id LIMIT {k_clusters}
 )"""
     prev = "c0"
     for it in range(1, iters + 1):
@@ -1653,7 +1657,9 @@ def q_seq_packing(spark, sf_dir):
 
 SQL_PACKING = r"""
 WITH toks AS (
-  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+  SELECT doc_id,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT)
+      AS shard,
     length(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
       AS n_tokens
   FROM documents
@@ -1700,7 +1706,7 @@ WITH b AS (
   FROM documents
 )
 SELECT doc_id, domain, bucket, rate,
-  bucket < CAST(rate * 10000 AS INT) AS keep
+  bucket < CAST(round(rate * 10000) AS INT) AS keep
 FROM b
 """
 
@@ -2928,7 +2934,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # docstring), simhash via the inlined pure-Python XXH64 hash table
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_MD5),
     "minhash_dedup_md5": (q_minhash_dedup_md5, SQL_MINHASH_MD5),
-    "simhash": (q_simhash, _sql_simhash_xxh()),
+    # callable: resolved lazily by oracle_sql() — building this SQL
+    # scans fixture vocabulary with DuckDB and must not run at import
+    "simhash": (q_simhash, _sql_simhash_xxh),
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh()),
@@ -2968,5 +2976,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
+_SQL_CACHE: dict[str, str] = {}
+
+
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    out = {}
+    for name, (_, sql) in _REGISTRY.items():
+        if sql is None:
+            continue
+        if callable(sql):
+            if name not in _SQL_CACHE:
+                _SQL_CACHE[name] = sql()
+            sql = _SQL_CACHE[name]
+        out[name] = sql
+    return out

@@ -128,15 +128,12 @@ def split_quarantine(
         "_doc", F.from_json(F.col(json_col), BOOK_JSON_STRUCT)
     )
     # from_json yields NULL for malformed input and an all-null struct
-    # for valid-but-alien JSON; both are unusable downstream
-    bad = F.col(json_col).isNotNull() & (
-        F.col("_doc").isNull()
-        | (
-            F.col("_doc.metadata").isNull()
-            & F.col("_doc.chapters").isNull()
-            & F.col("_doc.total_chapters").isNull()
-        )
-    )
+    # for valid-but-alien JSON; "no parseable field at all" = EVERY
+    # top-level field of the schema is null
+    all_null = F.lit(True)
+    for f in BOOK_JSON_STRUCT.fields:
+        all_null = all_null & F.col(f"_doc.{f.name}").isNull()
+    bad = F.col(json_col).isNotNull() & (F.col("_doc").isNull() | all_null)
     quarantined = parsed.where(bad).select("conv_id", F.col(json_col).alias("raw_payload"))
     valid = parsed.where(~bad).select(
         "conv_id", *[F.col(f"_doc.{f.name}").alias(f.name) for f in BOOK_JSON_STRUCT.fields]

@@ -215,21 +215,28 @@ def build_epub_bytes(
     ``chapters``: (item_id, href, xhtml); ``spine_ids``: itemref order
     (items absent from the spine land at the end on re-parse — the
     reference's missing->999 sort).  Deterministic: fixed zip
-    timestamps, no compression randomness (stored entries).
+    timestamps, no compression randomness (stored entries).  Metadata
+    strings are XML-escaped; chapter XHTML payloads are the caller's
+    responsibility (they are document content, expected well-formed).
     """
+    from xml.sax.saxutils import escape, quoteattr
+
     items = "\n".join(
-        f'    <item id="{iid}" href="{href}" media-type="application/xhtml+xml"/>'
+        f'    <item id={quoteattr(iid)} href={quoteattr(href)}'
+        f' media-type="application/xhtml+xml"/>'
         for iid, href, _ in chapters
     )
     if cover is not None:
         items += f'\n    <item id="cov" href="{cover[0]}" media-type="image/png"/>'
-    spine = "\n".join(f'    <itemref idref="{iid}"/>' for iid in spine_ids)
-    ident = f"<dc:identifier>{identifier}</dc:identifier>" if identifier else ""
+    spine = "\n".join(f"    <itemref idref={quoteattr(iid)}/>" for iid in spine_ids)
+    ident = (
+        f"<dc:identifier>{escape(identifier)}</dc:identifier>" if identifier else ""
+    )
     opf = f"""<?xml version="1.0"?>
 <package xmlns="http://www.idpf.org/2007/opf" version="3.0">
   <metadata xmlns:dc="http://purl.org/dc/elements/1.1/">
-    <dc:title>{title}</dc:title>
-    <dc:creator>{author}</dc:creator>
+    <dc:title>{escape(title)}</dc:title>
+    <dc:creator>{escape(author)}</dc:creator>
     <dc:language>en</dc:language>
     {ident}
   </metadata>

@@ -173,13 +173,18 @@ def test_pure_python_xxh64_matches_spark(spark):
         assert spark_xxhash64(r.s) == r.h, f"mismatch for {r.s!r}"
 
 
-def test_minhash_xx_and_md5_paths_agree(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_minhash_xx_and_md5_paths_agree(spark, sf):
     """The registered oracle for the xxhash64 minhash path is the md5
     twin's SQL; that is sound only while both hash families verify to
-    the same final pair set — assert it on the driver fixture."""
+    the same final pair set — assert it at BOTH fixture scales the
+    driver can run."""
     from bookextract_spark.operators.dedup import minhash_dedup
 
-    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
     xx = {tuple(r) for r in minhash_dedup(d, threshold=0.05).collect()}
     md = {
         tuple(r)

@@ -1,0 +1,140 @@
+"""Regression pins for the round-2 self-review findings — each test
+reproduces the exact failure scenario the review identified."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_mixture_sample_non_dyadic_rate_matches_rounding(spark):
+    """0.29*10000 is 2899.9999... in IEEE double; a truncating cast
+    would keep 28.99% and diverge from the rounding oracle."""
+    from bookextract_spark.operators.curation import mixture_sample
+
+    docs = spark.createDataFrame([(i, "d") for i in range(20000)], "doc_id long, label string")
+    out = mixture_sample(docs, {"d": 0.29}, domain_col="label").collect()
+    # threshold must be 2900 exactly: every bucket < 2900 kept, >= 2900 dropped
+    for r in out:
+        assert r.keep == (r.bucket < 2900), (r.bucket, r.keep)
+
+
+def test_ivf_works_with_shifted_id_space(spark):
+    """Seeding by `id < n_clusters` silently produced an empty quantizer
+    for id spaces not starting at 0; seeds must be the lowest ids."""
+    from bookextract_spark.operators.similarity import brute_force_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    qids = [1000, 1001, 1002, 1003]
+    ivf = ivf_ann_topk(emb, qids, k=5).collect()
+    assert len(ivf) == len(qids) * 5  # non-degenerate index
+    brute = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qids, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ivf}
+    assert len(brute & got) / len(brute) >= 0.5
+
+
+def test_m4b_duplicate_chapter_rows_do_not_fan_out(spark):
+    from bookextract_spark.operators.render import m4b_chapter_metadata
+
+    files = spark.createDataFrame(
+        [("b", "00_title", 1000), ("b", "03_Part", 2000), ("b", "05_End", 3000)],
+        "conv_id string, basename string, dur_ms long",
+    )
+    chapters = spark.createDataFrame(
+        [("b", 3, "Storm"), ("b", 3, "Storm again"), ("b", 5, "End")],
+        "conv_id string, number int, title string",
+    )
+    out = {r.basename: r for r in m4b_chapter_metadata(files, chapters).collect()}
+    assert len(out) == 3  # no duplicated file rows
+    # cumulative offsets not inflated by the duplicate chapter row
+    assert out["00_title"].start_ms == 0 and out["03_Part"].start_ms == 1000
+    assert out["05_End"].start_ms == 3000 and out["05_End"].end_ms == 6000
+    assert out["03_Part"].chapter_title == "Chapter 3: Storm"  # deterministic min
+
+
+def test_epub_metadata_xml_escaped():
+    from bookextract_spark.sources.epub import build_epub_bytes, parse_epub_bytes
+
+    chapters = [("c1", "ch1.xhtml", "<html><body><h1>One</h1><p>x</p></body></html>")]
+    payload = build_epub_bytes(
+        'Tom & Jerry <"quoted">', "A & B", "id<&>", chapters, ["c1"]
+    )
+    rows = parse_epub_bytes(payload, "mem://amp")
+    assert rows[0]["title"] == 'Tom & Jerry <"quoted">'
+    assert rows[0]["author"] == "A & B"
+    assert rows[0]["identifier"] == "id<&>"
+
+
+def test_jpeg_fill_bytes_and_eoi():
+    import struct
+
+    from bookextract_spark.operators.multimodal import decode_jpeg_dims
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xff\xff\xc0"  # 0xFF fill bytes before the marker (T.81 B.1.1.2)
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", 120, 320)
+        + b"\x03"
+        + b"\x00" * 9
+    )
+    payload = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert decode_jpeg_dims(payload) == (320, 120, None)
+    # EOI before any SOF terminates the scan instead of misparsing
+    with pytest.raises(ValueError):
+        decode_jpeg_dims(b"\xff\xd8" + app0 + b"\xff\xd9")
+
+
+def test_interlaced_png_refused_loudly():
+    import struct
+    import zlib
+
+    from bookextract_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
+    stream = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(stream)
+
+
+def test_pack_sequences_handles_string_ids(spark):
+    from bookextract_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", "some words here") for i in range(40)], "doc_id string, text string"
+    )
+    out = pack_sequences(docs).collect()
+    assert len(out) == 40
+    assert all(r.shard is not None and 0 <= r.shard < 8 for r in out)
+    assert len({r.shard for r in out}) > 1  # actually distributed
+
+
+def test_quarantine_keeps_partial_but_valid_documents(spark):
+    """A document carrying only format_version/total_word_count parses
+    into real fields and must NOT be quarantined."""
+    from bookextract_spark.sources.book_json import split_quarantine
+
+    rows = [("partial", '{"format_version": "1.0", "total_word_count": 0}')]
+    df = spark.createDataFrame(rows, "conv_id string, book_json string")
+    valid, quarantined = split_quarantine(df)
+    assert quarantined.count() == 0 and valid.count() == 1
+
+
+def test_oracle_sql_is_lazy_and_cached():
+    """Building the simhash oracle scans fixture vocabulary — it must
+    happen on oracle_sql() access, not at import, and be cached."""
+    from bookextract_spark import queries as Q
+
+    entry = Q._REGISTRY["simhash"][1]
+    assert callable(entry)  # stored lazily
+    a = Q.oracle_sql()["simhash"]
+    b = Q.oracle_sql()["simhash"]
+    assert a is b and "hash_lut" in a
