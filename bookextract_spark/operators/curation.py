@@ -217,3 +217,37 @@ def mixture_sample(
         # rounds, and rate*10000 is inexact for non-dyadic rates
         (bucket < F.round(rate * 10_000).cast("int")).alias("keep"),
     )
+
+
+# PII patterns (Java dialect on the Spark side; RE2-compatible subset so
+# the oracle matches byte-for-byte). Order matters: emails before the
+# bare number patterns so user@host doesn't get half-redacted.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    # optional country code, then the 3-3-4 shape with separators
+    ("phone", r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+    ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[ID]"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for training-data curation: emails, phone numbers,
+    IPv4 addresses, and SSN-shaped ids replaced with typed placeholders,
+    plus per-kind hit counts for audit metrics.  Pure map — one chained
+    regexp_replace projection inside whole-stage codegen."""
+    x = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    scrubbed = x
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), scrubbed.alias("scrubbed"), *counts
+    )

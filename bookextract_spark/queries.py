@@ -1711,6 +1711,55 @@ FROM b
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction with per-kind audit counts: deterministic PII
+    strings planted into every document (email, phone, IP, SSN-shaped),
+    scrubbed by the real operator; the oracle runs the identical
+    regex chain (RE2-compatible patterns) on the same construction."""
+    from bookextract_spark.operators.curation import pii_scrub
+
+    d = _load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" id 123-45-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(d.select("doc_id", planted.alias("text")))
+
+
+def _sql_pii() -> str:
+    from bookextract_spark.operators.curation import PII_PATTERNS
+
+    x = (
+        "coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) ||"
+        " '@example.com or 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||"
+        " ' from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) ||"
+        " CASE WHEN doc_id % 3 = 0 THEN ' id 123-45-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    cols = []
+    cur = x
+    for kind, pat, repl in PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        cols.append(f"length(regexp_extract_all({cur}, '{esc}'))::BIGINT AS n_{kind}")
+        cur = f"regexp_replace({cur}, '{esc}', '{repl}', 'g')"
+    cols_sql = ",\n  ".join(cols)
+    return f"""
+SELECT doc_id,
+  {cur} AS scrubbed,
+  {cols_sql}
+FROM documents
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus = docs with doc_id%50 != 0,
     benchmark = the rest; flag corpus docs sharing any word-3-gram with
@@ -2955,6 +3004,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "decontaminate": (q_decontaminate, SQL_DECONTAM),
     "s5_quarantine": (q_s5_quarantine, SQL_S5_QUAR),
     "mixture_sample": (q_mixture_sample, _sql_mixture()),
+    "pii_scrub": (q_pii_scrub, _sql_pii()),
     "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
     "s6_book_info": (q_s6_book_info, SQL_S6),
     "s11_book_info": (q_s11_book_info, SQL_S11),

@@ -138,3 +138,72 @@ def test_oracle_sql_is_lazy_and_cached():
     a = Q.oracle_sql()["simhash"]
     b = Q.oracle_sql()["simhash"]
     assert a is b and "hash_lut" in a
+
+
+# ---------------------------------------------------------------------------
+# codec property gates (pure Python — no Spark, fast)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    a=st.integers(min_value=0, max_value=255),
+    b=st.integers(min_value=1, max_value=37),
+)
+def test_png_codec_property_round_trip(w, h, a, b):
+    from bookextract_spark.operators.multimodal import decode_png, encode_png_gray
+
+    pix = lambda x, y: (a + b * x + (b * 7 + 1) * y) % 256  # noqa: E731
+    width, height, luma = decode_png(encode_png_gray(w, h, pix))
+    assert (width, height) == (w, h)
+    expected = sum(pix(x, y) for y in range(h) for x in range(w)) / (w * h) / 255.0
+    assert abs(luma - expected) < 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_codec_property_round_trip(samples, rate):
+    import math
+
+    from bookextract_spark.operators.multimodal import decode_wav, encode_wav_pcm16
+
+    sr, ch, n, ms, rms, peak = decode_wav(encode_wav_pcm16(rate, samples))
+    assert (sr, ch, n) == (rate, 1, len(samples))
+    assert ms == len(samples) * 1000 // rate
+    assert peak == max(max(samples), -min(samples))
+    expected = math.sqrt(sum(s * s for s in samples) / len(samples)) / 32768.0
+    assert abs(rms - expected) < 1e-12
+
+
+def test_pii_scrub_semantics(spark):
+    """Pins real-world PII shapes independently of the SQL oracle (a
+    shared wrong pattern would pass parity while missing actual PII —
+    the original phone regex demanded three separators and matched
+    nothing)."""
+    from bookextract_spark.operators.curation import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b@test.org call 555-123-4567 or +1 555 123 4567"),
+            (2, "server 192.168.1.10 ssn 123-45-6789"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 2
+    assert "[EMAIL]" in out[1].scrubbed and out[1].scrubbed.count("[PHONE]") == 2
+    assert out[2].n_ipv4 == 1 and out[2].n_ssn_like == 1
+    assert "[IP]" in out[2].scrubbed and "[ID]" in out[2].scrubbed
+    assert out[3].scrubbed == "clean text with no pii at all"
+    assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == out[3].n_ssn_like == 0
