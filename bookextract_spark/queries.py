@@ -830,6 +830,68 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style intra-document repetition gates over documents with
+    planted duplicate lines/paragraphs (every 4th/5th doc), plus the
+    natural bigram repetition of the synthetic vocabulary."""
+    from bookextract_spark.operators.quality import repetition_signals
+
+    d = _load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit("\nrepeat line\nother\nrepeat line")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("\n\nsame para\n\nsame para")
+        ).otherwise(F.lit("")),
+    )
+    return repetition_signals(d.select("doc_id", planted.alias("text")))
+
+
+SQL_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id,
+    coalesce(text, '') ||
+    CASE WHEN doc_id % 4 = 0
+         THEN chr(10) || 'repeat line' || chr(10) || 'other' || chr(10) || 'repeat line'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN chr(10)||chr(10) || 'same para' || chr(10)||chr(10) || 'same para'
+         ELSE '' END AS x
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+    list_filter(string_split(x, chr(10)), p -> trim(p) <> '') AS lines,
+    list_filter(string_split(x, chr(10)||chr(10)), p -> trim(p) <> '') AS paras,
+    string_split(lower(regexp_replace(regexp_replace(x, '^\s+|\s+$', '', 'g'),
+                 '\s+', ' ', 'g')), ' ') AS t
+  FROM base
+),
+bg AS (
+  SELECT *, CASE WHEN len(t) >= 2
+       THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+       ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM parts
+)
+SELECT doc_id,
+  len(lines)::BIGINT AS n_lines,
+  CASE WHEN len(lines) > 0
+       THEN round((len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE), 6)
+       ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN len(paras) > 0
+       THEN round((len(paras) - len(list_distinct(paras))) / CAST(len(paras) AS DOUBLE), 6)
+       ELSE 0.0 END AS dup_para_frac,
+  CASE WHEN len(bigrams) > 0
+       THEN round(list_max(list_transform(list_distinct(bigrams),
+                  d -> len(list_filter(bigrams, b -> b = d)))) /
+            CAST(len(bigrams) AS DOUBLE), 6)
+       ELSE 0.0 END AS top_bigram_frac
+FROM bg
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups (hash-groupBy)."""
     from bookextract_spark.operators.dedup import exact_dup_groups
@@ -2976,6 +3038,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "repetition_signals": (q_repetition_signals, SQL_REPETITION),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     # the xxhash64 scale paths carry real oracles: minhash via the
