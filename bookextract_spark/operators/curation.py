@@ -208,14 +208,17 @@ def mixture_sample(
     rate = F.lit(float(default_rate))
     for dom, r in sorted(rates.items()):
         rate = F.when(F.col(domain_col) == dom, F.lit(float(r))).otherwise(rate)
+    # one 6-dp rounding feeds BOTH the emitted rate column and the keep
+    # threshold, so the output is self-consistent and matches the
+    # oracle's rounded CASE; round again before the int cast because
+    # Spark casts truncate while DuckDB rounds
+    rate6 = F.round(rate, 6)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(domain_col).alias("domain"),
         bucket.alias("bucket"),
-        F.round(rate, 6).alias("rate"),
-        # round before the int cast: Spark casts truncate while DuckDB
-        # rounds, and rate*10000 is inexact for non-dyadic rates
-        (bucket < F.round(rate * 10_000).cast("int")).alias("keep"),
+        rate6.alias("rate"),
+        (bucket < F.round(rate6 * 10_000).cast("int")).alias("keep"),
     )
 
 

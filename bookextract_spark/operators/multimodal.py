@@ -159,6 +159,8 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated IHDR")
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
@@ -203,6 +205,8 @@ def decode_jpeg_dims(payload: bytes) -> tuple[int, int, float | None]:
         # 0xFF fill bytes before a marker are spec-legal (T.81 B.1.1.2)
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(payload):  # truncated after fill bytes
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI — no sized segment follows
             break

@@ -121,8 +121,6 @@ def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
     O(distinct^2) per document via filter-count over the distinct set,
     which is bounded by document length, not corpus size.
     """
-    from pyspark.sql import DataFrame  # noqa: F401
-
     x = F.coalesce(F.col(text_col), F.lit(""))
 
     # STAGE the arrays as named columns: Catalyst inlines lambda
@@ -130,11 +128,18 @@ def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
     # inside the per-distinct-element filter would rebuild the whole
     # split/transform pipeline once per element (measured 90+ s on 500
     # docs; staged: <2 s)
-    toks = F.split(F.lower(collapse_ws_col(strip_col(x))), " ")
-    staged = docs.select(
+    staged0 = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(x, "\n", -1), lambda p: F.trim(p) != "").alias("_lines"),
         F.filter(F.split(x, "\n\n", -1), lambda p: F.trim(p) != "").alias("_paras"),
+        F.split(F.lower(collapse_ws_col(strip_col(x))), " ").alias("_toks"),
+    )
+    toks = F.col("_toks")  # staged: the lambda below must reference a
+    # bound column, not the regex pipeline, or it reruns per element
+    staged = staged0.select(
+        "doc_id",
+        "_lines",
+        "_paras",
         F.when(
             F.size(toks) >= 2,
             F.transform(

@@ -227,7 +227,10 @@ def build_epub_bytes(
         for iid, href, _ in chapters
     )
     if cover is not None:
-        items += f'\n    <item id="cov" href="{cover[0]}" media-type="image/png"/>'
+        items += (
+            f"\n    <item id=\"cov\" href={quoteattr(cover[0])}"
+            f' media-type="image/png"/>'
+        )
     spine = "\n".join(f"    <itemref idref={quoteattr(iid)}/>" for iid in spine_ids)
     ident = (
         f"<dc:identifier>{escape(identifier)}</dc:identifier>" if identifier else ""

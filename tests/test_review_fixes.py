@@ -207,3 +207,54 @@ def test_pii_scrub_semantics(spark):
     assert "[IP]" in out[2].scrubbed and "[ID]" in out[2].scrubbed
     assert out[3].scrubbed == "clean text with no pii at all"
     assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == out[3].n_ssn_like == 0
+
+
+def test_truncated_jpeg_raises_valueerror_not_indexerror():
+    """The 0xFF fill-byte skip must not run past the buffer: truncated
+    streams raise the documented ValueError, never IndexError."""
+    from bookextract_spark.operators.multimodal import decode_jpeg_dims
+
+    for payload in (b"\xff\xd8\xff\xff\xff\xff\xff", b"\xff\xd8\xff\xff\xc0\x00"):
+        with pytest.raises(ValueError):
+            decode_jpeg_dims(payload)
+
+
+def test_truncated_ihdr_raises_valueerror():
+    import struct
+    import zlib
+
+    from bookextract_spark.operators.multimodal import _PNG_SIG, decode_png
+
+    def chunk(tag, data):
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(
+            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
+        )
+
+    short_ihdr = struct.pack(">IIBB", 2, 2, 8, 0)  # only 10 bytes
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(_PNG_SIG + chunk(b"IHDR", short_ihdr) + chunk(b"IEND", b""))
+
+
+def test_cover_href_xml_escaped_round_trip():
+    from bookextract_spark.sources.epub import build_epub_bytes, parse_epub_bytes
+
+    b = build_epub_bytes(
+        "T", "A", None,
+        [("c1", "ch1.xhtml", "<html><body><h1>One</h1><p>x</p></body></html>")],
+        ["c1"], cover=('cover"&.png', b"PNGZ"),
+    )
+    rows = parse_epub_bytes(b, "mem://x")
+    assert rows[0]["cover_name"] == 'cover"&.png'
+    assert rows[0]["cover_bytes"] == b"PNGZ"
+
+
+def test_mixture_rate_column_consistent_with_keep(spark):
+    """keep must be derived from the SAME 6-dp-rounded rate the output
+    reports (a >6-dp input rate diverged between them and vs the oracle)."""
+    from bookextract_spark.operators.curation import mixture_sample
+
+    docs = spark.createDataFrame([(i, "d") for i in range(5000)], "doc_id long, label string")
+    out = mixture_sample(docs, {"d": 0.12344951}, domain_col="label").collect()
+    for r in out:
+        assert abs(r.rate - 0.12345) < 1e-12
+        assert r.keep == (r.bucket < 1234 or (r.bucket == 1234))  # round(1234.5)=1235 half-up
