@@ -75,13 +75,13 @@ def _compare(name, got: pd.DataFrame, exp: pd.DataFrame):
             )
 
 
-NAMES = sorted(Q.queries().keys())
+NAMES = sorted(Q.local_queries().keys())
 
 
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, ddb, name):
-    fn = Q.queries()[name]
-    sql = Q.oracle_sql().get(name)
+    fn = Q.local_queries()[name]
+    sql = Q.local_oracle_sql().get(name)
     got = fn(spark, SF_DIR).toPandas()
     if sql is None:
         assert len(got) >= 0  # rows-only check, mirrors the driver
