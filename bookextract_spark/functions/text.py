@@ -47,10 +47,20 @@ def repair_hyphenation_col(col: Column) -> Column:
     return F.regexp_replace(col, r"(\p{L})-\n(\p{L})", r"$1$2")
 
 
+# Java/RE2 ASCII \s character set — also what Python str.strip()
+# removes on ASCII payloads
+_ASCII_WS = " \t\n\x0b\f\r"
+
+
 def strip_col(col: Column, unicode_ws: bool = False) -> Column:
     """Python ``str.strip()`` (ASCII whitespace by default; see module
-    dialect note)."""
-    return F.regexp_replace(col, _u(unicode_ws) + r"^\s+|\s+$", "")
+    dialect note).  The ASCII path uses ``btrim`` (plain character-set
+    trim, no regex engine) — this runs per piece / per line in the
+    classify and boilerplate hot paths, where the anchored
+    ``^\\s+|\\s+$`` regex was measurable."""
+    if unicode_ws:
+        return F.regexp_replace(col, _u(unicode_ws) + r"^\s+|\s+$", "")
+    return F.btrim(col, F.lit(_ASCII_WS))
 
 
 def collapse_ws_col(col: Column, unicode_ws: bool = False) -> Column:
@@ -119,7 +129,8 @@ PAGENO_PATTERN = r"^\s*\d{1,4}\s*$"
 
 
 def is_page_number_col(col: Column) -> Column:
-    """T14 bare page-number line predicate."""
+    """T14 bare page-number line predicate.  (Measured: the anchored
+    rlike beats a btrim+translate rewrite — predicates don't allocate.)"""
     return col.rlike(PAGENO_PATTERN)
 
 

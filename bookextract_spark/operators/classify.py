@@ -39,7 +39,9 @@ _DIVIDER_MAX_CHARS = 30
 
 
 def is_html_col(col: Column) -> Column:
-    return col.isNotNull() & col.rlike(HTML_SNIFF_PATTERN)
+    # the contains() pre-gate short-circuits the regex alternation for
+    # markup-free rows (the common case) — sniff requires a '<' anyway
+    return col.isNotNull() & col.contains("<") & col.rlike(HTML_SNIFF_PATTERN)
 
 
 def _block_struct(type_col, content_col, source: Column):
@@ -93,7 +95,9 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
         btype = (
             F.when(piece == "\f", F.lit("page_division"))
             .when(is_divider, F.lit("page_division"))
-            .when(lowered.rlike(_CHAPTER_BLOCK_PATTERN), F.lit("chapter_header"))
+            # the capture group is >= 1 char, so "pattern matched" is
+            # exactly "extract non-empty" — one regex execution, not two
+            .when(chap_num != "", F.lit("chapter_header"))
             .when(piece.rlike(r"^(?:\t|    |>)"), F.lit("block_indent"))
             .when(is_header, F.lit("header"))
             .otherwise(F.lit("paragraph"))
@@ -195,7 +199,11 @@ def classify_turns(
 
     html = is_html_col(text)
     html_input = F.when(html, text).otherwise(F.lit(None).cast("string"))
-    html_blocks = _classify_html_udf(html_input, source)
+    # null the source too for non-HTML rows — the UDF ignores it when
+    # html is null, and an all-null column Arrow-transfers for free
+    # instead of shipping a per-row string for the whole corpus
+    html_source = F.when(html, source).otherwise(F.lit(None).cast("string"))
+    html_blocks = _classify_html_udf(html_input, html_source)
 
     out = df.withColumn(
         out_col,

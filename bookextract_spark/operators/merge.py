@@ -329,10 +329,16 @@ def merge_across_turns(
     # donor_grp == grp(r) exactly when fragments for r exist (any row
     # between r and the next survivor — merged donors and empty turns
     # alike — sits in r's donor group and carries its _extra_g; a
-    # non-merged survivor next door means r has no fragments)
+    # non-merged survivor next door means r has no fragments).
+    # Ordering note: donor_grp is monotone non-decreasing in turn_idx
+    # (donor_grp(t+1) - donor_grp(t) = is_surv(t) >= 0), so ordering by
+    # (donor_grp, turn_idx) IS turn order — declaring the window that
+    # way lets Catalyst reuse w2's sort instead of re-sorting the whole
+    # corpus back to (conv, turn_idx) for this one lead()
+    w_deliver = Window.partitionBy("conv_id").orderBy("_donor_grp", "turn_idx")
     nxt = F.lead(
         F.struct(F.col("_donor_grp").alias("dg"), F.col("_extra_g").alias("eg"))
-    ).over(w)
+    ).over(w_deliver)
     staged = staged.withColumn(
         "_extra",
         F.when(
