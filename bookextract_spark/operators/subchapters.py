@@ -378,3 +378,58 @@ def epub_subchapters(block_rows: DataFrame, salt_bucket_size: int | None = None)
         .alias("filename"),
         "xhtml",
     )
+
+
+def placeholder_cover_png() -> bytes:
+    """Deterministic engine-generated placeholder cover — the
+    reference falls back to a hard-coded placeholder PNG when an image
+    path does not resolve (``epub_generator.py:123-131``,
+    ``_load_image_content`` ``:220-227``).  We generate ours with the
+    engine's own codec instead of embedding the reference's blob; the
+    BEHAVIOR (every missing payload maps to one fixed placeholder) is
+    what parity requires, the pixel bytes are engine-defined."""
+    from bookextract_spark.operators.multimodal import encode_png_gray
+
+    return encode_png_gray(1, 1, lambda x, y: 0)
+
+
+def epub_image_items(
+    block_rows: DataFrame, bytes_col: str | None = None
+) -> DataFrame:
+    """O11 image side-channel: the binary EPUB items for every
+    image-bearing block, named by the same GLOBAL ``image_{n}.png``
+    counter the chunker writes into its ``<img src=...>`` references
+    (``epub_generator.py:165-183``), with the reference's
+    missing-payload -> placeholder-cover fallback (``:210-237``).
+
+    Input: the same block rows as :func:`epub_subchapters` (conv_id,
+    turn_idx, block_idx, type, image, ...), optionally with a binary
+    ``bytes_col`` carrying the image payload (the engine's multimodal
+    model keeps media as opaque binary columns; the reference resolves
+    filesystem paths instead).  Output: one row per image item —
+    (conv_id, image_no, filename, payload, is_placeholder) — zip these
+    with the chunker's XHTML via ``build_epub_bytes(images=...)``.
+
+    Plan shape: a filter (image-bearing blocks only — tiny fraction of
+    the corpus) THEN one window on the filtered rows.  ``row_number``
+    over image-bearing blocks in document order equals the running
+    count the chunker computes over ALL blocks, so filtering first is
+    safe and keeps the exchange small at 100 TB.
+    """
+    is_img = F.col("type").isin("cover", "image") & F.col("image").isNotNull()
+    imgs = block_rows.where(is_img)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "block_idx")
+    imgs = imgs.withColumn("image_no", F.row_number().over(w))
+    payload = (
+        F.col(bytes_col)
+        if bytes_col is not None
+        else F.lit(None).cast("binary")
+    )
+    placeholder = F.lit(placeholder_cover_png())
+    return imgs.select(
+        "conv_id",
+        F.col("image_no").cast("int"),
+        F.format_string("images/image_%d.png", F.col("image_no")).alias("filename"),
+        F.coalesce(payload, placeholder).alias("payload"),
+        payload.isNull().alias("is_placeholder"),
+    )

@@ -2154,6 +2154,22 @@ def q_s7_epub_roundtrip(spark, sf_dir):
                     spine_ids=["c2", "c1"],
                     cover=("images/cover.png", f"PNG{d}".encode()),
                 )
+                # structural gate (reference tests/test_epub_generator.py:67-72
+                # + the nav/NCX/CSS items of epub_generator.py:266-316): a
+                # missing member fails the whole driver query
+                import io as _io
+                import zipfile as _zf
+
+                members = set(_zf.ZipFile(_io.BytesIO(payload)).namelist())
+                for req in (
+                    "mimetype",
+                    "META-INF/container.xml",
+                    "OEBPS/nav.xhtml",
+                    "OEBPS/toc.ncx",
+                    "OEBPS/style/nav.css",
+                ):
+                    if req not in members:
+                        raise AssertionError(f"EPUB missing {req}")
                 rows.append((f"mem://{d}", payload))
             yield pd.DataFrame(rows, columns=["path", "content"])
 
@@ -2170,10 +2186,16 @@ def q_s7_epub_roundtrip(spark, sf_dir):
         "chapter_title",
         "filename",
         F.size("sections").cast("int").alias("n_sections"),
-        F.element_at(F.col("sections"), 2)["content"].alias("first_para"),
+        # try_: the nav/TOC chapter has a single section
+        F.try_element_at(F.col("sections"), F.lit(2))["content"].alias("first_para"),
     )
 
 
+# Four parsed chapters per book: the nav/TOC document (S9 now builds
+# the reference's EpubNav, which is an HTML spine item, FIRST in the
+# spine — epub_generator.py:266-279 — and therefore re-parses as a
+# leading 'Chapters' chapter exactly as ebooklib's type-9 scan would
+# see it), then c2, c1 (spine order), then c3 (missing->999).
 SQL_S7 = """
 WITH base AS (
   SELECT doc_id, CAST(doc_id % 30 AS INT) AS k FROM documents
@@ -2185,14 +2207,18 @@ SELECT doc_id,
   'images/cover.png' AS cover_name,
   sha256('PNG' || CAST(doc_id AS VARCHAR)) AS cover_sha,
   CAST(u.n AS INT) AS chapter_number,
-  'Chapter ' || CAST(k + CASE u.n WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 3 END AS VARCHAR)
-    AS chapter_title,
-  'ch' || CAST(CASE u.n WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 3 END AS VARCHAR) || '.xhtml'
-    AS filename,
-  2 AS n_sections,
-  'body ' || CAST(doc_id AS VARCHAR) || ' ' ||
-    CAST(CASE u.n WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 3 END AS VARCHAR) AS first_para
-FROM base, unnest(range(1, 4)) AS u(n)
+  CASE u.n WHEN 1 THEN 'Chapters'
+    ELSE 'Chapter ' || CAST(k + CASE u.n WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 3 END AS VARCHAR)
+  END AS chapter_title,
+  CASE u.n WHEN 1 THEN 'nav.xhtml'
+    ELSE 'ch' || CAST(CASE u.n WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 3 END AS VARCHAR) || '.xhtml'
+  END AS filename,
+  CASE u.n WHEN 1 THEN 1 ELSE 2 END AS n_sections,
+  CASE u.n WHEN 1 THEN NULL
+    ELSE 'body ' || CAST(doc_id AS VARCHAR) || ' ' ||
+      CAST(CASE u.n WHEN 2 THEN 2 WHEN 3 THEN 1 ELSE 3 END AS VARCHAR)
+  END AS first_para
+FROM base, unnest(range(1, 5)) AS u(n)
 """
 
 
@@ -2205,8 +2231,16 @@ def q_o11_subchapters(spark, sf_dir):
     """O11 chunking machine over typed block rows synthesized from the
     derived transcripts (headers, page divisions, images); runs the
     REAL windowed operator and emits one row per chapter FILE with the
-    reference's ``chapter_{c}[.{d}].xhtml`` naming."""
-    from bookextract_spark.operators.subchapters import epub_subchapters
+    reference's ``chapter_{c}[.{d}].xhtml`` naming — UNIONED with one
+    ``kind='image'`` row per image item from the O11 image side-channel
+    (:func:`epub_image_items`): the ``image_{n}.png`` filename the
+    chunker's ``<img src=...>`` references, the payload sha (real bytes
+    for ``turn_idx % 3 != 1``, the engine placeholder cover otherwise —
+    the reference's missing-image fallback, epub_generator.py:210-237)."""
+    from bookextract_spark.operators.subchapters import (
+        epub_image_items,
+        epub_subchapters,
+    )
 
     t = _derived_transcripts(spark, sf_dir)
     is_ch = (F.col("turn_idx") % 5 == 0) & (F.col("turn_idx") > 0)
@@ -2231,8 +2265,47 @@ def q_o11_subchapters(spark, sf_dir):
         F.when(is_img & (F.col("turn_idx") % 2 == 0), F.col("content"))
         .otherwise(F.lit(None).cast("string"))
         .alias("caption"),
+        F.when(
+            is_img & (F.col("turn_idx") % 3 != 1),
+            F.encode(
+                F.concat(
+                    F.lit("IMG"),
+                    F.col("conv_id"),
+                    F.lit(":"),
+                    F.col("turn_idx").cast("string"),
+                ),
+                "UTF-8",
+            ),
+        )
+        .otherwise(F.lit(None).cast("binary"))
+        .alias("image_bytes"),
     )
-    return epub_subchapters(rows)
+    nulls = lambda t_: F.lit(None).cast(t_)  # noqa: E731
+    chunks = epub_subchapters(rows).select(
+        "conv_id",
+        F.lit("chunk").alias("kind"),
+        F.col("chunk_idx").alias("idx"),
+        "chapter_counter",
+        "division_counter",
+        "chapter_title",
+        "filename",
+        "xhtml",
+        nulls("string").alias("payload_sha"),
+        nulls("boolean").alias("is_placeholder"),
+    )
+    items = epub_image_items(rows, bytes_col="image_bytes").select(
+        "conv_id",
+        F.lit("image").alias("kind"),
+        F.col("image_no").alias("idx"),
+        nulls("long").alias("chapter_counter"),
+        nulls("long").alias("division_counter"),
+        nulls("string").alias("chapter_title"),
+        "filename",
+        nulls("string").alias("xhtml"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        "is_placeholder",
+    )
+    return chunks.unionByName(items)
 
 
 # every synthesized block type emits a piece (no cover/image-less rows),
@@ -2305,16 +2378,41 @@ grouped AS (
     arg_max(title, turn_idx) AS title
   FROM dct GROUP BY conv_id, chunk
 )
-SELECT conv_id, CAST(chunk AS INT) AS chunk_idx,
+SELECT conv_id, 'chunk' AS kind, CAST(chunk AS INT) AS idx,
   CAST(cc AS BIGINT) AS chapter_counter,
   CAST(dc AS BIGINT) AS division_counter,
   CASE WHEN dc > 1 THEN title || ' - ' || CAST(dc AS VARCHAR) ELSE title END AS chapter_title,
   CASE WHEN dc > 1
        THEN printf('chapter_%d.%d.xhtml', CAST(cc AS BIGINT), CAST(dc AS BIGINT))
        ELSE printf('chapter_%d.xhtml', CAST(cc AS BIGINT)) END AS filename,
-  xhtml
+  xhtml,
+  CAST(NULL AS VARCHAR) AS payload_sha,
+  CAST(NULL AS BOOLEAN) AS is_placeholder
 FROM grouped
+UNION ALL
+SELECT conv_id, 'image' AS kind, CAST(img_no AS INT) AS idx,
+  CAST(NULL AS BIGINT) AS chapter_counter,
+  CAST(NULL AS BIGINT) AS division_counter,
+  CAST(NULL AS VARCHAR) AS chapter_title,
+  'images/image_' || CAST(img_no AS VARCHAR) || '.png' AS filename,
+  CAST(NULL AS VARCHAR) AS xhtml,
+  CASE WHEN turn_idx % 3 <> 1
+       THEN sha256('IMG' || conv_id || ':' || CAST(turn_idx AS VARCHAR))
+       ELSE '__PLACEHOLDER_SHA__' END AS payload_sha,
+  turn_idx % 3 = 1 AS is_placeholder
+FROM st WHERE is_img
 """
+
+
+def _sql_o11_sub() -> str:
+    """Lazy: inlines the sha of the engine's deterministic placeholder
+    cover (the reference's missing-image fallback) into the oracle."""
+    import hashlib
+
+    from bookextract_spark.operators.subchapters import placeholder_cover_png
+
+    ph = hashlib.sha256(placeholder_cover_png()).hexdigest()
+    return SQL_O11_SUB.replace("__PLACEHOLDER_SHA__", ph)
 
 
 # --------------------------------------------------------------------------
@@ -3175,7 +3273,8 @@ FROM agg, tot
 # by tests/test_oracle_parity.py, not spent against the driver's budget.
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "s7_epub_roundtrip": (q_s7_epub_roundtrip, SQL_S7),
-    "o11_subchapters": (q_o11_subchapters, SQL_O11_SUB),
+    # callable: lazy — inlines the placeholder-cover sha
+    "o11_subchapters": (q_o11_subchapters, _sql_o11_sub),
     "o10_tts_render": (q_o10_tts_render, SQL_O10),
     "o11_html_render": (q_o11_html_render, SQL_O11_HTML),
     "o12_preview": (q_o12_preview, SQL_O12),

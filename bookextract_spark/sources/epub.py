@@ -199,6 +199,39 @@ def read_epub_chapters(spark: SparkSession, glob_path: str) -> DataFrame:
     return parse_epub_column(binary)
 
 
+# The stylesheet the reference attaches to every EPUB
+# (``epub_generator.py:283-316``, item uid ``style_nav`` at
+# ``style/nav.css``): serif body with justified 5% margins, centered
+# headings, italic blockquotes, centered capped-width images with
+# italic captions.  Transcribed from the cited rules, not a CSS
+# innovation of ours.
+EPUB_CSS = """@namespace epub "http://www.idpf.org/2007/ops";
+body { font-family: Cambria, Liberation Serif, Bitstream Vera Serif, Georgia, Times, Times New Roman, serif; margin: 5%; text-align: justify; }
+h1, h2, h3 { text-align: center; margin-bottom: 1em; }
+blockquote { margin: 1em 2em; font-style: italic; }
+.image-container { text-align: center; margin: 1em 0; }
+.image-container img { max-width: 100%; height: auto; }
+.caption { font-style: italic; font-size: 0.9em; margin-top: 0.5em; }
+"""
+
+_TITLE_SNIFF = re.compile(r"<h[123][^>]*>(.*?)</h[123]>", re.IGNORECASE | re.DOTALL)
+
+
+def _toc_title(href: str, xhtml: str, explicit: str | None, n: int) -> str:
+    """TOC label for a chapter document: explicit title when the caller
+    has one (the render path does), else the first ``h1``-``h3`` text,
+    else ``Chapter {n}`` — the same preference order the reference uses
+    when it reads chapters back (``book_intermediate.py:437-445``)."""
+    if explicit:
+        return explicit
+    m = _TITLE_SNIFF.search(xhtml)
+    if m:
+        t = re.sub(r"<[^>]+>", "", m.group(1)).strip()
+        if t:
+            return t
+    return f"Chapter {n}"
+
+
 def build_epub_bytes(
     title: str,
     author: str,
@@ -206,17 +239,30 @@ def build_epub_bytes(
     chapters: list[tuple[str, str, str]],
     spine_ids: list[str],
     cover: tuple[str, bytes] | None = None,
+    images: list[tuple[str, bytes]] | None = None,
+    chapter_titles: list[str | None] | None = None,
+    nav: bool = True,
+    css: bool = True,
 ) -> bytes:
     """S9 zip-assembly finisher as an ENGINE capability: build a real
-    EPUB (mimetype + container.xml + OPF manifest/spine + documents)
-    from rendered XHTML strings — the part of ``epub.write_epub``
-    (reference ``epub_generator.py:71``) that is pure bytes-in-a-zip.
+    EPUB (mimetype + container.xml + OPF manifest/spine + nav/TOC +
+    NCX + stylesheet + documents + image payloads) from rendered XHTML
+    strings — the part of ``epub.write_epub`` (reference
+    ``epub_generator.py:71``) that is pure bytes-in-a-zip.
 
     ``chapters``: (item_id, href, xhtml); ``spine_ids``: itemref order
     (items absent from the spine land at the end on re-parse — the
-    reference's missing->999 sort).  Deterministic: fixed zip
-    timestamps, no compression randomness (stored entries).  Metadata
-    strings are XML-escaped; chapter XHTML payloads are the caller's
+    reference's missing->999 sort).  Matching the reference's
+    ``_setup_book_structure``/``_add_css_styling``
+    (``epub_generator.py:266-316``): a ``nav.xhtml`` TOC document
+    (EPUB3 nav, one ``Chapters`` section listing every chapter), a
+    ``toc.ncx`` (EPUB2 NCX twin), and ``style/nav.css`` are added by
+    default, with the nav itemref FIRST in the spine (reference
+    ``book.spine = ['nav'] + chapters``).  ``images``: (href, payload)
+    binary items (reference ``:165-183`` — one manifest item per
+    ``image_{n}.png``).  Deterministic: fixed zip timestamps, no
+    compression randomness (stored entries).  Metadata strings are
+    XML-escaped; chapter XHTML payloads are the caller's
     responsibility (they are document content, expected well-formed).
     """
     from xml.sax.saxutils import escape, quoteattr
@@ -226,12 +272,33 @@ def build_epub_bytes(
         f' media-type="application/xhtml+xml"/>'
         for iid, href, _ in chapters
     )
+    if nav:
+        items += (
+            '\n    <item id="nav" href="nav.xhtml"'
+            ' media-type="application/xhtml+xml" properties="nav"/>'
+            '\n    <item id="ncx" href="toc.ncx"'
+            ' media-type="application/x-dtbncx+xml"/>'
+        )
+    if css:
+        items += (
+            '\n    <item id="style_nav" href="style/nav.css"'
+            ' media-type="text/css"/>'
+        )
     if cover is not None:
         items += (
             f"\n    <item id=\"cov\" href={quoteattr(cover[0])}"
             f' media-type="image/png"/>'
         )
-    spine = "\n".join(f"    <itemref idref={quoteattr(iid)}/>" for iid in spine_ids)
+    for i, (href, _payload) in enumerate(images or []):
+        items += (
+            f"\n    <item id=\"image_{i + 1}\" href={quoteattr(href)}"
+            f' media-type="image/png"/>'
+        )
+    spine_rows = list(spine_ids)
+    if nav:
+        spine_rows = ["nav"] + spine_rows
+    spine = "\n".join(f"    <itemref idref={quoteattr(iid)}/>" for iid in spine_rows)
+    spine_attr = ' toc="ncx"' if nav else ""
     ident = (
         f"<dc:identifier>{escape(identifier)}</dc:identifier>" if identifier else ""
     )
@@ -246,7 +313,7 @@ def build_epub_bytes(
   <manifest>
 {items}
   </manifest>
-  <spine>
+  <spine{spine_attr}>
 {spine}
   </spine>
 </package>"""
@@ -255,6 +322,49 @@ def build_epub_bytes(
   <rootfiles><rootfile full-path="OEBPS/content.opf"
     media-type="application/oebps-package+xml"/></rootfiles>
 </container>"""
+
+    toc = [
+        _toc_title(
+            href,
+            xhtml,
+            chapter_titles[i] if chapter_titles else None,
+            i + 1,
+        )
+        for i, (_iid, href, xhtml) in enumerate(chapters)
+    ]
+    nav_lis = "".join(
+        f"<li><a href={quoteattr(href)}>{escape(t)}</a></li>"
+        for (_iid, href, _x), t in zip(chapters, toc)
+    )
+    # the reference's TOC is one Section('Chapters') wrapping every
+    # chapter (epub_generator.py:268)
+    nav_doc = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<html xmlns="http://www.w3.org/1999/xhtml"'
+        ' xmlns:epub="http://www.idpf.org/2007/ops">'
+        f"<head><title>{escape(title)}</title>"
+        + ('<link rel="stylesheet" href="style/nav.css" type="text/css"/>' if css else "")
+        + "</head>"
+        '<body><nav epub:type="toc" id="toc"><h1>Chapters</h1>'
+        f"<ol>{nav_lis}</ol></nav></body></html>"
+    )
+    nav_points = "".join(
+        f'<navPoint id="np_{i + 1}" playOrder="{i + 1}">'
+        f"<navLabel><text>{escape(t)}</text></navLabel>"
+        f"<content src={quoteattr(href)}/></navPoint>"
+        for i, ((_iid, href, _x), t) in enumerate(zip(chapters, toc))
+    )
+    ncx_doc = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<ncx xmlns="http://www.daisy.org/z3986/2005/ncx/" version="2005-1">'
+        f'<head><meta name="dtb:uid" content={quoteattr(identifier or "")}/></head>'
+        f"<docTitle><text>{escape(title)}</text></docTitle>"
+        '<navMap><navPoint id="np_chapters" playOrder="1">'
+        "<navLabel><text>Chapters</text></navLabel>"
+        + (f"<content src={quoteattr(chapters[0][1])}/>" if chapters else "")
+        + f"{nav_points}</navPoint></navMap></ncx>"
+    )
+
     buf = io.BytesIO()
     ts = (2020, 1, 1, 0, 0, 0)
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
@@ -264,8 +374,15 @@ def build_epub_bytes(
             ("OEBPS/content.opf", opf.encode()),
         ]:
             zf.writestr(zipfile.ZipInfo(name, ts), data)
+        if nav:
+            zf.writestr(zipfile.ZipInfo("OEBPS/nav.xhtml", ts), nav_doc.encode())
+            zf.writestr(zipfile.ZipInfo("OEBPS/toc.ncx", ts), ncx_doc.encode())
+        if css:
+            zf.writestr(zipfile.ZipInfo("OEBPS/style/nav.css", ts), EPUB_CSS.encode())
         for _iid, href, xhtml in chapters:
             zf.writestr(zipfile.ZipInfo(f"OEBPS/{href}", ts), xhtml.encode())
         if cover is not None:
             zf.writestr(zipfile.ZipInfo(f"OEBPS/{cover[0]}", ts), cover[1])
+        for href, payload in images or []:
+            zf.writestr(zipfile.ZipInfo(f"OEBPS/{href}", ts), payload)
     return buf.getvalue()

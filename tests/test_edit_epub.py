@@ -152,14 +152,43 @@ def test_build_epub_bytes_zip_structure():
 
     z = zf.ZipFile(BytesIO(b1))
     names = z.namelist()
-    for required in ["META-INF/container.xml", "mimetype"]:  # reference invariant
+    # reference invariant (tests/test_epub_generator.py:67-72) plus the
+    # nav/NCX/CSS items every reference EPUB carries
+    # (epub_generator.py:266-316)
+    for required in [
+        "META-INF/container.xml",
+        "mimetype",
+        "OEBPS/nav.xhtml",
+        "OEBPS/toc.ncx",
+        "OEBPS/style/nav.css",
+    ]:
         assert required in names
     assert names[0] == "mimetype"
     info = z.getinfo("mimetype")
     assert info.compress_type == zf.ZIP_STORED
     assert z.read("mimetype") == b"application/epub+zip"
+    opf = z.read("OEBPS/content.opf").decode()
+    assert 'properties="nav"' in opf and 'toc="ncx"' in opf
+    assert '<itemref idref="nav"/>' in opf.split("<spine")[1]  # nav FIRST
+    nav_doc = z.read("OEBPS/nav.xhtml").decode()
+    assert '<a href="ch1.xhtml">Chapter 1</a>' in nav_doc  # TOC entry
+    assert "<h1>Chapters</h1>" in nav_doc  # Section('Chapters'), ref :268
+    assert "playOrder" in z.read("OEBPS/toc.ncx").decode()
+    assert b"image-container" in z.read("OEBPS/style/nav.css")
 
-    # and it parses back through the S7 source
+    # and it parses back through the S7 source: the nav document is an
+    # HTML spine item, so it re-parses as a leading 'Chapters' chapter
+    # exactly like the reference source would see it
     rows = parse_epub_bytes(b1, "mem://t")
-    assert len(rows) == 1 and rows[0]["chapter_title"] == "Chapter 1"
-    assert rows[0]["cover_bytes"] == b"PNGX"
+    assert len(rows) == 2
+    assert rows[0]["chapter_title"] == "Chapters"
+    assert rows[0]["filename"] == "nav.xhtml"
+    assert rows[1]["chapter_title"] == "Chapter 1"
+    assert rows[1]["cover_bytes"] == b"PNGX"
+
+    # nav=False restores the bare zip for callers that want payload-only
+    bare = parse_epub_bytes(
+        build_epub_bytes("T", "A", "id1", chapters, ["c1"], nav=False, css=False),
+        "mem://bare",
+    )
+    assert len(bare) == 1 and bare[0]["chapter_title"] == "Chapter 1"

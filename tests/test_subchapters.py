@@ -235,3 +235,81 @@ def test_salted_subchapters_adversarial(spark, bucket):
     plain = {tuple(r) for r in epub_subchapters(df).collect()}
     salted = {tuple(r) for r in epub_subchapters(df, salt_bucket_size=bucket).collect()}
     assert plain == salted
+
+
+def test_image_items_match_chunker_references(spark):
+    """The image side-channel must emit exactly the ``image_{n}.png``
+    items the chunker's XHTML references, with payload bytes carried
+    through and the placeholder fallback for NULL payloads
+    (epub_generator.py:165-183,210-237)."""
+    import re
+
+    from bookextract_spark.operators.subchapters import (
+        epub_image_items,
+        epub_subchapters,
+        placeholder_cover_png,
+    )
+
+    rows = [
+        # conv, turn, block, type, content, image, caption, bytes
+        ("c", 0, 0, "title", "T", None, None, None),
+        ("c", 1, 0, "image", None, "a.png", "capA", b"\x01payload-a"),
+        ("c", 2, 0, "chapter_header", "1", None, None, None),
+        ("c", 3, 0, "image", None, "b.png", None, None),  # -> placeholder
+        ("c", 3, 1, "cover", None, "c.png", None, b"\x02payload-c"),
+        ("c", 4, 0, "image", None, None, None, None),  # no image value: NOT an item
+        ("d", 0, 0, "image", None, "d.png", None, b"\x03payload-d"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, block_idx int, type string, "
+        "content string, image string, caption string, image_bytes binary",
+    )
+    items = {
+        (r.conv_id, r.image_no): r
+        for r in epub_image_items(df, bytes_col="image_bytes").collect()
+    }
+    # grain: one row per image-bearing block, counter per conv in doc order
+    assert set(items) == {("c", 1), ("c", 2), ("c", 3), ("d", 1)}
+    assert items[("c", 1)].payload == b"\x01payload-a"
+    assert items[("c", 2)].payload == placeholder_cover_png()
+    assert items[("c", 2)].is_placeholder
+    assert items[("c", 3)].payload == b"\x02payload-c"
+    assert not items[("c", 3)].is_placeholder
+    assert items[("d", 1)].payload == b"\x03payload-d"
+    assert all(
+        r.filename == f"images/image_{n}.png" for (_, n), r in items.items()
+    )
+
+    # every src the chunker writes has exactly one matching item
+    for conv in ("c", "d"):
+        xhtml = "".join(
+            r.filename + r.xhtml
+            for r in epub_subchapters(df).where(f"conv_id = '{conv}'").collect()
+        )
+        refs = set(re.findall(r"images/image_(\d+)\.png", xhtml))
+        assert refs == {str(n) for (cv, n) in items if cv == conv}
+
+
+def test_build_epub_bytes_carries_image_payloads():
+    """S9 zip assembly writes each image item's payload at its href and
+    manifests it (epub_generator.py:165-183)."""
+    import io
+    import zipfile
+
+    from bookextract_spark.sources.epub import build_epub_bytes
+
+    b = build_epub_bytes(
+        "T", "A", None,
+        [("c1", "ch1.xhtml", '<html><body><h1>One</h1><p>x</p>'
+          '<div class="image-container"><img src="images/image_1.png" alt="Image"/></div>'
+          "</body></html>")],
+        ["c1"],
+        images=[("images/image_1.png", b"IMGONE"), ("images/image_2.png", b"IMGTWO")],
+    )
+    z = zipfile.ZipFile(io.BytesIO(b))
+    assert z.read("OEBPS/images/image_1.png") == b"IMGONE"
+    assert z.read("OEBPS/images/image_2.png") == b"IMGTWO"
+    opf = z.read("OEBPS/content.opf").decode()
+    assert 'id="image_1" href="images/image_1.png"' in opf
+    assert 'id="image_2" href="images/image_2.png"' in opf
