@@ -46,15 +46,19 @@ def explode_blocks(df: DataFrame, blocks_col: str = "merged_blocks") -> DataFram
     )
 
 
-def number_chapters(block_rows: DataFrame, salt_bucket_size: int | None = None) -> DataFrame:
+def number_chapters(block_rows: DataFrame, salt_bucket_size: int | str | None = None) -> DataFrame:
     """Add ``chapter_no`` (running header count) to content block rows;
     metadata sections are dropped here (book_intermediate.py:268-270).
 
     ``salt_bucket_size`` switches to a two-level prefix sum (per-bucket
     running sum + cumulative bucket offsets) so one huge conversation
     never serializes into a single window task — identical results.
+    ``"auto"`` measures the skew and picks the mode (operators/skew.py).
     """
+    from bookextract_spark.operators.skew import resolve_salt_bucket_size
+
     content = block_rows.where(~F.col("type").isin(*METADATA_TYPES))
+    salt_bucket_size = resolve_salt_bucket_size(content, salt_bucket_size)
     is_header = F.when(F.col("type") == "chapter_header", 1).otherwise(0)
     if not salt_bucket_size:
         w = (

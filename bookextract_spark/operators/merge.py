@@ -204,7 +204,7 @@ def merge_across_turns(
     df: DataFrame,
     blocks_col: str = "blocks",
     out_col: str = "merged_blocks",
-    salt_bucket_size: int | None = None,
+    salt_bucket_size: int | str | None = None,
     persist_staged: bool = False,
     persisted_out: list | None = None,
 ) -> DataFrame:
@@ -215,7 +215,8 @@ def merge_across_turns(
     receiving turn's last block gains the fragment(s).  Empty turns pass
     through with an empty array.  ``salt_bucket_size`` switches to the
     salted sub-window implementation (identical results, bounded
-    per-task state — use when single conversations are huge).
+    per-task state — use when single conversations are huge);
+    ``"auto"`` measures the skew and picks the mode (operators/skew.py).
 
     The plain path is windows-only (single consumer chain, one
     exchange) and ignores ``persist_staged``.  In the salted mode the
@@ -229,6 +230,9 @@ def merge_across_turns(
     in its own job first makes upstream run exactly once; in
     production this boundary is the intermediate checkpoint write.
     """
+    from bookextract_spark.operators.skew import resolve_salt_bucket_size
+
+    salt_bucket_size = resolve_salt_bucket_size(df, salt_bucket_size)
     blocks = F.col(blocks_col)
 
     if salt_bucket_size:

@@ -1,0 +1,82 @@
+"""Automatic plain-vs-salted window mode selection.
+
+The O8/O9/O11 window operators each have a salted two-level prefix-sum
+twin (identical results, bounded per-task state) gated by a
+``salt_bucket_size`` knob.  The crossover is a DATA property — the
+plain path serializes each conversation into one window task, so it
+loses exactly when some conversation is large relative to what a
+single core sorts comfortably (measured on the 8-core bench box:
+plain wins at ≤0.4M turns/conv, salted wins ~25% at 3M turns/conv —
+BENCH/BASELINE.md "Skew evidence").  A 100×-scale operator should not
+have to know the knob exists, so every operator also accepts
+``salt_bucket_size="auto"``: measure the skew, pick the mode.
+
+Cost model of the measurement: ``groupBy(conv).count()`` is map-side
+combinable, so the pre-pass exchange carries only ``(conv_id, partial
+count)`` pairs and the scan itself is column-pruned to ``conv_id`` —
+at 100 TB that is one cheap extra pass over one column, not a second
+read of the corpus.  Where even that is unwanted, production jobs
+already KNOW the sizes (the checkpoint manifest's batch metrics, table
+statistics, the previous run) — pass ``known_max_rows`` and no job is
+launched at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AUTO = "auto"
+
+# between the measured 0.4M (plain wins) and 3M (salted wins) points;
+# biased low because the plain path's one-task-per-conv cap only gets
+# worse with cluster size while the salted overhead stays constant
+DEFAULT_CROSSOVER_ROWS = 1_000_000
+
+# >= 4 bucket tasks for any conversation past the crossover
+DEFAULT_BUCKET_SIZE = 250_000
+
+
+def max_rows_per_conv(df: DataFrame, conv_col: str = "conv_id") -> int:
+    """Largest per-conversation row count — one map-side-combinable
+    aggregation over the ``conv_col`` column only."""
+    row = (
+        df.select(conv_col)
+        .groupBy(conv_col)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()
+    )
+    return int(row["m"]) if row and row["m"] is not None else 0
+
+
+def resolve_salt_bucket_size(
+    df: DataFrame,
+    salt_bucket_size: int | str | None,
+    conv_col: str = "conv_id",
+    crossover_rows: int | None = None,
+    bucket_size: int | None = None,
+    known_max_rows: int | None = None,
+) -> int | None:
+    """``None``/int pass through; ``"auto"`` resolves to ``bucket_size``
+    when the most skewed conversation exceeds ``crossover_rows`` (from
+    ``known_max_rows`` if the caller has statistics, else measured).
+
+    ``crossover_rows``/``bucket_size`` default to the module constants
+    at CALL time, so a deployment (or a test) can retune the crossover
+    once for every operator by setting
+    ``skew.DEFAULT_CROSSOVER_ROWS`` / ``skew.DEFAULT_BUCKET_SIZE``.
+    """
+    if salt_bucket_size != AUTO:
+        if isinstance(salt_bucket_size, str):
+            raise ValueError(
+                f"salt_bucket_size must be an int, None, or 'auto', "
+                f"got {salt_bucket_size!r}"
+            )
+        return salt_bucket_size
+    if crossover_rows is None:
+        crossover_rows = DEFAULT_CROSSOVER_ROWS
+    if bucket_size is None:
+        bucket_size = DEFAULT_BUCKET_SIZE
+    mx = known_max_rows if known_max_rows is not None else max_rows_per_conv(df, conv_col)
+    return bucket_size if mx > crossover_rows else None

@@ -303,7 +303,7 @@ def _state_salted(block_rows: DataFrame, bucket_size: int) -> DataFrame:
     )
 
 
-def epub_subchapters(block_rows: DataFrame, salt_bucket_size: int | None = None) -> DataFrame:
+def epub_subchapters(block_rows: DataFrame, salt_bucket_size: int | str | None = None) -> DataFrame:
     """Chunk ordered block rows into EPUB chapter FILES, splitting
     chapters into ``chapter_{c}.{d}.xhtml`` sub-chapters on every
     ``page_division`` (``epub_generator.py:186-196,253-264``).
@@ -313,8 +313,12 @@ def epub_subchapters(block_rows: DataFrame, salt_bucket_size: int | None = None)
     (conv_id, chunk_idx, chapter_counter, division_counter,
     chapter_title, filename, xhtml).  ``salt_bucket_size`` switches to
     the two-level prefix-sum skew mode (identical results; use when
-    single conversations are huge).
+    single conversations are huge); ``"auto"`` measures the skew and
+    picks the mode (operators/skew.py).
     """
+    from bookextract_spark.operators.skew import resolve_salt_bucket_size
+
+    salt_bucket_size = resolve_salt_bucket_size(block_rows, salt_bucket_size)
     if salt_bucket_size:
         df = _state_salted(block_rows, salt_bucket_size)
     else:

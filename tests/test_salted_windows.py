@@ -50,3 +50,97 @@ def test_salted_numbering_equals_plain(spark, classified):
         .collect()
     )
     assert plain == salted
+
+
+# ---------------------------------------------------------------- auto mode
+
+
+def test_resolve_passthrough_and_validation(spark):
+    from bookextract_spark.operators import skew
+
+    df = spark.range(1).select(F.lit("c").alias("conv_id"))
+    assert skew.resolve_salt_bucket_size(df, None) is None
+    assert skew.resolve_salt_bucket_size(df, 7) == 7
+    with pytest.raises(ValueError):
+        skew.resolve_salt_bucket_size(df, "salted")
+
+
+def test_resolve_auto_crossover(spark):
+    """'auto' respects the crossover: below -> plain (None), above ->
+    the configured bucket size; known_max_rows skips the measurement."""
+    from bookextract_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(6)] + [("b", i) for i in range(2)],
+        "conv_id string, turn_idx int",
+    )
+    assert skew.max_rows_per_conv(df) == 6
+    assert (
+        skew.resolve_salt_bucket_size(df, "auto", crossover_rows=10, bucket_size=3)
+        is None
+    )
+    assert (
+        skew.resolve_salt_bucket_size(df, "auto", crossover_rows=5, bucket_size=3) == 3
+    )
+    # statistics-supplied path: no job launched, decision from the hint
+    empty = df.limit(0)
+    assert (
+        skew.resolve_salt_bucket_size(
+            empty, "auto", crossover_rows=5, bucket_size=4, known_max_rows=9
+        )
+        == 4
+    )
+    assert (
+        skew.resolve_salt_bucket_size(
+            empty, "auto", crossover_rows=5, bucket_size=4, known_max_rows=5
+        )
+        is None
+    )
+
+
+def test_auto_merge_matches_manual_modes(spark, classified, monkeypatch):
+    """End-to-end through O8: auto below the crossover == plain, auto
+    above the crossover == salted, and all three agree on the data."""
+    from bookextract_spark.operators import skew
+    from bookextract_spark.operators.merge import merge_across_turns
+
+    plain = _collect_merge(merge_across_turns(classified))
+    salted = _collect_merge(merge_across_turns(classified, salt_bucket_size=3))
+    assert plain == salted
+
+    monkeypatch.setattr(skew, "DEFAULT_CROSSOVER_ROWS", 10**9)
+    auto_plain = _collect_merge(merge_across_turns(classified, salt_bucket_size="auto"))
+    monkeypatch.setattr(skew, "DEFAULT_CROSSOVER_ROWS", 0)
+    monkeypatch.setattr(skew, "DEFAULT_BUCKET_SIZE", 3)
+    auto_salted = _collect_merge(merge_across_turns(classified, salt_bucket_size="auto"))
+    assert auto_plain == plain
+    assert auto_salted == salted
+
+
+def test_auto_chapters_and_subchapters(spark, classified, monkeypatch):
+    from bookextract_spark.operators import skew
+    from bookextract_spark.operators.chapters import explode_blocks, number_chapters
+    from bookextract_spark.operators.merge import merge_across_turns
+    from bookextract_spark.operators.subchapters import epub_subchapters
+
+    blocks = explode_blocks(merge_across_turns(classified)).cache()
+    key = ["conv_id", "turn_idx", "block_idx"]
+    plain_ch = sorted(
+        tuple(r) for r in number_chapters(blocks).select(*key, "chapter_no").collect()
+    )
+    plain_sub = sorted(tuple(r) for r in epub_subchapters(blocks).collect())
+
+    monkeypatch.setattr(skew, "DEFAULT_CROSSOVER_ROWS", 0)
+    monkeypatch.setattr(skew, "DEFAULT_BUCKET_SIZE", 3)
+    auto_ch = sorted(
+        tuple(r)
+        for r in number_chapters(blocks, salt_bucket_size="auto")
+        .select(*key, "chapter_no")
+        .collect()
+    )
+    auto_sub = sorted(
+        tuple(r) for r in epub_subchapters(blocks, salt_bucket_size="auto").collect()
+    )
+    assert auto_ch == plain_ch
+    assert auto_sub == plain_sub
+    blocks.unpersist()
