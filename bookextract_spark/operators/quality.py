@@ -21,14 +21,66 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 PUNCT_CLASS = r"[.,!?;:'\"()\[\]-]"
 
-# per-language stopword regexes for the n-gram/stopword-vote language ID;
-# deterministic tiebreak order is the tuple order below
-LANG_STOPWORDS = (
-    ("en", r"\b(?:the|a|of|and|to|in|is|that|it|was)\b"),
-    ("de", r"\b(?:der|die|das|und|ist|nicht|ein|zu|den|von)\b"),
-    ("es", r"\b(?:el|la|los|las|de|que|y|es|en|un)\b"),
-    ("fr", r"\b(?:le|la|les|des|et|est|que|une|dans|pour)\b"),
+# Stopword-vote languages (Latin script).  Deterministic tiebreak order
+# is the tuple order below.  Each list is ~25 high-frequency function
+# words; every word starts AND ends with an ASCII letter because both
+# regex engines (Java in Spark, RE2 in DuckDB) use ASCII ``\b``
+# word-boundary semantics — a word like "è" or "się" would never match
+# ``\b...\b`` and be dead weight (internal accents, e.g. "für", are
+# fine).  The same tuples generate the DuckDB oracle SQL
+# (queries._lang_sql_* ) so the two engines cannot drift.
+LANG_STOPWORD_LISTS = (
+    ("en", ("the", "a", "of", "and", "to", "in", "is", "that", "it", "was",
+            "for", "on", "with", "as", "his", "he", "be", "at", "by", "not",
+            "this", "had", "are", "but", "from")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+            "den", "von", "mit", "sich", "des", "auf", "für", "im", "dem",
+            "sie", "auch", "werden", "aus", "er", "hat", "dass")),
+    ("es", ("el", "la", "los", "las", "de", "que", "y", "es", "en", "un",
+            "una", "del", "se", "no", "por", "con", "su", "para", "como",
+            "pero", "sus", "le", "ya", "o", "este")),
+    ("fr", ("le", "la", "les", "des", "et", "est", "que", "une", "dans",
+            "pour", "qui", "ne", "sur", "se", "pas", "plus", "par", "avec",
+            "son", "au", "du", "il", "aux", "ce", "cette")),
+    ("it", ("il", "la", "le", "di", "che", "e", "un", "una", "per", "non",
+            "sono", "con", "del", "della", "si", "da", "come", "anche",
+            "nel", "alla", "lo", "gli", "ma", "questo", "ha")),
+    ("pt", ("o", "os", "as", "de", "que", "e", "um", "uma", "para", "com",
+            "do", "da", "em", "se", "por", "mais", "dos", "como", "mas",
+            "foi", "ao", "das", "ele", "ou", "quando")),
+    ("nl", ("de", "het", "een", "van", "en", "is", "dat", "op", "te",
+            "zijn", "voor", "met", "niet", "aan", "er", "ook", "als",
+            "maar", "om", "dan", "bij", "naar", "uit", "door", "over")),
+    ("sv", ("och", "att", "det", "som", "en", "av", "för", "med", "den",
+            "till", "inte", "om", "har", "ett", "var", "vid", "kan", "man",
+            "men", "efter", "nu", "ska", "hade", "honom", "hans")),
+    ("pl", ("i", "w", "nie", "na", "z", "do", "to", "jest", "jak", "po",
+            "co", "tak", "ale", "jego", "przez", "od", "za", "czy",
+            "tylko", "ich", "oraz", "ten", "dla", "przy", "bardzo")),
+    ("tr", ("bir", "ve", "bu", "da", "de", "ile", "olarak", "daha", "gibi",
+            "ama", "en", "ki", "sonra", "kadar", "olan", "onun", "ne",
+            "her", "o", "ise", "var", "bile", "bunu", "ancak", "zaman")),
 )
+
+LANG_STOPWORDS = tuple(
+    (lang, r"\b(?:" + "|".join(words) + r")\b") for lang, words in LANG_STOPWORD_LISTS
+)
+
+# Script-detected languages: one writing system that (in this heuristic)
+# maps to one language.  ``\x{...}`` hex escapes parse identically in
+# Java regex and RE2.  Tiebreak order = tuple order.  Han/Kana are kept
+# separate so Japanese (kana present) beats Chinese (han only).
+LANG_SCRIPTS = (
+    ("ru", r"[\x{0400}-\x{04FF}]"),   # Cyrillic
+    ("el", r"[\x{0370}-\x{03FF}]"),   # Greek
+    ("ar", r"[\x{0600}-\x{06FF}]"),   # Arabic
+    ("he", r"[\x{0590}-\x{05FF}]"),   # Hebrew
+    ("hi", r"[\x{0900}-\x{097F}]"),   # Devanagari
+    ("ko", r"[\x{AC00}-\x{D7A3}]"),   # Hangul syllables
+)
+KANA_RANGE = r"[\x{3040}-\x{30FF}]"   # Hiragana + Katakana
+HAN_RANGE = r"[\x{4E00}-\x{9FFF}]"    # CJK Unified Ideographs
+LATIN_RANGE = r"[a-z]"                # on lowered text
 
 
 def token_count_col(col: Column) -> Column:
@@ -75,6 +127,11 @@ def quality_columns(col: Column) -> dict[str, Column]:
     }
 
 
+def _char_count(x: Column, pat: str) -> Column:
+    """Characters of ``x`` inside the single-char class ``pat``."""
+    return F.length(x) - F.length(F.regexp_replace(x, pat, ""))
+
+
 def lang_scores_cols(col: Column) -> list[Column]:
     x = F.lower(F.coalesce(col, F.lit("")))
     return [
@@ -84,18 +141,51 @@ def lang_scores_cols(col: Column) -> list[Column]:
 
 
 def lang_id_col(col: Column) -> Column:
-    """Stopword-vote language ID with deterministic tiebreak (first
-    language in LANG_STOPWORDS order wins ties); 'und' when no hits."""
+    """Heuristic language ID over 18 languages — two signal families:
+
+    * **script counts** (chars in Cyrillic/Greek/Arabic/Hebrew/
+      Devanagari/Hangul/Kana/Han ranges) decide when non-Latin
+      characters outnumber Latin ones; kana presence routes Han chars
+      to ``ja``, otherwise Han means ``zh``;
+    * **stopword votes** (25 function words per Latin-script language,
+      ``LANG_STOPWORD_LISTS``) decide among Latin-script languages;
+      ``und`` when nothing matches.
+
+    Deterministic tiebreaks (tuple order).  Precision expectations:
+    this is a curation-grade heuristic, not a classifier — on clean
+    monolingual paragraphs it is exact (pinned by
+    ``tests/test_text_functions.py`` mislabel-rate test); on short or
+    mixed-language fragments confusable pairs (es/pt, da/no/sv) can
+    mislabel, and only the 18 covered languages are ever predicted.
+    The DuckDB oracle twin is generated from the same constants
+    (``queries._lang_sql_scores`` / ``_lang_sql_case``).
+    """
     x = F.lower(F.coalesce(col, F.lit("")))
-    scores = [
+    latin = _char_count(x, LATIN_RANGE)
+    kana = _char_count(x, KANA_RANGE)
+    han = _char_count(x, HAN_RANGE)
+    script_scores: list[tuple[str, Column]] = [
+        (lang, _char_count(x, pat)) for lang, pat in LANG_SCRIPTS
+    ]
+    script_scores.append(("ja", kana + F.when(kana > 0, han).otherwise(F.lit(0))))
+    script_scores.append(("zh", F.when(kana > 0, F.lit(0)).otherwise(han)))
+    best_script = F.greatest(*[s for _, s in script_scores])
+
+    stop_scores = [
         (lang, F.size(F.regexp_extract_all(x, F.lit(pat), F.lit(0))))
         for lang, pat in LANG_STOPWORDS
     ]
-    best = F.greatest(*[s for _, s in scores])
-    out = F.when(best <= 0, F.lit("und"))
-    for lang, s in scores:
-        out = out.when(s == best, F.lit(lang))
-    return out
+    best_stop = F.greatest(*[s for _, s in stop_scores])
+
+    by_script = F.lit(None).cast("string")
+    for lang, s in reversed(script_scores):
+        by_script = F.when(s == best_script, F.lit(lang)).otherwise(by_script)
+    by_stop = F.lit("und")
+    for lang, s in reversed(stop_scores):
+        by_stop = F.when(s == best_stop, F.lit(lang)).otherwise(by_stop)
+    by_stop = F.when(best_stop <= 0, F.lit("und")).otherwise(by_stop)
+
+    return F.when(best_script > latin, by_script).otherwise(by_stop)
 
 
 def fingerprint_col(col: Column) -> Column:

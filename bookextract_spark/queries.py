@@ -754,7 +754,67 @@ def q_quality_scores(spark, sf_dir):
     return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
-SQL_QUALITY = r"""
+# ---- language-ID SQL fragments, generated from the SAME constants the
+# Spark columns use (operators/quality.py) so the two engines cannot
+# drift.  DuckDB's RE2 and Spark's Java regex both accept the \x{...}
+# hex escapes and use ASCII \b semantics, so the patterns are shared
+# verbatim.
+def _lang_sql_scores() -> str:
+    from bookextract_spark.operators.quality import (
+        HAN_RANGE,
+        KANA_RANGE,
+        LANG_SCRIPTS,
+        LANG_STOPWORDS,
+        LATIN_RANGE,
+    )
+
+    x = "lower(coalesce(text,''))"
+
+    def cc(pat: str) -> str:
+        return f"length({x}) - length(regexp_replace({x}, '{pat}', '', 'g'))"
+
+    cols = [f"{cc(LATIN_RANGE)} AS latin"]
+    cols += [f"{cc(pat)} AS sc_{lang}" for lang, pat in LANG_SCRIPTS]
+    cols.append(f"{cc(KANA_RANGE)} AS kana")
+    cols.append(f"{cc(HAN_RANGE)} AS han")
+    cols += [
+        f"length(regexp_extract_all({x}, '{pat}')) AS st_{lang}"
+        for lang, pat in LANG_STOPWORDS
+    ]
+    return ",\n    ".join(cols)
+
+
+def _lang_sql_case() -> str:
+    from bookextract_spark.operators.quality import LANG_SCRIPTS, LANG_STOPWORDS
+
+    script = [(lang, f"sc_{lang}") for lang, _ in LANG_SCRIPTS]
+    script.append(("ja", "(kana + CASE WHEN kana > 0 THEN han ELSE 0 END)"))
+    script.append(("zh", "(CASE WHEN kana > 0 THEN 0 ELSE han END)"))
+    best_script = "greatest(" + ", ".join(e for _, e in script) + ")"
+    stop = [(lang, f"st_{lang}") for lang, _ in LANG_STOPWORDS]
+    best_stop = "greatest(" + ", ".join(e for _, e in stop) + ")"
+    script_whens = "\n         ".join(
+        f"WHEN {e} = {best_script} THEN '{lang}'" for lang, e in script
+    )
+    stop_whens = "\n         ".join(
+        f"WHEN {e} = {best_stop} THEN '{lang}'" for lang, e in stop
+    )
+    return (
+        f"CASE WHEN {best_script} > latin THEN\n"
+        f"    CASE {script_whens} END\n"
+        f"  ELSE\n"
+        f"    CASE WHEN {best_stop} <= 0 THEN 'und'\n         {stop_whens} END\n"
+        f"  END"
+    )
+
+
+def _en_stop_pattern() -> str:
+    from bookextract_spark.operators.quality import LANG_STOPWORDS
+
+    return LANG_STOPWORDS[0][1]
+
+
+SQL_QUALITY = rf"""
 WITH n AS (
   SELECT doc_id, coalesce(text, '') AS x,
     regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS nx
@@ -776,7 +836,7 @@ SELECT doc_id,
              / CAST(length(x) AS DOUBLE) END, 6) AS punct_ratio,
   round(CASE WHEN n_words = 0 THEN 0.0
         ELSE length(regexp_extract_all(lower(x),
-               '\b(?:the|a|of|and|to|in|is|that|it|was)\b')) / CAST(n_words AS DOUBLE) END, 6)
+               '{_en_stop_pattern()}')) / CAST(n_words AS DOUBLE) END, 6)
     AS stopword_ratio
 FROM w
 """
@@ -790,21 +850,14 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang"))
 
 
-SQL_LANG_ID = r"""
+SQL_LANG_ID = f"""
 WITH s AS (
   SELECT doc_id,
-    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:the|a|of|and|to|in|is|that|it|was)\b')) AS en,
-    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:der|die|das|und|ist|nicht|ein|zu|den|von)\b')) AS de,
-    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:el|la|los|las|de|que|y|es|en|un)\b')) AS es,
-    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:le|la|les|des|et|est|que|une|dans|pour)\b')) AS fr
+    {_lang_sql_scores()}
   FROM documents
 )
 SELECT doc_id,
-  CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
-       WHEN en = greatest(en, de, es, fr) THEN 'en'
-       WHEN de = greatest(en, de, es, fr) THEN 'de'
-       WHEN es = greatest(en, de, es, fr) THEN 'es'
-       ELSE 'fr' END AS pred_lang
+  {_lang_sql_case()} AS pred_lang
 FROM s
 """
 
@@ -1644,7 +1697,7 @@ def q_curation_filter(spark, sf_dir):
     return curation_decisions(_load(spark, sf_dir, "documents"))
 
 
-SQL_CURATION = r"""
+SQL_CURATION = rf"""
 WITH sig AS (
   SELECT doc_id,
     md5(lower(regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
@@ -1658,18 +1711,11 @@ WITH sig AS (
           ELSE (length(coalesce(text,'')) -
                 length(regexp_replace(coalesce(text,''), '[.,!?;:''"()\[\]-]', '', 'g')))
                / CAST(length(coalesce(text,'')) AS DOUBLE) END, 6) AS punct_ratio,
-    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:the|a|of|and|to|in|is|that|it|was)\b')) AS en,
-    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:der|die|das|und|ist|nicht|ein|zu|den|von)\b')) AS de,
-    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:el|la|los|las|de|que|y|es|en|un)\b')) AS es,
-    length(regexp_extract_all(lower(coalesce(text,'')), '\b(?:le|la|les|des|et|est|que|une|dans|pour)\b')) AS fr
+    {_lang_sql_scores()}
   FROM documents
 ),
 langed AS (
-  SELECT *, CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
-       WHEN en = greatest(en, de, es, fr) THEN 'en'
-       WHEN de = greatest(en, de, es, fr) THEN 'de'
-       WHEN es = greatest(en, de, es, fr) THEN 'es'
-       ELSE 'fr' END AS pred_lang,
+  SELECT *, {_lang_sql_case()} AS pred_lang,
     doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
   FROM sig
 )

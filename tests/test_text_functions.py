@@ -338,3 +338,86 @@ def test_unicode_whitespace_variants(spark):
     # the ASCII default genuinely differs on unicode whitespace —
     # otherwise the flag would be dead code
     assert any(r.tts_a != ref.clean_text_for_tts(r.s) for r in out)
+
+
+MULTILINGUAL_FIXTURE = [
+    # (doc_id, text, expected language) — clean monolingual sentences;
+    # the mislabel bar on this surface is ZERO (see lang_id_col docstring
+    # for the precision expectations on short/mixed fragments)
+    (1, "the cat sat on the mat and it was good", "en"),
+    (2, "der hund ist nicht zu hause und die katze auch", "de"),
+    (3, None, "und"),
+    (4, "", "und"),
+    (5, "12345 67890 !!!", "und"),
+    (6, "это простой русский текст для проверки", "ru"),
+    (7, "これは日本語のテストです 漢字もあります", "ja"),
+    (8, "这是一个简单的中文测试文本", "zh"),
+    (9, "한국어 테스트 문장입니다", "ko"),
+    (10, "هذا نص عربي بسيط للاختبار", "ar"),
+    (11, "זהו טקסט בעברית לבדיקה", "he"),
+    (12, "यह परीक्षण के लिए एक हिंदी पाठ है", "hi"),
+    (13, "αυτό είναι ένα ελληνικό κείμενο για δοκιμή", "el"),
+    (14, "il gatto non sono sulla sedia ma questo va bene per il test", "it"),
+    (15, "o gato foi para casa com mais um dos outros quando ele saiu", "pt"),
+    (16, "de hond is niet in het huis maar ook bij de deur van een man", "nl"),
+    (17, "och att det som en av hunden med den till huset har ett var", "sv"),
+    (18, "i w domu nie ma na to jest jak po co tak ale jego oraz dla", "pl"),
+    (19, "bir ve bu da kadar sonra onun her zaman ile ancak gibi var", "tr"),
+    (20, "el perro y el gato es en un una del se no por con su casa", "es"),
+    (21, "le chien est dans la maison pour les des et que une avec son", "fr"),
+    # Latin text mixed with a SHORT quoted Russian phrase: Latin chars
+    # dominate, so the stopword vote (not the script) must decide
+    (22, 'he said that the word "привет" was a greeting', "en"),
+]
+
+
+def test_lang_id_mislabel_rate_zero_on_clean_fixture(spark):
+    """All 18 covered languages + und: zero mislabels on clean
+    monolingual sentences (the documented precision surface)."""
+    from pyspark.sql import functions as F
+
+    from bookextract_spark.operators.quality import lang_id_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in MULTILINGUAL_FIXTURE], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.pred
+        for r in df.select(
+            "doc_id", lang_id_col(F.col("text")).alias("pred")
+        ).collect()
+    }
+    bad = [(i, got[i], want) for i, _, want in MULTILINGUAL_FIXTURE if got[i] != want]
+    assert not bad, f"mislabels: {bad}"
+
+
+def test_lang_id_oracle_parity_multilingual(spark):
+    """The generated DuckDB oracle and the Spark column must agree on
+    text the sf fixtures never exercise (non-Latin scripts, all the new
+    stopword languages) — regex semantics divergence between Java and
+    RE2 would surface here, not in the English-only documents table."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bookextract_spark import queries as Q
+    from bookextract_spark.operators.quality import lang_id_col
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in MULTILINGUAL_FIXTURE], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.pred
+        for r in df.select(
+            "doc_id", lang_id_col(F.col("text")).alias("pred")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id INT, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(i, t) for i, t, _ in MULTILINGUAL_FIXTURE],
+    )
+    want = dict(con.execute(Q.SQL_LANG_ID).fetchall())
+    assert got == want
