@@ -1558,8 +1558,44 @@ FROM documents
 
 
 def q_frame_sample(spark, sf_dir):
-    """Video frame-sampling plumbing (1->N mapInPandas expansion; fake
-    decode = sha256 per 4096-byte window, so DuckDB replicates it)."""
+    """REAL video frame sampling end-to-end: genuine uncompressed AVI
+    payloads are generated distributed (RIFF/BI_RGB encoder,
+    mapInPandas), then every 2nd frame is decoded for real — RIFF tree
+    walk, bottom-up padded BGR undo, true per-frame mean luminance.
+    Geometry, frame count, and gray level follow a closed form of
+    doc_id, so the oracle predicts the DECODED values without touching
+    the bytes; a decoder that misread the stride padding or skipped the
+    bottom-up flip would mismatch.  (frame_sha is pytest-asserted, not
+    part of the driver surface; the opaque sha-window plumbing twin
+    remains ``frame_sample_fake`` in the local registry.)"""
+    from bookextract_spark.operators.multimodal import (
+        avi_media_from_documents,
+        sample_frames,
+    )
+
+    media = avi_media_from_documents(_load(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n=2).select(
+        "media_id", "frame_idx", "width", "height", "n_frames", "mean_luma"
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH vid AS (
+  SELECT doc_id AS media_id,
+    8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 16 AS h, 3 + doc_id % 5 AS n
+  FROM documents
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(w AS INT) AS width,
+  CAST(h AS INT) AS height, CAST(n AS INT) AS n_frames,
+  round(((media_id * 7 + i * 11) % 256) / 255.0, 6) AS mean_luma
+FROM vid, unnest(range(0, n, 2)) AS u(i)
+"""
+
+
+def q_frame_sample_fake(spark, sf_dir):
+    """Opaque-binary plumbing twin (sha256 per 4096-byte window over
+    non-AVI payloads — the 1->N expansion shape for formats without a
+    stdlib codec; geometry/luma null)."""
     from bookextract_spark.operators.multimodal import media_from_documents, sample_frames
 
     media = media_from_documents(_load(spark, sf_dir, "documents"))
@@ -1569,7 +1605,7 @@ def q_frame_sample(spark, sf_dir):
 # payloads are utf-8 bytes of ASCII-only document text, so VARCHAR
 # character slicing == byte slicing and sha256(VARCHAR) hashes the same
 # bytes as Python's sha256 over the window
-SQL_FRAME_SAMPLE = """
+SQL_FRAME_SAMPLE_FAKE = """
 WITH vid AS (
   SELECT doc_id AS media_id, coalesce(text, '') AS p FROM documents WHERE doc_id % 3 = 2
 ),
@@ -1579,6 +1615,8 @@ f AS (
   FROM vid
 )
 SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(NULL AS INT) AS n_frames, CAST(NULL AS DOUBLE) AS mean_luma,
        substring(sha256(substring(p, CAST(i * 4096 + 1 AS BIGINT), 4096)), 1, 16) AS frame_sha
 FROM f, unnest(range(n)) AS u(i)
 """
@@ -3392,6 +3430,7 @@ _LOCAL_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "embedding_near_dup_exact": (q_embedding_near_dup_exact, SQL_NEAR_DUP_EXACT),
     "image_metadata_sha": (q_image_metadata_sha, SQL_IMAGE_META),
+    "frame_sample_fake": (q_frame_sample_fake, SQL_FRAME_SAMPLE_FAKE),
 }
 
 

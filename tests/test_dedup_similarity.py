@@ -134,7 +134,7 @@ def test_multimodal_plumbing(spark):
         assert 64 <= r.width < 256 and 64 <= r.height < 256
         assert 0.0 <= r.mean_luma <= 1.0
 
-    frames = sample_frames(media, every_n_bytes=16).collect()
+    frames = sample_frames(media, every_n_bytes=16, fake_decode=True).collect()
     assert {r.media_id for r in frames} == {2, 5, 8}
     by_media = {}
     for r in frames:
@@ -328,3 +328,70 @@ def test_decontaminate_planted_leak(spark, docs):
     assert out[0].contaminated and out[0].n_shared_shingles > 10  # BASE itself
     assert out[1].contaminated  # near-copy still shares most shingles
     assert not out[2].contaminated and out[2].n_shared_shingles == 0
+
+
+def test_avi_codec_round_trip():
+    """The stdlib AVI decoder must walk the real RIFF tree and undo all
+    three storage transforms (bottom-up rows, BGR order, 4-byte stride
+    padding) — asymmetric corner pixels catch each one individually."""
+    import struct as st
+
+    from bookextract_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi_rgb24,
+        frame_mean_luma,
+    )
+
+    w, h = 5, 3  # stride 16 = 15 data + 1 pad byte per row
+    f0 = bytearray(w * h * 3)
+    f0[0:3] = (255, 0, 0)  # top-left red: flips to bottom-left if not unflipped
+    f0[3 * (w - 1) : 3 * (w - 1) + 3] = (0, 255, 0)  # top-right green
+    f0[(w * (h - 1)) * 3 : (w * (h - 1)) * 3 + 3] = (0, 0, 255)  # bottom-left blue
+    f1 = bytes([100]) * (w * h * 3)
+    avi = encode_avi_rgb24(w, h, 10, [bytes(f0), f1])
+    W, H, fps, frames = decode_avi(avi)
+    assert (W, H, fps, len(frames)) == (w, h, 10, 2)
+    assert frames[0] == bytes(f0)
+    assert frames[1] == f1
+    # solid-gray frame: mean luma is exactly v/255 (the oracle closed form)
+    assert frame_mean_luma(f1) == 100 / 255.0
+
+    # decoder skips unknown top-level chunks (e.g. JUNK before hdrl)
+    junk = b"JUNK" + st.pack("<I", 4) + b"\x00" * 4
+    avi2 = avi[:12] + junk + avi[12:]
+    avi2 = b"RIFF" + st.pack("<I", len(avi2) - 8) + avi2[8:]
+    assert decode_avi(avi2)[3] == frames
+
+    # compressed streams refuse loudly instead of returning garbage
+    plain_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 0)
+    comp_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 1)
+    with pytest.raises(NotImplementedError):
+        decode_avi(avi.replace(plain_strf, comp_strf))
+
+
+def test_avi_media_decode_end_to_end(spark):
+    """Distributed generate -> decode: every sampled frame's geometry
+    and luminance must match the closed form, and the per-frame sha
+    must equal the sha of the reconstructed RGB buffer."""
+    import hashlib
+
+    from bookextract_spark.operators.multimodal import (
+        avi_media_from_documents,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame([(i, "t") for i in range(25)], "doc_id long, text string")
+    rows = sample_frames(avi_media_from_documents(docs), every_n=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(range(25))
+    for d, rs in by_media.items():
+        w, h, n = 8 + d % 16, 8 + (d * 3) % 16, 3 + d % 5
+        assert sorted(r.frame_idx for r in rs) == list(range(0, n, 2))
+        for r in rs:
+            assert (r.width, r.height, r.n_frames) == (w, h, n)
+            v = (d * 7 + r.frame_idx * 11) % 256
+            assert r.mean_luma == round(v / 255.0, 6)
+            rgb = bytes([v]) * (w * h * 3)
+            assert r.frame_sha == hashlib.sha256(rgb).hexdigest()[:16]
