@@ -128,10 +128,10 @@ def normalize_line_col(col: Column, unicode_ws: bool = False) -> Column:
 PAGENO_PATTERN = r"^\s*\d{1,4}\s*$"
 
 
-def is_page_number_col(col: Column) -> Column:
+def is_page_number_col(col: Column, unicode_ws: bool = False) -> Column:
     """T14 bare page-number line predicate.  (Measured: the anchored
     rlike beats a btrim+translate rewrite — predicates don't allocate.)"""
-    return col.rlike(PAGENO_PATTERN)
+    return col.rlike(_u(unicode_ws) + PAGENO_PATTERN)
 
 
 def ends_with_punctuation_col(col: Column) -> Column:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bookextract_spark.functions.text import (
+    _u,
     is_page_number_col,
     normalize_line_col,
 )
@@ -34,10 +35,13 @@ def strip_boilerplate(
     out_col: str = "clean_text",
     fraction: float = BOILER_FRACTION,
     min_turns: int = BOILER_MIN_TURNS,
+    unicode_ws: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = ``text_col`` with boilerplate lines removed.
 
     Requires columns ``conv_id`` and ``text_col``.  Null text stays null.
+    ``unicode_ws`` switches every whitespace-sensitive predicate to the
+    Unicode dialect (see functions/text.py module note).
     """
     text = F.col(text_col)
     # PDF-layout payloads separate pages with form feed; a turn without
@@ -53,13 +57,15 @@ def strip_boilerplate(
     # normalize regex chain runs only on the <= 2 winners per page
     def page_edges(pg):
         edge_lines = F.filter(
-            F.split(pg, "\n", -1), lambda ln: ln.rlike(r"\S") & ~is_page_number_col(ln)
+            F.split(pg, "\n", -1),
+            lambda ln: ln.rlike(_u(unicode_ws) + r"\S")
+            & ~is_page_number_col(ln, unicode_ws),
         )
         return F.when(
             F.size(edge_lines) > 0,
             F.array(
-                normalize_line_col(F.try_element_at(edge_lines, F.lit(1))),
-                normalize_line_col(F.try_element_at(edge_lines, F.lit(-1))),
+                normalize_line_col(F.try_element_at(edge_lines, F.lit(1)), unicode_ws),
+                normalize_line_col(F.try_element_at(edge_lines, F.lit(-1)), unicode_ws),
             ),
         )
 
@@ -124,13 +130,13 @@ def strip_boilerplate(
         return inner
 
     simple_pages = F.transform(
-        pages, strip_page(lambda ln: ~is_page_number_col(ln))
+        pages, strip_page(lambda ln: ~is_page_number_col(ln, unicode_ws))
     )
     full_pages = F.transform(
         pages,
         strip_page(
-            lambda ln: ~is_page_number_col(ln)
-            & ~F.array_contains(boiler_set, normalize_line_col(ln))
+            lambda ln: ~is_page_number_col(ln, unicode_ws)
+            & ~F.array_contains(boiler_set, normalize_line_col(ln, unicode_ws))
         ),
     )
     rejoin = lambda ps: F.array_join(  # noqa: E731

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from bookextract_spark.functions.text import (
+    _u,
     reflow_col,
     repair_hyphenation_col,
     strip_col,
@@ -38,10 +39,14 @@ _DIVIDER_PATTERN = r"^(?:[*\-•–—=~_#]\s*){3,}$"
 _DIVIDER_MAX_CHARS = 30
 
 
-def is_html_col(col: Column) -> Column:
+def is_html_col(col: Column, unicode_ws: bool = False) -> Column:
     # the contains() pre-gate short-circuits the regex alternation for
     # markup-free rows (the common case) — sniff requires a '<' anyway
-    return col.isNotNull() & col.contains("<") & col.rlike(HTML_SNIFF_PATTERN)
+    return (
+        col.isNotNull()
+        & col.contains("<")
+        & col.rlike(_u(unicode_ws) + HTML_SNIFF_PATTERN)
+    )
 
 
 def _block_struct(type_col, content_col, source: Column):
@@ -54,7 +59,9 @@ def _block_struct(type_col, content_col, source: Column):
     )
 
 
-def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
+def classify_ocr_blocks_col(
+    norm_text: Column, source: Column, unicode_ws: bool = False
+) -> Column:
     """Native implementation of
     :func:`reference_semantics.classify_ocr_text` over reflowed text.
 
@@ -71,7 +78,7 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
     # (raw, stripped, lowered) once, then classify over the struct
     staged = F.transform(
         pieces,
-        lambda p: F.struct(p.alias("raw"), strip_col(p).alias("s")),
+        lambda p: F.struct(p.alias("raw"), strip_col(p, unicode_ws).alias("s")),
     )
     # the oracle drops empty PIECES before classifying (a block whose
     # content becomes '' after marker removal is still kept); a lone \f
@@ -81,10 +88,12 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
     def classify(t: Column):
         piece, stripped = t["raw"], t["s"]
         lowered = F.lower(stripped)
-        chap_num = F.regexp_extract(lowered, _CHAPTER_BLOCK_PATTERN, 1)
-        words = F.size(F.split(stripped, r"\s+"))
+        chap_num = F.regexp_extract(
+            lowered, _u(unicode_ws) + _CHAPTER_BLOCK_PATTERN, 1
+        )
+        words = F.size(F.split(stripped, _u(unicode_ws) + r"\s+"))
         is_divider = (F.length(stripped) <= _DIVIDER_MAX_CHARS) & stripped.rlike(
-            _DIVIDER_PATTERN
+            _u(unicode_ws) + _DIVIDER_PATTERN
         )
         is_header = (
             (F.length(stripped) <= 60)
@@ -105,7 +114,10 @@ def classify_ocr_blocks_col(norm_text: Column, source: Column) -> Column:
         content = (
             F.when(btype == "page_division", F.lit(None).cast("string"))
             .when(btype == "chapter_header", chap_num)
-            .when(btype == "block_indent", F.regexp_replace(stripped, r"^[>\s]+", ""))
+            .when(
+                btype == "block_indent",
+                F.regexp_replace(stripped, _u(unicode_ws) + r"^[>\s]+", ""),
+            )
             .otherwise(stripped)
         )
         return _block_struct(btype, content, source)
@@ -158,6 +170,7 @@ def classify_turns(
     out_col: str = "blocks",
     with_density: bool = True,
     html_mode: str = "auto",
+    unicode_ws: bool = False,
 ) -> DataFrame:
     """Add ``blocks`` (array<struct>) and optionally ``density`` columns.
 
@@ -184,7 +197,7 @@ def classify_turns(
     source = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
 
     ocr_norm = reflow_col(repair_hyphenation_col(text))
-    ocr_blocks = classify_ocr_blocks_col(ocr_norm, source)
+    ocr_blocks = classify_ocr_blocks_col(ocr_norm, source, unicode_ws)
 
     if html_mode == "none":
         out = df.withColumn(
@@ -197,7 +210,7 @@ def classify_turns(
     if html_mode != "auto":
         raise ValueError(f"html_mode must be 'auto' or 'none', got {html_mode!r}")
 
-    html = is_html_col(text)
+    html = is_html_col(text, unicode_ws)
     html_input = F.when(html, text).otherwise(F.lit(None).cast("string"))
     # null the source too for non-HTML rows — the UDF ignores it when
     # html is null, and an all-null column Arrow-transfers for free

@@ -34,8 +34,9 @@ def extract_turns(
     salt_bucket_size: int | None = None,
     persisted_out: list | None = None,
     html_mode: str = "auto",
+    unicode_ws: bool = False,
 ) -> DataFrame:
-    """Flagship per-turn extraction: transcripts -> one row per turn with
+    r"""Flagship per-turn extraction: transcripts -> one row per turn with
     ``merged_blocks`` and ``extracted_text`` (the north-rule equality
     surface).
 
@@ -51,10 +52,26 @@ def extract_turns(
     ``persisted_out``: optional list the function APPENDS every
     DataFrame it persists to, so callers (the checkpoint loop) can
     ``unpersist()`` exactly those — and nothing else — when done.
+
+    ``unicode_ws``: whitespace-dialect switch, threaded through every
+    ``\s``-sensitive stage (boilerplate line keys and page-number
+    predicate, classify strip/word-split/divider/indent rules).  The
+    PRODUCTION DEFAULT IS ASCII (False): it is the documented
+    oracle-parity surface (DuckDB RE2 ``\s`` is ASCII too), it keeps
+    the hot strip on ``btrim`` instead of a regex, and the corpus
+    contract (HTML/PDF-layout/OCR transcript payloads) is
+    ASCII-whitespace.  Corpora where NBSP/em-space/line-separator
+    payloads matter run ``unicode_ws=True`` end-to-end and match the
+    Unicode-aware Python spec exactly
+    (tests/test_golden_pipeline.py::test_flagship_unicode_ws_matches_spec).
     """
-    df = strip_boilerplate(transcripts)
+    df = strip_boilerplate(transcripts, unicode_ws=unicode_ws)
     df = classify_turns(
-        df, text_col="clean_text", with_density=with_density, html_mode=html_mode
+        df,
+        text_col="clean_text",
+        with_density=with_density,
+        html_mode=html_mode,
+        unicode_ws=unicode_ws,
     )
     # prune before the window exchange: the merge needs only
     # (conv_id, turn_idx, blocks [+ density]) — shuffling the raw text
@@ -79,14 +96,20 @@ def extract_turns(
     return df.withColumn("extracted_text", extracted_text_col(F.col("merged_blocks")))
 
 
-def extract_all(transcripts: DataFrame, with_density: bool = False) -> dict[str, DataFrame]:
+def extract_all(
+    transcripts: DataFrame,
+    with_density: bool = False,
+    unicode_ws: bool = False,
+) -> dict[str, DataFrame]:
     """Full pipeline; returns turns / blocks / chapters / metadata /
     subchapters (O11 EPUB chapter files) / books (nested
     BookIntermediate) frames — all lazy views over one extraction."""
     from bookextract_spark.operators.render import assemble_book_intermediate
     from bookextract_spark.operators.subchapters import epub_subchapters
 
-    turns = extract_turns(transcripts, with_density=with_density)
+    turns = extract_turns(
+        transcripts, with_density=with_density, unicode_ws=unicode_ws
+    )
     blocks = explode_blocks(turns, blocks_col="merged_blocks")
     chapters = assemble_chapters(number_chapters(blocks))
     metadata = extract_metadata(blocks)
