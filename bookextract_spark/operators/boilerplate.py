@@ -51,15 +51,20 @@ def strip_boilerplate(
     pages = F.split(F.coalesce(text, F.lit("")), "\f", -1)
 
     # candidate edge lines PER PAGE: first/last non-empty,
-    # non-page-number line of every page.  Per-line work is two cheap
-    # rlikes ("has non-whitespace" — which is exactly
-    # normalize(ln) != '' — and the page-number predicate); the
-    # normalize regex chain runs only on the <= 2 winners per page
+    # non-page-number line of every page.  Per-line work is ONE fused
+    # regex — a line qualifies iff it does NOT match
+    # ws-only-or-bare-page-number (``^\s*(?:\d{1,4})?\s*$``), which is
+    # exactly "has non-whitespace AND not a page number" in a single
+    # engine execution instead of two (measured wall-neutral at sf0.1 —
+    # short-line regexes are not the stage bottleneck — kept for the
+    # smaller expression tree); the normalize regex chain runs only on
+    # the <= 2 winners per page
+    _edge_skip = _u(unicode_ws) + r"^\s*(?:\d{1,4})?\s*$"
+
     def page_edges(pg):
         edge_lines = F.filter(
             F.split(pg, "\n", -1),
-            lambda ln: ln.rlike(_u(unicode_ws) + r"\S")
-            & ~is_page_number_col(ln, unicode_ws),
+            lambda ln: ~ln.rlike(_edge_skip),
         )
         return F.when(
             F.size(edge_lines) > 0,
