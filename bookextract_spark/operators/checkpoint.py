@@ -71,7 +71,8 @@ def run_with_checkpoint(
     buckets_per_batch: int = 64,
     fail_after_batches: int | None = None,
     fail_before_manifest: bool = False,
-    salt_bucket_size: int | None = None,
+    salt_bucket_size: int | str | None = None,
+    unicode_ws: bool = False,
 ) -> dict:
     """Extraction with bucket-granular checkpointing.
 
@@ -115,7 +116,10 @@ def run_with_checkpoint(
         obs = Observation(f"extract_{run_id}_{start}")
         persisted: list = []
         observed = extract_turns(
-            subset, salt_bucket_size=salt_bucket_size, persisted_out=persisted
+            subset,
+            salt_bucket_size=salt_bucket_size,
+            persisted_out=persisted,
+            unicode_ws=unicode_ws,
         ).observe(
             obs,
             F.count(F.lit(1)).alias("n_turns"),

@@ -36,11 +36,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets-per-batch", type=int, default=64)
     p.add_argument(
         "--salt-bucket-size",
-        type=int,
+        type=lambda v: v if v == "auto" else int(v),
         default=None,
-        help="enable salted sub-windows for huge conversations (turns per salt bucket)",
+        help=(
+            "salted sub-windows for huge conversations: an int (turns per "
+            "salt bucket), or 'auto' to measure the worst per-conv size "
+            "with a one-column pre-pass and pick the mode (operators/skew.py)"
+        ),
     )
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--unicode-ws",
+        action="store_true",
+        help=(
+            "Unicode whitespace dialect end-to-end (NBSP/em-space/line-"
+            "separator payloads); default is the documented ASCII surface"
+        ),
+    )
     args = p.parse_args(argv)
 
     from bookextract_spark.operators.checkpoint import run_with_checkpoint
@@ -63,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         buckets_per_batch=args.buckets_per_batch,
         salt_bucket_size=args.salt_bucket_size,
+        unicode_ws=args.unicode_ws,
     )
     print(json.dumps(result))
     spark.stop()
