@@ -1,0 +1,98 @@
+"""CI gate for PLANS.md — pin the physical-plan budgets of the
+headline registry queries.
+
+PLANS.md records the per-query shuffle/scan/Python-stage budget the
+engine is designed to; until now it was re-checked by hand after
+operator changes.  This test pins those budgets so a change that adds
+a shuffle, a second corpus scan, a row-at-a-time Python UDF, or a
+cartesian product FAILS the suite instead of silently regressing the
+100 TB story.
+
+Counts are taken from the initial (pre-AQE) ``executedPlan`` string
+under the test session's fixed config (local[4],
+``spark.sql.shuffle.partitions=8``) — the same method that generated
+PLANS.md.  Plan *shape* is data-independent, so sf0.001 is enough.
+Budgets are pinned EXACTLY: a plan that gets cheaper should be a
+deliberate PLANS.md update, not silent drift.
+"""
+
+import re
+
+import pytest
+
+from bookextract_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# name -> (hash exchanges, broadcast exchanges, Arrow/pandas stages,
+#          parquet scans).  Row-at-a-time Python (BatchEvalPython) and
+#          CartesianProduct are banned outright for every audited query.
+#
+# Notes on the non-obvious rows:
+# - o11_subchapters: 2/2 — the registry query unions the O11 image-item
+#   rows (round-3 V4 image-bytes binding) onto the subchapter rows, so
+#   the blocks subtree is planned twice.  The epub_subchapters OPERATOR
+#   itself is single-exchange (seven windows over one conv exchange —
+#   see PLANS.md); the union twin is the oracle surface.
+# - decontaminate: both hash exchanges build the tiny benchmark-shingle
+#   set (distinct over the benchmark frame); the corpus side joins it
+#   as two broadcasts and never shuffles — the documented shape.
+# - ann_*: the query side is broadcast (small), candidates shuffle on
+#   query_id for the top-k window.
+# - wav/image/frame: generate + decode = two chained Arrow stages,
+#   shuffle-free (binary payloads never cross an exchange).
+BUDGETS = {
+    # flagship constituents
+    "o8_merge_extract": (1, 0, 0, 1),
+    "o9_chapters": (1, 0, 0, 1),
+    "o11_subchapters": (2, 0, 0, 2),
+    "o15_cumulative_offsets": (1, 0, 0, 1),
+    "t2_clean_tts": (0, 0, 0, 1),
+    "a3_ordered_fold": (1, 0, 0, 1),
+    # curation / dedup / quality (the 100 TB pipeline ops)
+    "train_val_split": (0, 0, 0, 1),
+    "seq_packing": (1, 0, 0, 1),
+    "simhash": (1, 0, 0, 1),
+    "curation_filter": (1, 0, 0, 1),
+    "dedup_exact": (1, 0, 0, 1),
+    "lang_id": (0, 0, 0, 1),
+    "quality_scores": (0, 0, 0, 1),
+    "fingerprint": (0, 0, 0, 1),
+    "repetition_signals": (0, 0, 0, 1),
+    "pii_scrub": (0, 0, 0, 1),
+    "mixture_sample": (0, 0, 0, 1),
+    "decontaminate": (2, 2, 0, 3),
+    # similarity
+    "ann_brute_topk": (1, 1, 0, 2),
+    "ann_lsh_topk": (2, 1, 0, 2),
+    # multimodal (two chained Arrow stages, no shuffle)
+    "wav_metadata": (0, 0, 2, 1),
+    "image_metadata": (0, 0, 2, 1),
+    "frame_sample": (0, 0, 2, 1),
+}
+
+
+def _counts(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "hash_exchanges": len(re.findall(r"Exchange hashpartitioning\(", plan)),
+        "broadcasts": len(re.findall(r"BroadcastExchange", plan)),
+        "py_stages": len(
+            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+        ),
+        "scans": len(re.findall(r"Scan parquet|FileScan parquet", plan)),
+        "row_udfs": len(re.findall(r"BatchEvalPython", plan)),
+        "cartesian": len(re.findall(r"CartesianProduct", plan)),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_budget(spark, name):
+    hash_ex, bcast, py, scans = BUDGETS[name]
+    got = _counts(Q.queries()[name](spark, SF_DIR))
+    assert got["row_udfs"] == 0, f"{name}: row-at-a-time Python UDF planned"
+    assert got["cartesian"] == 0, f"{name}: cartesian product planned"
+    assert got["hash_exchanges"] == hash_ex, f"{name}: {got}"
+    assert got["broadcasts"] == bcast, f"{name}: {got}"
+    assert got["py_stages"] == py, f"{name}: {got}"
+    assert got["scans"] == scans, f"{name}: {got}"
