@@ -209,9 +209,25 @@ def minhash_dedup(
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("sh")
     )
-    a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
-    joined = cands.join(a, "a_id").join(b, "b_id")
+    # Verify-side scan reuse: melt each candidate pair into one row per
+    # member and join the shingle frame ONCE, then pivot back with a
+    # (a_id, b_id) groupBy.  Joining `sh` per side (on a_id, then on
+    # b_id) plans the corpus scan + shingle pipeline twice; the melt
+    # shape plans it once — 4 -> 3 corpus scans for the full pipeline.
+    # The candidate set is tiny relative to the corpus, so its 2x melt
+    # expansion broadcasts; `max` is exact (exactly one non-null shingle
+    # array per side per group).
+    melted = cands.select(
+        "a_id", "b_id", F.explode(F.array("a_id", "b_id")).alias("id")
+    )
+    joined = (
+        melted.join(sh, "id")
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.max(F.when(F.col("id") == F.col("a_id"), F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("id") == F.col("b_id"), F.col("sh"))).alias("sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (

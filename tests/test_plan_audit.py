@@ -55,6 +55,10 @@ BUDGETS = {
     "simhash": (1, 0, 0, 1),
     "curation_filter": (1, 0, 0, 1),
     "dedup_exact": (1, 0, 0, 1),
+    # minhash: banded self-join sides + ONE verify-side shingle scan
+    # (melt-join-pivot, round-3 scan-reuse); the shuffle is the pair
+    # pivot groupBy.
+    "minhash_dedup": (1, 2, 0, 3),
     "lang_id": (0, 0, 0, 1),
     "quality_scores": (0, 0, 0, 1),
     "fingerprint": (0, 0, 0, 1),
