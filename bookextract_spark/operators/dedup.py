@@ -81,33 +81,41 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle.
 
     |A ∩ B| from the shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    The shingles are already distinct per doc, so each doc's shingle
+    count is just ``size(shingle_array)`` — it rides the exploded frame
+    through the self-join as a functionally-dependent grouping column
+    instead of being recomputed by a separate count aggregation and
+    joined back per pair side (the old shape planned the corpus scan +
+    shingle pipeline 4x; this one plans it twice, the self-join
+    minimum).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles_col(F.col(text_col), n)).alias("s")
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("_sh")
     )
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = base.select(
+        "id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    ca = counts.select(F.col("id").alias("a_id"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"))
-    out = (
-        pairs.join(ca, "a_id")
-        .join(cb, "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    out = pairs.withColumn(
+        "jaccard",
+        F.round(
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+            6,
+        ),
+    ).where(F.col("jaccard") >= threshold)
     return out.select(
         "a_id", "b_id", F.col("shared").cast("long").alias("shared"), "jaccard"
     )

@@ -59,6 +59,11 @@ BUDGETS = {
     # (melt-join-pivot, round-3 scan-reuse); the shuffle is the pair
     # pivot groupBy.
     "minhash_dedup": (1, 2, 0, 3),
+    # ngram-jaccard: per-doc shingle counts ride the exploded frame as
+    # size(_sh) (round-3 scan-reuse) — self-join minimum of 2 scans;
+    # the shuffle is the pair groupBy, the broadcast the join's small
+    # side at sf0.001 (sort-merge with 2 exchanges at scale).
+    "ngram_jaccard": (1, 1, 0, 2),
     "lang_id": (0, 0, 0, 1),
     "quality_scores": (0, 0, 0, 1),
     "fingerprint": (0, 0, 0, 1),
