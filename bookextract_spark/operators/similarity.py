@@ -122,14 +122,18 @@ def lsh_ann_topk(
     c = with_buckets(embeddings, id_col, vec_col).withColumnsRenamed(
         {id_col: "neighbor_id", "_v": "c_vec"}
     )
-    cands = (
+    # Score BEFORE the dedup exchange: q_vec arrives on the broadcast
+    # and c_vec is map-side, so the only thing shuffled per candidate is
+    # one double — not two dim-length vectors.  A pair found in several
+    # tables recomputes its (identical) cosine map-side, which is far
+    # cheaper than shuffling vector payloads; max() over equal values
+    # keeps the dedup deterministic.
+    scored = (
         c.join(F.broadcast(q), on=["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.withColumn(
-        "cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -173,14 +177,23 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking + exact
-    verification (the semantic-dedup stage of a curation pipeline)."""
+    verification (the semantic-dedup stage of a curation pipeline).
+
+    Shuffle-volume shape: the bucket self-join and the pair dedup move
+    IDS ONLY — the bucket key is computed from the vector at scan time
+    and the vector column is pruned before any exchange.  Vectors are
+    re-attached exactly once for the (tiny) deduped candidate set with
+    the melt-join-pivot used by :func:`~bookextract_spark.operators.
+    dedup.minhash_dedup`.  At real embedding widths (1-4 KB/row) the
+    old carry-the-vectors self-join shuffled ~12x the corpus vector
+    volume through the (tbl, bucket) exchanges; this one shuffles a
+    few longs per candidate."""
     tables = [
         _hyperplanes(dim, n_planes, seed=5000 + t * 104729) for t in range(n_tables)
     ]
     v = _as_double(F.col(vec_col))
     b = embeddings.select(
         F.col(id_col).alias("id"),
-        v.alias("vec"),
         F.posexplode(F.array(*[lsh_bucket_col(v, planes) for planes in tables])).alias(
             "tbl", "bucket"
         ),
@@ -194,16 +207,23 @@ def embedding_near_dup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    base = embeddings.select(F.col(id_col).alias("id"), v.alias("vec"))
+    melted = cands.select(
+        "a_id", "b_id", F.explode(F.array("a_id", "b_id")).alias("id")
+    )
+    paired = (
+        melted.join(base, "id")
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.max(F.when(F.col("id") == F.col("a_id"), F.col("vec"))).alias("va"),
+            F.max(F.when(F.col("id") == F.col("b_id"), F.col("vec"))).alias("vb"),
+        )
+    )
     return (
-        cands.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        paired.withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )

@@ -74,6 +74,10 @@ BUDGETS = {
     # similarity
     "ann_brute_topk": (1, 1, 0, 2),
     "ann_lsh_topk": (2, 1, 0, 2),
+    # embedding near-dup: ids-only bucket self-join + melt-join vector
+    # re-attach (round-3 shuffle-slimming) — the hash exchange is the
+    # pair pivot; the bucket join sides broadcast at this sf.
+    "embedding_near_dup": (1, 2, 0, 3),
     # multimodal (two chained Arrow stages, no shuffle)
     "wav_metadata": (0, 0, 2, 1),
     "image_metadata": (0, 0, 2, 1),
