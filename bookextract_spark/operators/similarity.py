@@ -253,16 +253,28 @@ def ivf_centroids(
     the residual ulp noise vanish).  Empty clusters keep their previous
     centroid.
 
-    Scale shape: each iteration is one cross-join of the corpus against
-    ``n_clusters`` CENTROID LITERALS (map-side), one argmax aggregate,
-    and one (cluster, dim) partial aggregation.  The centroid frame
-    (``n_clusters`` x dim doubles, a few KB) is COLLECTED to the driver
-    between iterations — exactly like a broadcast-join build side —
-    because leaving it lazy chains every iteration's lineage under the
-    next one and Catalyst re-executes the whole chain per consumer
-    (measured: 16 corpus scans / 25 exchanges for 2 iterations; with
-    collected literals: one corpus scan + one tiny agg per iteration).
+    Scale shape: cluster assignment is a PURE PROJECTION — a
+    ``greatest()`` over one cosine struct per centroid literal — so
+    each iteration is one map-side pass plus one (cluster, dim)
+    partial aggregation; no crossJoin, and no exchange ever carries a
+    corpus vector.  The centroid frame (``n_clusters`` x dim doubles,
+    a few KB) is COLLECTED to the driver between iterations — exactly
+    like a broadcast-join build side — because leaving it lazy chains
+    every iteration's lineage under the next one and Catalyst
+    re-executes the whole chain per consumer (measured: 16 corpus
+    scans / 25 exchanges for 2 iterations; with collected literals:
+    one corpus scan + one tiny agg per iteration).
     """
+    return _cents_df(embeddings, _ivf_cent_map(embeddings, n_clusters, iters, id_col, vec_col))
+
+
+def _ivf_cent_map(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
     base = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     )
@@ -281,7 +293,7 @@ def ivf_centroids(
     if not cent_map:
         raise ValueError("ivf_centroids: empty embeddings input")
     for _ in range(iters):
-        assigned = _ivf_assign(base, _cents_df(embeddings, cent_map))
+        assigned = base.select(_ivf_assign_col(F.col("vec"), cent_map).alias("j"), "vec")
         dims = assigned.select("j", F.posexplode("vec").alias("dim", "v"))
         new = (
             dims.groupBy("j", "dim")
@@ -295,7 +307,7 @@ def ivf_centroids(
         ).collect()
         for r in new:  # empty clusters keep their previous centroid
             cent_map[int(r["j"])] = list(r["cvec"])
-    return _cents_df(embeddings, cent_map)
+    return cent_map
 
 
 def _cents_df(any_df: DataFrame, cent_map: dict[int, list[float]]) -> DataFrame:
@@ -306,17 +318,25 @@ def _cents_df(any_df: DataFrame, cent_map: dict[int, list[float]]) -> DataFrame:
     return spark.createDataFrame(rows, "j int, cvec array<double>")
 
 
-def _ivf_assign(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """(id, vec, j): each vector's best cluster (max rounded cosine,
-    ties -> lowest j) via a broadcast cross-join + one max-aggregate."""
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "_cos", F.round(cosine_col(F.col("vec"), F.col("cvec")), 6)
-    )
-    best = scored.groupBy("id").agg(
-        F.max(F.struct(F.col("_cos").alias("c"), (-F.col("j")).alias("nj"))).alias("_b"),
-        F.first("vec").alias("vec"),
-    )
-    return best.select("id", "vec", (-F.col("_b.nj")).cast("int").alias("j"))
+def _ivf_assign_col(vec: Column, cent_map: dict[int, list[float]]) -> Column:
+    """Best cluster for ``vec`` (max rounded cosine, ties -> lowest j)
+    as a pure map-side expression: ``greatest()`` over one
+    ``struct(cosine, -j)`` per centroid literal.  Struct ordering
+    compares field-by-field, so this is the exact argmax the old
+    crossJoin + ``max(struct)`` aggregate computed — same expressions,
+    same 6-dp rounding, bit-identical results — without an exchange
+    ever carrying a corpus vector."""
+    structs = [
+        F.struct(
+            F.round(
+                cosine_col(vec, F.array(*[F.lit(x) for x in cent_map[j]])), 6
+            ).alias("c"),
+            F.lit(-j).alias("nj"),
+        )
+        for j in sorted(cent_map)
+    ]
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return (-best["nj"]).cast("int")
 
 
 def ivf_ann_topk(
@@ -335,13 +355,18 @@ def ivf_ann_topk(
 
     The scale path the mandate asks for alongside LSH: candidate
     generation is an equi-join on the cluster id (corpus partitioned by
-    list), and recall tunes with ``nprobe``/``n_clusters``."""
+    list), the list assignment itself is a map-side projection over
+    centroid literals (the corpus never shuffles), and recall tunes
+    with ``nprobe``/``n_clusters``."""
     base = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     )
-    cents = ivf_centroids(embeddings, n_clusters, iters, id_col, vec_col)
-    lists = _ivf_assign(base, cents).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), F.col("j")
+    cent_map = _ivf_cent_map(embeddings, n_clusters, iters, id_col, vec_col)
+    cents = _cents_df(embeddings, cent_map)
+    lists = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        _ivf_assign_col(F.col("vec"), cent_map).alias("j"),
     )
     q = base.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("vec").alias("q_vec")

@@ -78,6 +78,10 @@ BUDGETS = {
     # re-attach (round-3 shuffle-slimming) — the hash exchange is the
     # pair pivot; the bucket join sides broadcast at this sf.
     "embedding_near_dup": (1, 2, 0, 3),
+    # ivf: list assignment is a map-side projection over centroid
+    # literals (round-3) — the 2 shuffles are the probe and rank
+    # windows on query_id; no exchange carries a corpus vector.
+    "ivf_ann_topk": (2, 2, 0, 2),
     # multimodal (two chained Arrow stages, no shuffle)
     "wav_metadata": (0, 0, 2, 1),
     "image_metadata": (0, 0, 2, 1),
