@@ -1186,6 +1186,28 @@ FROM votes GROUP BY id
 """
 
 
+def q_simhash_near(spark, sf_dir):
+    """SimHash Hamming-neighbor pairs (block keys + popcount verify) on
+    the xxhash64 scale path.  Oracle = brute-force all-pairs popcount
+    over the same XXH64-LUT simhash CTE: with 4x16-bit blocks and
+    ``max_hamming = 3``, blocking is LOSSLESS (<= 3 differing bits
+    leave at least one block intact — pigeonhole), so the blocked
+    Spark output equals the exhaustive pair set exactly."""
+    from bookextract_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _sql_simhash_near() -> str:
+    return f"""
+WITH s AS ({_sql_simhash_xxh()})
+SELECT a.id AS a_id, b.id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -3420,6 +3442,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_customer_orders": (q_q3_customer_orders, SQL_Q3),
+    # ---- post-freeze tail (position 57+): appended AFTER the frozen
+    # 1-56 ordering, so the defensive head is untouched — if the driver
+    # truncates at 50 these never run, and if it runs everything they
+    # add coverage.  simhash_near_pairs is the Hamming-neighbor search
+    # surface (previously pytest-only); callable: lazy, reuses the
+    # XXH64 vocabulary LUT.
+    "simhash_near": (q_simhash_near, _sql_simhash_near),
 }
 
 # Cross-check twins: oracle-verified locally (test_oracle_parity runs

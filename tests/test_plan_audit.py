@@ -53,6 +53,10 @@ BUDGETS = {
     "train_val_split": (0, 0, 0, 1),
     "seq_packing": (1, 0, 0, 1),
     "simhash": (1, 0, 0, 1),
+    # hamming-neighbor search: one vote-groupBy per self-join side
+    # (self-join minimum — the simhash value is 8 bytes/row, so both
+    # exchanges are slim), block join broadcasts at this sf.
+    "simhash_near": (2, 1, 0, 2),
     "curation_filter": (1, 0, 0, 1),
     "dedup_exact": (1, 0, 0, 1),
     # minhash: banded self-join sides + ONE verify-side shingle scan
