@@ -186,8 +186,10 @@ def embedding_near_dup_pairs(
     the melt-join-pivot used by :func:`~bookextract_spark.operators.
     dedup.minhash_dedup`.  At real embedding widths (1-4 KB/row) the
     old carry-the-vectors self-join shuffled ~12x the corpus vector
-    volume through the (tbl, bucket) exchanges; this one shuffles a
-    few longs per candidate."""
+    volume through the (tbl, bucket) exchanges; here the only
+    exchange that can carry vectors is the pivot groupBy — two
+    vectors per DEDUPED candidate pair, i.e. shuffle volume
+    proportional to the candidate set, not corpus x tables x 2."""
     tables = [
         _hyperplanes(dim, n_planes, seed=5000 + t * 104729) for t in range(n_tables)
     ]
@@ -257,7 +259,10 @@ def ivf_centroids(
     ``greatest()`` over one cosine struct per centroid literal — so
     each iteration is one map-side pass plus one (cluster, dim)
     partial aggregation; no crossJoin, and no exchange ever carries a
-    corpus vector.  The centroid frame (``n_clusters`` x dim doubles,
+    corpus vector.  Above ``_IVF_EXPR_TERMS_MAX`` literal terms
+    (n_clusters x dim) the projection would bloat Catalyst/codegen, so
+    assignment falls back to the broadcast crossJoin + ``max(struct)``
+    aggregate — bit-identical values, one slim partial-agg exchange.  The centroid frame (``n_clusters`` x dim doubles,
     a few KB) is COLLECTED to the driver between iterations — exactly
     like a broadcast-join build side — because leaving it lazy chains
     every iteration's lineage under the next one and Catalyst
@@ -293,7 +298,7 @@ def _ivf_cent_map(
     if not cent_map:
         raise ValueError("ivf_centroids: empty embeddings input")
     for _ in range(iters):
-        assigned = base.select(_ivf_assign_col(F.col("vec"), cent_map).alias("j"), "vec")
+        assigned = _ivf_assign_frame(base, cent_map)
         dims = assigned.select("j", F.posexplode("vec").alias("dim", "v"))
         new = (
             dims.groupBy("j", "dim")
@@ -322,8 +327,8 @@ def _ivf_assign_col(vec: Column, cent_map: dict[int, list[float]]) -> Column:
     """Best cluster for ``vec`` (max rounded cosine, ties -> lowest j)
     as a pure map-side expression: ``greatest()`` over one
     ``struct(cosine, -j)`` per centroid literal.  Struct ordering
-    compares field-by-field, so this is the exact argmax the old
-    crossJoin + ``max(struct)`` aggregate computed — same expressions,
+    compares field-by-field, so this is the exact argmax the
+    crossJoin + ``max(struct)`` aggregate computes — same expressions,
     same 6-dp rounding, bit-identical results — without an exchange
     ever carrying a corpus vector."""
     structs = [
@@ -337,6 +342,34 @@ def _ivf_assign_col(vec: Column, cent_map: dict[int, list[float]]) -> Column:
     ]
     best = structs[0] if len(structs) == 1 else F.greatest(*structs)
     return (-best["nj"]).cast("int")
+
+
+# Above this many literal terms (n_clusters * dim), the projection
+# argmax would bloat the Catalyst tree / exceed codegen method limits
+# (e.g. 512 clusters x 768 dims = 393k literals), so assignment falls
+# back to the broadcast crossJoin + max(struct) aggregate — identical
+# values, O(1) expression size, one slim partial-agg exchange.
+_IVF_EXPR_TERMS_MAX = 8192
+
+
+def _ivf_assign_frame(base: DataFrame, cent_map: dict[int, list[float]]) -> DataFrame:
+    """``base`` (id, vec) + best-cluster column ``j``.  Picks the
+    map-side literal-projection argmax while the expression stays
+    small, else the broadcast crossJoin aggregate (bit-identical
+    either way — same cosine expression, same rounding, same
+    struct-ordered argmax)."""
+    dim = len(next(iter(cent_map.values())))
+    if len(cent_map) * dim <= _IVF_EXPR_TERMS_MAX:
+        return base.withColumn("j", _ivf_assign_col(F.col("vec"), cent_map))
+    cents = _cents_df(base, cent_map)
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos", F.round(cosine_col(F.col("vec"), F.col("cvec")), 6)
+    )
+    best = scored.groupBy("id").agg(
+        F.max(F.struct(F.col("_cos").alias("c"), (-F.col("j")).alias("nj"))).alias("_b"),
+        F.first("vec").alias("vec"),
+    )
+    return best.select("id", "vec", (-F.col("_b.nj")).cast("int").alias("j"))
 
 
 def ivf_ann_topk(
@@ -356,17 +389,17 @@ def ivf_ann_topk(
     The scale path the mandate asks for alongside LSH: candidate
     generation is an equi-join on the cluster id (corpus partitioned by
     list), the list assignment itself is a map-side projection over
-    centroid literals (the corpus never shuffles), and recall tunes
-    with ``nprobe``/``n_clusters``."""
+    centroid literals while n_clusters x dim stays under
+    ``_IVF_EXPR_TERMS_MAX`` (broadcast-crossJoin fallback above — see
+    :func:`_ivf_assign_frame`), and recall tunes with
+    ``nprobe``/``n_clusters``."""
     base = embeddings.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     )
     cent_map = _ivf_cent_map(embeddings, n_clusters, iters, id_col, vec_col)
     cents = _cents_df(embeddings, cent_map)
-    lists = base.select(
-        F.col("id").alias("neighbor_id"),
-        F.col("vec").alias("c_vec"),
-        _ivf_assign_col(F.col("vec"), cent_map).alias("j"),
+    lists = _ivf_assign_frame(base, cent_map).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), F.col("j")
     )
     q = base.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("vec").alias("q_vec")

@@ -17,6 +17,7 @@ Dialect discipline:
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1080,9 +1081,12 @@ def q_simhash(spark, sf_dir):
     return simhash_df(_load(spark, sf_dir, "documents"))
 
 
+@_functools.cache
 def _sql_simhash_xxh() -> str:
     """Build the simhash oracle with the token->xxhash64 halves table
-    inlined as VALUES.  The token list comes from DuckDB itself running
+    inlined as VALUES.  Cached: the builder scans every fixture's
+    vocabulary with DuckDB, and both the ``simhash`` and
+    ``simhash_near`` oracles embed it.  The token list comes from DuckDB itself running
     the SAME normalization SQL the md5 twin uses (definitionally
     identical tokenization), over every fixture scale so one SQL string
     serves any sf the driver picks; the hash values come from the

@@ -278,6 +278,23 @@ def test_ivf_ann_recall_vs_brute(spark):
     assert len(ivf) == len(qids) * 5
 
 
+def test_ivf_assignment_fallback_path_identical(spark, monkeypatch):
+    """The two assignment strategies — map-side literal projection and
+    the broadcast crossJoin + max(struct) aggregate used above the
+    expression-size crossover — must produce identical ANN output
+    (same cosine expression, same 6-dp rounding, same struct-ordered
+    argmax)."""
+    from bookextract_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3]
+    expr_rows = sorted(map(tuple, S.ivf_ann_topk(emb, qids, k=5).collect()))
+    monkeypatch.setattr(S, "_IVF_EXPR_TERMS_MAX", 0)  # force the crossJoin path
+    join_rows = sorted(map(tuple, S.ivf_ann_topk(emb, qids, k=5).collect()))
+    assert expr_rows == join_rows
+    assert len(expr_rows) == len(qids) * 5
+
+
 def test_wav_codec_round_trip():
     """The stdlib WAV decoder must parse real RIFF streams (including a
     skipped extra chunk) and compute true PCM statistics."""
