@@ -90,6 +90,41 @@ BUDGETS = {
     "wav_metadata": (0, 0, 2, 1),
     "image_metadata": (0, 0, 2, 1),
     "frame_sample": (0, 0, 2, 1),
+    # ---- late round 3: pin the rest of the registry (the flagship
+    # pipeline above all).  Same method, same session config; every
+    # query below measured clean (0 row-UDFs, 0 cartesians).
+    "pipeline_extract": (3, 1, 1, 2),
+    "q1_pricing_summary": (1, 0, 0, 1),
+    "q3_customer_orders": (1, 2, 0, 3),
+    "s5_roundtrip": (2, 1, 0, 2),
+    "s5_quarantine": (2, 0, 0, 2),
+    "o15_chapter_titles": (3, 1, 0, 2),
+    "conv_dedup": (4, 1, 1, 2),
+    "s6_book_info": (1, 0, 0, 1),
+    "s11_book_info": (2, 1, 0, 2),
+    "c1_html_classify": (0, 0, 2, 1),
+    "c3_density": (0, 0, 1, 1),
+    "j1_equi_join": (1, 1, 0, 2),
+    "a2_book_totals": (1, 0, 0, 1),
+    "a5_metadata": (1, 0, 0, 1),
+    "o8_merge_decisions": (1, 0, 0, 1),
+    "t1_reflow": (0, 0, 0, 1),
+    "t13_hyphenation": (0, 0, 0, 1),
+    "t9_filename": (0, 0, 0, 1),
+    "t10_chapter_num": (0, 0, 0, 1),
+    "t11_word_count": (0, 0, 0, 1),
+    "t14_boilerplate": (2, 1, 0, 2),
+    "edit_regex": (0, 0, 0, 1),
+    "p5_validate": (1, 0, 0, 1),
+    "p5_stubs": (1, 0, 0, 1),
+    "o10_tts_render": (1, 0, 0, 1),
+    "o11_html_render": (1, 0, 0, 1),
+    "o12_preview": (1, 0, 0, 1),
+    "s7_epub_roundtrip": (0, 0, 2, 1),
+    # j3_resume's callable executes the crash/resume scenario before
+    # returning the manifest frame — the pinned plan is the final
+    # manifest read (2 slim bucket exchanges, 1 scan of the run dir).
+    "j3_resume": (2, 0, 0, 1),
 }
 
 
