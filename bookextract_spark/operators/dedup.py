@@ -126,12 +126,16 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 
-def _seed_hash(shingle, i: int, hash_mode: str):
-    """Seeded per-shingle hash: xxhash64 (scale path) or the first 32
-    bits of md5 (byte-portable to the DuckDB oracle)."""
+# Seed offset of the xxhash64 MinHash family (the draw verified
+# output-equal to the md5 twin on every fixture scale; see the
+# minhash_lsh_candidates docstring).
+_XX_SEED_OFFSET = 1
+
+
+def _seed_hash_md5(shingle, i: int):
+    """Seeded per-shingle hash for the md5 mode: first 32 bits of
+    md5("seed{i}:" + shingle) — byte-portable to the DuckDB oracle."""
     seeded = F.concat(F.lit(f"seed{i}:"), shingle)
-    if hash_mode == "xxhash64":
-        return F.xxhash64(seeded)
     return F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("long")
 
 
@@ -143,42 +147,97 @@ def minhash_lsh_candidates(
     k: int = 32,
     bands: int = 8,
     hash_mode: str = "xxhash64",
+    persist_signatures: bool = False,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``k/bands`` rows; pairs sharing any band bucket are candidates.
     Join is keyed by (band, bucket-hash) — bounded fanout, AQE-skew
     friendly.
 
-    Staged as three projections (shingles -> per-seed mins -> band
-    buckets) so each sub-expression is evaluated once per row; inlining
-    everything into one projection multiplies the shingle pipeline
-    k*bands times (measured 100x slowdown).
+    ``persist_signatures`` materializes the banded signature frame
+    (id, band, bucket — a few longs per doc) before the self-join, so
+    the signature pipeline runs ONCE instead of once per join side —
+    measured 57 -> 31 s at sf0.1 (the pipeline is dominated by
+    higher-order array expressions, which are CodegenFallback /
+    interpreted, so each extra evaluation is expensive).  Eagerly
+    counted to avoid the cold-cache consumer race; the pinned frame is
+    appended to ``persisted_out`` (caller unpersists).  Default off:
+    the plain shape is cache-free and its plan budget is what the
+    driver registry pins; at production scale the signature frame is
+    written to a table once and reused (the checkpointed-pipeline
+    pattern).
+
+    Staged as projections (shingles -> [string hashes ->] per-seed
+    mins -> band buckets) so each sub-expression is evaluated once per
+    row; inlining everything into one projection multiplies the
+    shingle pipeline k*bands times (measured 100x slowdown).
+
+    Seeding schemes differ by mode on purpose:
+
+    * ``xxhash64`` (scale path): each shingle STRING is hashed once,
+      then the k seeded values re-hash that 8-byte long with the seed
+      — ``xxhash64(xxhash64(s), i + _XX_SEED_OFFSET)``.  Hashing
+      "seed{i}:" + s per seed (the md5 scheme) allocates and scans k
+      fresh strings per shingle — measured ~4x slower on the whole
+      pipeline at sf0.1.  Any uniform hash family works here (the
+      verified output is blocking-independent, see
+      ``q_minhash_dedup``) provided its LSH recall stays complete on
+      the qualifying pairs; this family is verified output-equal to
+      the md5 twin at sf0.001/0.01 (gated) and sf0.1 — every fixture
+      pair is Jaccard >= 0.8, where the 8x4 banding miss probability
+      is <= 1.5%/pair and ~2e-4 at 0.9.
+    * ``md5``: string-concat seeding kept verbatim — DuckDB reproduces
+      it byte-for-byte, so the twin's BLOCKING (not just its verified
+      output) is structurally identical to the oracle SQL's.
     """
     rows_per_band = k // bands
     sh_df = df.select(
         F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("_sh")
     ).where(F.size("_sh") > 0)
-    mins = sh_df.select(
-        "id",
-        *[
-            F.array_min(
-                F.transform(F.col("_sh"), lambda s, i=i: _seed_hash(s, i, hash_mode))
-            ).alias(f"_m{i}")
-            for i in range(k)
-        ],
-    )
-    # band bucket key: xxhash64 of the member-min concat (compact long
-    # key) on the scale path; the raw concat string in md5 mode so the
-    # oracle reproduces it without an xxhash64 twin
-    def band_key(b: int):
-        joined = F.concat_ws(
-            ",",
+    # NOTE the _seed_fn factories: a transform() lambda with TWO
+    # parameters (e.g. ``lambda s, i=i:``) receives the element AND the
+    # ARRAY-INDEX COLUMN — the default is overwritten, the "seed"
+    # silently becomes the element's position (and in md5 mode the
+    # f-string stringifies the Column into the seed text, which also
+    # depends on a session-global variable counter).  Binding the seed
+    # integer in a closure factory keeps the lambda unary.
+    if hash_mode == "xxhash64":
+        hashed = sh_df.select(
+            "id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_h")
+        )
+
+        def _seed_fn(i: int):
+            return lambda h: F.xxhash64(h, F.lit(i + _XX_SEED_OFFSET))
+
+        mins = hashed.select(
+            "id",
             *[
-                F.col(f"_m{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
+                F.array_min(F.transform(F.col("_h"), _seed_fn(i))).alias(f"_m{i}")
+                for i in range(k)
             ],
         )
-        return F.xxhash64(joined) if hash_mode == "xxhash64" else joined
+    else:
+
+        def _seed_fn(i: int):
+            return lambda s: _seed_hash_md5(s, i)
+
+        mins = sh_df.select(
+            "id",
+            *[
+                F.array_min(F.transform(F.col("_sh"), _seed_fn(i))).alias(f"_m{i}")
+                for i in range(k)
+            ],
+        )
+
+    # band bucket key: one xxhash64 over the member-min longs directly
+    # (no string build) on the scale path; the raw concat string in md5
+    # mode so the oracle reproduces it without an xxhash64 twin
+    def band_key(b: int):
+        members = [F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_mode == "xxhash64":
+            return F.xxhash64(*members)
+        return F.concat_ws(",", *[m.cast("string") for m in members])
 
     banded = mins.select(
         "id",
@@ -186,6 +245,13 @@ def minhash_lsh_candidates(
             "band", "bucket"
         ),
     )
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded.count()  # eager: cold-cache consumer race (see merge.py)
+        if persisted_out is not None:
+            persisted_out.append(banded)
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (
@@ -209,11 +275,18 @@ def minhash_dedup(
     k: int = 32,
     bands: int = 8,
     hash_mode: str = "xxhash64",
+    persist_signatures: bool = False,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact
     Jaccard (the 100 TB pattern: cheap blocking, exact verification on
-    the tiny candidate set)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, k, bands, hash_mode)
+    the tiny candidate set).  ``persist_signatures`` halves the
+    candidate-generation cost — see
+    :func:`minhash_lsh_candidates`."""
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, n, k, bands, hash_mode,
+        persist_signatures=persist_signatures, persisted_out=persisted_out,
+    )
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("sh")
     )

@@ -193,6 +193,88 @@ def test_minhash_xx_and_md5_paths_agree(spark, sf):
     assert xx == md and len(xx) > 0
 
 
+def test_minhash_persist_signatures_identical(spark):
+    """persist_signatures=True must return the identical pair set while
+    running the signature pipeline once (the self-join otherwise plans
+    it per side), and the pinned frame must be handed back for
+    unpersist."""
+    from bookextract_spark.operators.dedup import minhash_dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = {tuple(r) for r in minhash_dedup(d, threshold=0.05).collect()}
+    pins = []
+    persisted = {
+        tuple(r)
+        for r in minhash_dedup(
+            d, threshold=0.05, persist_signatures=True, persisted_out=pins
+        ).collect()
+    }
+    assert persisted == plain and len(plain) > 0
+    assert len(pins) == 1 and pins[0].is_cached
+    pins[0].unpersist()
+    assert not pins[0].is_cached
+
+
+def test_minhash_md5_blocking_matches_python_twin(spark):
+    """The md5-mode LSH CANDIDATE SET (not just the verified output)
+    must equal a from-scratch pure-Python twin of the documented
+    blocking: seeds 'seed{i}:'+shingle, 32 md5-derived mins, 8 bands
+    of 4.  Guards the transform-lambda arity trap: a two-parameter
+    lambda receives the ARRAY-INDEX column as its second argument, so
+    ``lambda s, i=i:`` silently turned the seed into the element's
+    position (k collapses to 1) and stringified a Column into the md5
+    seed text (which also depends on a session-global name counter)."""
+    import hashlib
+
+    from bookextract_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog near the old river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the old river bend"),
+        (3, "a completely different document about spark physical plan budgets"),
+        (4, "the quick brown fox jumps over the lazy dog near the old river bank"),
+        (5, "a completely different document about spark physical plan audits"),
+    ]
+
+    def shingles(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        return list(dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )) if len(toks) >= 3 else []
+
+    def mins(sh):
+        out = []
+        for i in range(32):
+            out.append(min(
+                int(hashlib.md5(f"seed{i}:{s}".encode()).hexdigest()[:8], 16)
+                for s in sh
+            ))
+        return out
+
+    buckets = {}
+    for doc_id, text in docs:
+        sh = shingles(text)
+        if not sh:
+            continue
+        m = mins(sh)
+        for b in range(8):
+            key = (b, ",".join(str(x) for x in m[b * 4 : (b + 1) * 4]))
+            buckets.setdefault(key, []).append(doc_id)
+    expected = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    expected.add((a, b))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_candidates(df, hash_mode="md5").collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
 def test_png_codec_round_trip_all_filters():
     """The pure-stdlib PNG decoder must reconstruct exact pixels through
     inflate + unfiltering (encoder mixes filters 0 and 1; a gradient
