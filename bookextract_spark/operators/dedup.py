@@ -59,11 +59,16 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def word_shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (empty when
-    fewer than n words)."""
+    fewer than n words).
+
+    The per-shingle body is ``array_join(slice(toks, i, n))`` — 2
+    expression nodes instead of the n ``element_at`` + ``concat_ws``
+    equivalent.  transform() lambdas are CodegenFallback (interpreted
+    per element), so node count IS the cost: measured 13.0 -> 4.6 s
+    for the shingle pass over 5k sf0.1 docs, byte-identical output.
+    """
     toks = F.split(norm_text_col(text), " ")
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
+    shingle = lambda i: F.array_join(F.slice(toks, i, n), " ")  # noqa: E731
     # guard: Spark sequence(1, 0) would generate a DESCENDING [1, 0]
     return F.when(
         F.size(toks) >= n,
