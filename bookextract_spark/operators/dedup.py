@@ -163,11 +163,15 @@ def minhash_lsh_candidates(
     ``persist_signatures`` materializes the banded signature frame
     (id, band, bucket — a few longs per doc) before the self-join, so
     the signature pipeline runs ONCE instead of once per join side —
-    measured 57 -> 31 s at sf0.1 (the pipeline is dominated by
-    higher-order array expressions, which are CodegenFallback /
-    interpreted, so each extra evaluation is expensive).  Eagerly
-    counted to avoid the cold-cache consumer race; the pinned frame is
-    appended to ``persisted_out`` (caller unpersists).  Default off:
+    it halves the candidates stage (measured numbers live in PLANS.md
+    "MinHash cost anatomy" and BENCH/BASELINE.md; the pipeline is
+    dominated by higher-order array expressions, which are
+    CodegenFallback / interpreted, so each extra evaluation is
+    expensive).  Eagerly counted to avoid the cold-cache consumer
+    race; the pinned frame is appended to ``persisted_out``, which is
+    REQUIRED when persisting — dropping the only unpersist handle
+    would leak a cached frame per call for the session lifetime.
+    Default off:
     the plain shape is cache-free and its plan budget is what the
     driver registry pins; at production scale the signature frame is
     written to a table once and reused (the checkpointed-pipeline
@@ -251,12 +255,16 @@ def minhash_lsh_candidates(
         ),
     )
     if persist_signatures:
+        if persisted_out is None:
+            raise ValueError(
+                "persist_signatures=True requires persisted_out: the caller "
+                "must receive the pinned frame to unpersist it"
+            )
         from pyspark import StorageLevel
 
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
         banded.count()  # eager: cold-cache consumer race (see merge.py)
-        if persisted_out is not None:
-            persisted_out.append(banded)
+        persisted_out.append(banded)
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (

@@ -142,6 +142,13 @@ def _counts(df):
     }
 
 
+def test_budgets_cover_entire_registry():
+    """The documented guarantee is that EVERY driver-visible query is
+    plan-budgeted — a registry entry added without a budget row must
+    fail here, not silently decay the gate."""
+    assert set(BUDGETS) == set(Q.queries())
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_plan_budget(spark, name):
     hash_ex, bcast, py, scans = BUDGETS[name]
