@@ -82,10 +82,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    persist_shingles: bool = False,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle.
 
     |A ∩ B| from the shingle equi-join, |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    ``persist_shingles`` pins the exploded shingle frame so the
+    (interpreted, CodegenFallback) shingle pipeline runs once instead
+    of once per self-join side — same contract as
+    :func:`minhash_lsh_candidates`: eager count, pinned frame appended
+    to the REQUIRED ``persisted_out`` (caller unpersists).
 
     The shingles are already distinct per doc, so each doc's shingle
     count is just ``size(shingle_array)`` — it rides the exploded frame
@@ -101,6 +109,17 @@ def ngram_jaccard_pairs(
     sh = base.select(
         "id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s")
     )
+    if persist_shingles:
+        if persisted_out is None:
+            raise ValueError(
+                "persist_shingles=True requires persisted_out: the caller "
+                "must receive the pinned frame to unpersist it"
+            )
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh.count()  # eager: cold-cache consumer race (see merge.py)
+        persisted_out.append(sh)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (

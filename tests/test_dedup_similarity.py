@@ -213,6 +213,30 @@ def test_minhash_persist_signatures_identical(spark):
     assert len(pins) == 1 and pins[0].is_cached
     pins[0].unpersist()
     assert not pins[0].is_cached
+    with pytest.raises(ValueError, match="persisted_out"):
+        minhash_dedup(d, persist_signatures=True)
+
+
+def test_ngram_persist_shingles_identical(spark):
+    """persist_shingles=True must return the identical pair set and
+    hand back the pinned frame; persisting without a handle must be
+    refused (the same leak guard as minhash's persist_signatures)."""
+    from bookextract_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = {tuple(r) for r in ngram_jaccard_pairs(d, threshold=0.2).collect()}
+    pins = []
+    persisted = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            d, threshold=0.2, persist_shingles=True, persisted_out=pins
+        ).collect()
+    }
+    assert persisted == plain and len(plain) > 0
+    assert len(pins) == 1 and pins[0].is_cached
+    pins[0].unpersist()
+    with pytest.raises(ValueError, match="persisted_out"):
+        ngram_jaccard_pairs(d, persist_shingles=True)
 
 
 def test_minhash_md5_blocking_matches_python_twin(spark):
