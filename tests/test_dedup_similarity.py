@@ -108,6 +108,23 @@ def test_embedding_near_dup_pairs(spark, embeddings):
     assert (0, 100) in pairs
 
 
+def test_arrow_bucket_keys_match_jvm_form(spark, embeddings):
+    """The Arrow bucket-key UDF must be bit-identical to the pure-JVM
+    HOF projection (same left-to-right FP accumulation order), so both
+    ANN operators return identical rows in either mode."""
+    from bookextract_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_ann_topk,
+    )
+
+    a = sorted(map(tuple, lsh_ann_topk(embeddings, [0, 1], k=3, arrow=True).collect()))
+    j = sorted(map(tuple, lsh_ann_topk(embeddings, [0, 1], k=3, arrow=False).collect()))
+    assert a == j and len(a) > 0
+    a2 = sorted(map(tuple, embedding_near_dup_pairs(embeddings, threshold=0.9, arrow=True).collect()))
+    j2 = sorted(map(tuple, embedding_near_dup_pairs(embeddings, threshold=0.9, arrow=False).collect()))
+    assert a2 == j2 and len(a2) > 0
+
+
 def test_multimodal_plumbing(spark):
     import hashlib
 

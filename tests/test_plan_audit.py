@@ -77,11 +77,15 @@ BUDGETS = {
     "decontaminate": (2, 2, 0, 3),
     # similarity
     "ann_brute_topk": (1, 1, 0, 2),
-    "ann_lsh_topk": (2, 1, 0, 2),
+    # lsh/near-dup: the 2 Arrow stages are the vectorized bucket-key
+    # UDF on each join side (bit-identical to the JVM HOF form,
+    # equality-tested; ~27x faster — interpreted HOFs dominate
+    # otherwise).
+    "ann_lsh_topk": (2, 1, 2, 2),
     # embedding near-dup: ids-only bucket self-join + melt-join vector
     # re-attach (round-3 shuffle-slimming) — the hash exchange is the
     # pair pivot; the bucket join sides broadcast at this sf.
-    "embedding_near_dup": (1, 2, 0, 3),
+    "embedding_near_dup": (1, 2, 2, 3),
     # ivf: list assignment is a map-side projection over centroid
     # literals (round-3) — the 2 shuffles are the probe and rank
     # windows on query_id; no exchange carries a corpus vector.
