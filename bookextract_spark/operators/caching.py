@@ -1,0 +1,33 @@
+"""Shared eager-persist helper for operators whose plan would
+otherwise evaluate an expensive frame once per consumer (self-join
+sides, staged salted windows).
+
+Contract (see merge.py's salted path, where the pattern originated):
+the frame is persisted MEMORY_AND_DISK and eagerly counted — a lazily
+persisted frame does not stop concurrent first consumers from
+double-computing it — and the pinned frame is appended to the caller's
+``persisted_out`` list, which is REQUIRED: dropping the only unpersist
+handle would leak a cached frame per call for the session lifetime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def persist_pinned(df: DataFrame, persisted_out: list | None, knob: str) -> DataFrame:
+    """Eagerly persist ``df`` and hand the pin back via
+    ``persisted_out`` (required — raises when missing so the handle
+    can never be silently dropped).  ``knob`` names the operator
+    parameter for the error message."""
+    if persisted_out is None:
+        raise ValueError(
+            f"{knob}=True requires persisted_out: the caller "
+            "must receive the pinned frame to unpersist it"
+        )
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()  # eager: cold-cache consumer race (see merge.py)
+    persisted_out.append(df)
+    return df

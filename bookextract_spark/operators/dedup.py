@@ -110,16 +110,9 @@ def ngram_jaccard_pairs(
         "id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s")
     )
     if persist_shingles:
-        if persisted_out is None:
-            raise ValueError(
-                "persist_shingles=True requires persisted_out: the caller "
-                "must receive the pinned frame to unpersist it"
-            )
-        from pyspark import StorageLevel
+        from bookextract_spark.operators.caching import persist_pinned
 
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        sh.count()  # eager: cold-cache consumer race (see merge.py)
-        persisted_out.append(sh)
+        sh = persist_pinned(sh, persisted_out, "persist_shingles")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -274,16 +267,9 @@ def minhash_lsh_candidates(
         ),
     )
     if persist_signatures:
-        if persisted_out is None:
-            raise ValueError(
-                "persist_signatures=True requires persisted_out: the caller "
-                "must receive the pinned frame to unpersist it"
-            )
-        from pyspark import StorageLevel
+        from bookextract_spark.operators.caching import persist_pinned
 
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-        banded.count()  # eager: cold-cache consumer race (see merge.py)
-        persisted_out.append(banded)
+        banded = persist_pinned(banded, persisted_out, "persist_signatures")
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (

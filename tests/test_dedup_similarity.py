@@ -125,6 +125,39 @@ def test_arrow_bucket_keys_match_jvm_form(spark, embeddings):
     assert a2 == j2 and len(a2) > 0
 
 
+def test_arrow_bucket_keys_degenerate_rows_match_jvm(spark):
+    """Null vectors, wrong-length vectors, and null elements must
+    null-propagate to bucket key 0 in BOTH modes (the JVM form pads
+    with null -> proj null -> bit 0; the Arrow form masks / NaN-poisons
+    to the same keys)."""
+    from pyspark.sql import functions as F
+
+    from bookextract_spark.operators.similarity import (
+        _bucket_keys,
+        _hyperplanes,
+    )
+
+    tables = [_hyperplanes(4, 3, seed=1) for _ in range(2)]
+    rows = [
+        (0, [1.0, -2.0, 3.0, 0.5]),     # well-formed
+        (1, None),                       # null vector
+        (2, [1.0, 2.0]),                 # wrong length
+        (3, [1.0, None, 3.0, 0.5]),      # null element
+        (4, [1.0, -2.0, 3.0, 0.5, 9.0]), # too long
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {}
+    for arrow in (True, False):
+        out = df.select(
+            "vec_id", _bucket_keys("embedding", tables, arrow).alias("ks")
+        ).collect()
+        got[arrow] = {r.vec_id: list(r.ks) for r in out}
+    assert got[True] == got[False]
+    for vid in (1, 2, 3, 4):
+        assert got[True][vid] == [0, 0], f"degenerate row {vid} not key-0"
+    assert got[True][0] != [0, 0]
+
+
 def test_multimodal_plumbing(spark):
     import hashlib
 
@@ -252,6 +285,7 @@ def test_ngram_persist_shingles_identical(spark):
     assert persisted == plain and len(plain) > 0
     assert len(pins) == 1 and pins[0].is_cached
     pins[0].unpersist()
+    assert not pins[0].is_cached
     with pytest.raises(ValueError, match="persisted_out"):
         ngram_jaccard_pairs(d, persist_shingles=True)
 
