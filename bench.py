@@ -68,6 +68,7 @@ def run_extraction(
     fixture: str,
     persist: bool = True,
     max_runs: int = 8,
+    min_runs: int = 2,
     warmup_fixture: str | None = None,
     warmup_runs: int = 6,
 ) -> tuple[float, int]:
@@ -116,9 +117,14 @@ def run_extraction(
         best = min(best, dt)
         print(f"# extraction run {i}: {dt:.1f}s (best {best:.1f}s)", file=sys.stderr)
         # Warm-up spikes are non-monotone, so short runs complete the
-        # full schedule (cheap).  Long runs (big fixture) warm the JIT
-        # within a single execution — stop once a repeat confirms it.
-        if dt > 60 and i >= 1 and dt <= best * 1.2:
+        # full schedule (cheap).  Long (big-fixture) runs may stop
+        # early once a repeat confirms the best — but only after
+        # ``min_runs``: at high parallelism the JIT re-warms over
+        # SEVERAL big runs (measured: two consecutive 85 s local[16]
+        # runs early-stopped at 2x the 43 s steady state and halved
+        # the reported scaling efficiency; the documented local[16]
+        # curve improves monotonically through run 5).
+        if dt > 60 and i + 1 >= min_runs and dt <= best * 1.2:
             break
     return best, n
 
@@ -217,10 +223,13 @@ def main() -> None:
             # classes are usually JIT'd from the suite phase already
             # (same JVM); a few cheap small-twin runs cover deopt churn
             # at the new parallelism without burning full-fixture runs
+            # no early stop for the scaling points: min_runs=max_runs
+            # forces the full documented warm-up schedule per point
             sec, n = run_extraction(
                 s,
                 scaling_fixture,
                 max_runs=3 if cores <= 8 else 5,
+                min_runs=3 if cores <= 8 else 5,
                 warmup_fixture=warmup,
                 warmup_runs=3,
             )
