@@ -59,7 +59,10 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def word_shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (empty when
-    fewer than n words).
+    fewer than n words).  Pure-JVM HOF form — the no-Python-workers
+    fallback; the hot path is :func:`word_shingles_arrow_udf`
+    (identical arrays, Arrow-vectorized: higher-order lambdas are
+    CodegenFallback / interpreted per element).
 
     The per-shingle body is ``array_join(slice(toks, i, n))`` — 2
     expression nodes instead of the n ``element_at`` + ``concat_ws``
@@ -76,6 +79,74 @@ def word_shingles_col(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _shingles_py(norm_text: str, n: int) -> list[str]:
+    """Python twin of the shingle body of :func:`word_shingles_col` for
+    PRE-NORMALIZED text: split on single spaces, n-gram join, distinct
+    preserving first occurrence (= ``array_distinct`` order).  Java's
+    ``split(" ", -1)`` and ``str.split(" ")`` agree on empty-token
+    handling; normalization itself stays JVM-side (one codegen'd
+    regexp projection) so the two engines share it byte-for-byte."""
+    toks = (norm_text or "").split(" ")
+    m = len(toks) - (n - 1)
+    if m <= 0:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(m)))
+
+
+def word_shingles_arrow_udf(n: int = 3):
+    """Arrow-vectorized twin of :func:`word_shingles_col`, applied to
+    the ALREADY-NORMALIZED text (callers pass ``norm_text_col(...)`` so
+    the regex normalization stays JVM-side and cannot drift from the
+    oracle SQL).  Output arrays are element- and order-identical to the
+    JVM form (equality-tested in ``tests/test_dedup_similarity.py``);
+    one Arrow batch transfer, no per-row Python in the JVM plan.
+
+    Why: ``transform()`` lambdas are CodegenFallback — evaluated
+    interpreted per element — and the shingle pipeline dominated
+    ``minhash_dedup``/``ngram_jaccard`` (20.6/21.2 s at sf0.1, ~10x
+    every other operator; PLANS.md "MinHash cost anatomy").  Same
+    recipe as the ANN bucket keys (``similarity.py``), same contract:
+    bit-identical output, ``arrow=False`` keeps the pure-JVM form."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's resolver can't eval 'pd.Series' here — the
+    # eval type is passed explicitly (same note as similarity.py).
+    def shingles(txt):
+        return pd.Series([_shingles_py(t, n) for t in txt], dtype=object)
+
+    return pandas_udf(shingles, "array<string>")
+
+
+def _shingles_with_count_arrow_udf(n: int = 3):
+    """:func:`word_shingles_arrow_udf` variant returning
+    ``struct<n_sh: int, sh: array<string>>`` — for consumers that need
+    BOTH ``size(_sh)`` and ``explode(_sh)``: two references to a plain
+    UDF column end up in different operators (Project + Generate) and
+    each gets its own ArrowEvalPython stage, i.e. the whole pipeline
+    runs twice; one struct column is referenced twice as a cheap
+    attribute instead (measured in the ngram plan: 4 -> 2 Arrow
+    stages)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def shingles(txt):
+        rows = [_shingles_py(t, n) for t in txt]
+        return pd.DataFrame({"n_sh": [len(r) for r in rows], "sh": rows})
+
+    return pandas_udf(shingles, "n_sh int, sh array<string>")
+
+
+def _shingle_col(text_col: str, n: int, arrow: bool) -> Column:
+    """The shingle-array expression both dedup operators share — Arrow
+    UDF over the JVM-normalized text (hot path) or the pure-JVM HOF
+    form; one chooser so the two branches cannot drift."""
+    if arrow:
+        return word_shingles_arrow_udf(n)(norm_text_col(F.col(text_col)))
+    return word_shingles_col(F.col(text_col), n)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -84,6 +155,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     persist_shingles: bool = False,
     persisted_out: list | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing >= 1 shingle.
 
@@ -103,20 +175,44 @@ def ngram_jaccard_pairs(
     shingle pipeline 4x; this one plans it twice, the self-join
     minimum).
     """
-    base = df.select(
-        F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("_sh")
-    )
-    sh = base.select(
-        "id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s")
-    )
+    if arrow:
+        # struct output: n_sh and the explode both read one materialized
+        # column — a bare array UDF referenced by size() AND explode()
+        # is planned twice (see _shingles_with_count_arrow_udf)
+        base = df.select(
+            F.col(id_col).alias("id"),
+            _shingles_with_count_arrow_udf(n)(
+                norm_text_col(F.col(text_col))
+            ).alias("_x"),
+        )
+        sh = base.select(
+            "id", F.col("_x.n_sh").alias("n_sh"), F.explode("_x.sh").alias("s")
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("_sh")
+        )
+        sh = base.select(
+            "id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s")
+        )
     if persist_shingles:
         from bookextract_spark.operators.caching import persist_pinned
 
         sh = persist_pinned(sh, persisted_out, "persist_shingles")
+    # co-partition on the join key + merge hint: both self-join sides
+    # consume the SAME exchange (ReusedExchange), so the scan + shingle
+    # pipeline executes once, not once per side — and one slim shuffle
+    # of the exploded frame is the honest 100 TB shape (the frame is
+    # corpus-sized; a broadcast of it only looks right at test scale).
+    sh = sh.repartition("s")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        a.hint("merge")
+        .join(
+            b.hint("merge"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
         .groupBy(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
@@ -156,6 +252,143 @@ def _seed_hash_md5(shingle, i: int):
     return F.conv(F.substring(F.md5(seeded), 1, 8), 16, 10).cast("long")
 
 
+def _minhash_band_keys_arrow_udf(n: int, k: int, bands: int):
+    """Arrow-vectorized twin of the xxhash64 signature+banding pipeline
+    of :func:`minhash_lsh_candidates`: PRE-NORMALIZED text ->
+    ``array<long>`` of ``bands`` band-bucket keys (EMPTY when the doc
+    has no shingles — posexplode then emits nothing, the JVM
+    ``size(_sh) > 0`` filter without a UDF-referencing filter).
+
+    BIT-IDENTICAL to the JVM form by construction (and equality-tested
+    row-for-row in ``tests/test_dedup_similarity.py``): Spark's
+    ``xxhash64`` folds its children left-to-right through
+    ``XXH64.hashLong``/``hashInt`` (8-/4-byte one-shot specializations
+    of the public XXH64 spec) starting at seed 42, so
+
+    * per-shingle base hash  = ``hashLong(xxh64(utf8(s), 42) ...)`` —
+      the string hash comes from the repo's pure-Python XXH64
+      (``functions/xxhash.py``, bit-equality-tested against Spark),
+    * seeded value ``xxhash64(h, lit(i+OFFSET))``
+      = ``hashInt(i+OFFSET, hashLong(h, 42))`` — the literal is a
+      32-bit INT, so the second fold takes the 4-byte path,
+    * per-seed min compares SIGNED longs (``array_min``),
+    * band key ``xxhash64(m_0..m_r)`` chains ``hashLong`` over the
+      member mins from seed 42.
+
+    All of the long-domain folding is numpy uint64 arithmetic
+    vectorized ACROSS shingles x seeds (wraparound multiply/shift ==
+    the JVM's); only the variable-length string hash runs per shingle
+    in Python — ~50 distinct shingles/doc on the fixture corpus.  One
+    Arrow batch per stage; no per-row Python in the JVM plan.  This is
+    the same treatment that took the ANN bucket keys 27x faster
+    (``similarity.py``); measured effect in PLANS.md."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def band_keys(txt):
+        return pd.Series(_band_keys_batch(txt, n, k, bands), dtype=object)
+
+    return pandas_udf(band_keys, "array<long>")
+
+
+def _band_keys_batch(texts, n: int, k: int, bands: int) -> list:
+    """Batch body of :func:`_minhash_band_keys_arrow_udf` (module-level
+    so pytest can exercise it without a SparkSession): iterable of
+    pre-normalized texts -> list of per-doc band-key arrays (empty when
+    the doc has no shingles)."""
+    import numpy as np
+
+    from bookextract_spark.functions.xxhash import xxh64
+
+    rpb = k // bands
+    U = np.uint64
+    P1 = U(0x9E3779B185EBCA87)
+    P2 = U(0xC2B2AE3D27D4EB4F)
+    P3 = U(0x165667B19E3779F9)
+    P4 = U(0x85EBCA77C2B2AE63)
+    P5 = U(0x27D4EB2F165667C5)
+
+    def _fmix(h):
+        h = h ^ (h >> U(33))
+        h = h * P2
+        h = h ^ (h >> U(29))
+        h = h * P3
+        return h ^ (h >> U(32))
+
+    def _hash_long(x, seed):
+        # XXH64.hashLong(input, seed) — the 8-byte one-shot path
+        h = seed + P5 + U(8)
+        y = x * P2
+        h = h ^ (((y << U(31)) | (y >> U(33))) * P1)
+        h = ((h << U(27)) | (h >> U(37))) * P1 + P4
+        return _fmix(h)
+
+    def _hash_int(x, seed):
+        # XXH64.hashInt(input, seed) — the 4-byte one-shot path
+        h = seed + P5 + U(4)
+        h = h ^ ((x & U(0xFFFFFFFF)) * P1)
+        h = ((h << U(23)) | (h >> U(41))) * P2 + P3
+        return _fmix(h)
+
+    seeds = np.arange(_XX_SEED_OFFSET, k + _XX_SEED_OFFSET, dtype=np.uint64)
+
+    shingle_lists = [_shingles_py(t, n) for t in texts]
+    counts = np.fromiter(
+        (len(s) for s in shingle_lists), dtype=np.int64, count=len(shingle_lists)
+    )
+    # empty (not None) for no-shingle docs: posexplode drops empties
+    # without a filter, and a filter on the UDF column would re-run it
+    empty = np.empty(0, dtype=np.int64)
+    out = [empty] * len(shingle_lists)
+    ne = counts > 0
+    if not ne.any():
+        return out
+    # memoize the per-shingle string hash within the batch: shingles
+    # repeat heavily ACROSS documents (~90% dup rate on the fixture
+    # corpus — common phrases), and the Python-loop string hash is the
+    # only non-vectorized step left; memory is bounded by the distinct
+    # shingles of one Arrow batch (<= arrow.maxRecordsPerBatch rows)
+    cache: dict = {}
+
+    def _h(s):
+        v = cache.get(s)
+        if v is None:
+            v = cache[s] = xxh64(s.encode("utf-8"))
+        return v
+
+    H = np.fromiter(
+        (
+            _h(s)
+            for lst, keep in zip(shingle_lists, ne)
+            if keep
+            for s in lst
+        ),
+        dtype=np.uint64,
+        count=int(counts[ne].sum()),
+    )
+    T = _hash_long(H, U(42))  # xxhash64(shingle-string) per shingle
+    seeded = _hash_int(seeds[None, :], T[:, None])  # (n_shingles, k)
+    si = seeded.view(np.int64)  # array_min compares SIGNED longs
+    ne_counts = counts[ne]
+    starts = np.zeros(len(ne_counts), dtype=np.int64)
+    np.cumsum(ne_counts[:-1], out=starts[1:])
+    mins = np.minimum.reduceat(si, starts, axis=0)  # (n_docs_ne, k)
+    mu = mins.view(np.uint64)
+    nrows = mu.shape[0]
+    keys = np.empty((nrows, bands), dtype=np.int64)
+    for b in range(bands):
+        h = np.full(nrows, 42, dtype=np.uint64)
+        for r in range(rpb):
+            h = _hash_long(mu[:, b * rpb + r], h)
+        keys[:, b] = h.view(np.int64)
+    j = 0
+    for i, keep in enumerate(ne):
+        if keep:
+            out[i] = keys[j]
+            j += 1
+    return out
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -166,6 +399,7 @@ def minhash_lsh_candidates(
     hash_mode: str = "xxhash64",
     persist_signatures: bool = False,
     persisted_out: list | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: signature split into ``bands`` bands of
     ``k/bands`` rows; pairs sharing any band bucket are candidates.
@@ -213,6 +447,25 @@ def minhash_lsh_candidates(
       output) is structurally identical to the oracle SQL's.
     """
     rows_per_band = k // bands
+    if arrow and hash_mode == "xxhash64":
+        # hot path: the whole shingle -> signature -> band-key pipeline
+        # is one Arrow-vectorized projection (bit-identical keys — see
+        # _minhash_band_keys_arrow_udf).  No-shingle docs yield an
+        # EMPTY key array (not NULL): posexplode drops them for free,
+        # so no filter references the UDF column — a deterministic-UDF
+        # filter would be pushed below the projection and evaluate the
+        # whole pipeline a second time (measured 2x).
+        banded = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                _minhash_band_keys_arrow_udf(n, k, bands)(
+                    norm_text_col(F.col(text_col))
+                )
+            ).alias("band", "bucket"),
+        )
+        return _banded_candidates(
+            banded, persist_signatures=persist_signatures, persisted_out=persisted_out
+        )
     sh_df = df.select(
         F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("_sh")
     ).where(F.size("_sh") > 0)
@@ -266,15 +519,41 @@ def minhash_lsh_candidates(
             "band", "bucket"
         ),
     )
+    return _banded_candidates(
+        banded, persist_signatures=persist_signatures, persisted_out=persisted_out
+    )
+
+
+def _banded_candidates(
+    banded: DataFrame,
+    persist_signatures: bool = False,
+    persisted_out: list | None = None,
+) -> DataFrame:
+    """(id, band, bucket) -> distinct candidate pairs sharing any band
+    bucket — the self-join tail both signature paths (Arrow / JVM)
+    share.
+
+    The frame is repartitioned on the join keys and the join
+    merge-hinted, so BOTH self-join sides consume the SAME exchange
+    (``ReusedExchange``): the scan + signature pipeline executes once,
+    not once per side — without any caching (no persist race, no
+    unpersist handle).  This is also the honest 100 TB shape: the
+    signature frame is corpus-sized, so broadcasting one side (what
+    size stats pick at test scale) is wrong at scale, while SMJ over
+    one slim (id, band, bucket) shuffle is exactly the plan a
+    1000-executor run wants; AQE skew-split still applies to hot
+    buckets."""
     if persist_signatures:
         from bookextract_spark.operators.caching import persist_pinned
 
         banded = persist_pinned(banded, persisted_out, "persist_signatures")
+    banded = banded.repartition("band", "bucket")
     a = banded.alias("a")
     b2 = banded.alias("b")
     return (
-        a.join(
-            b2,
+        a.hint("merge")
+        .join(
+            b2.hint("merge"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
@@ -295,18 +574,23 @@ def minhash_dedup(
     hash_mode: str = "xxhash64",
     persist_signatures: bool = False,
     persisted_out: list | None = None,
+    arrow: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact
     Jaccard (the 100 TB pattern: cheap blocking, exact verification on
     the tiny candidate set).  ``persist_signatures`` halves the
     candidate-generation cost — see
-    :func:`minhash_lsh_candidates`."""
+    :func:`minhash_lsh_candidates`.  ``arrow`` (default) vectorizes
+    both the xxhash64 signature pipeline and the verify-side shingle
+    arrays (bit-identical output, ``arrow=False`` keeps the pure-JVM
+    HOF forms)."""
     cands = minhash_lsh_candidates(
         df, id_col, text_col, n, k, bands, hash_mode,
         persist_signatures=persist_signatures, persisted_out=persisted_out,
+        arrow=arrow,
     )
     sh = df.select(
-        F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("id"), _shingle_col(text_col, n, arrow).alias("sh")
     )
     # Verify-side scan reuse: melt each candidate pair into one row per
     # member and join the shingle frame ONCE, then pivot back with a

@@ -3366,17 +3366,21 @@ FROM agg, tot
 # --------------------------------------------------------------------------
 
 # Registry ORDER is the driver's execution order (it snapshots and runs
-# the dict in insertion order; CORRECTNESS_r02 covered exactly the first
-# 50 entries).  Defensive ordering, frozen for round 3 — no appends:
-#   1-10: the queries with no driver row yet (round-2 tail) + j3_resume;
-#   11-50: every remaining query that is the UNIQUE driver proof of a
-#          SURVEY §2 / pipeline operator;
+# the dict in insertion order; CORRECTNESS_r02/r03 covered exactly the
+# first 50 entries).  Defensive ordering (round-3 freeze + one round-4
+# swap, see below):
+#   1-50: every query that is the UNIQUE driver proof of a SURVEY §2 /
+#         pipeline operator.  Round 4 swapped simhash_near (appended
+#         post-freeze at 57, hence never driver-run) into the head in
+#         place of o15_chapter_titles, whose operator surface is
+#         r03-proven and whose S12 op keeps o15_cumulative_offsets.
 #   51-56: redundant-coverage queries (ops also proven earlier: T1/T13
 #          are stages of pipeline_extract's oracle, o8_merge_decisions'
 #          predicates drive o8_merge_extract, conv_dedup composes
-#          proven pieces, q1/q3 are generic warehouse demos) — if the
-#          driver truncates, ONLY these lose rows and no operator loses
-#          its proof.
+#          proven pieces, q1/q3 are generic warehouse demos,
+#          o15_chapter_titles' edge is green in r03) — if the driver
+#          truncates, ONLY these lose rows and no operator loses its
+#          proof.
 # Twin variants whose only job is cross-checking a default-hash path
 # (md5 twins of minhash/simhash, the sha-fake image plumbing twin, the
 # O(n^2) near-dup verifier) live in _LOCAL_REGISTRY: still oracle-checked
@@ -3391,7 +3395,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "p5_validate": (q_p5_validate, SQL_P5),
     "p5_stubs": (q_p5_stubs, SQL_P5_STUBS),
     "edit_regex": (q_edit_regex, SQL_EDIT_REGEX),
-    "o15_chapter_titles": (q_o15_chapter_titles, SQL_O15_TITLES),
     # callable: lazy — the oracle embeds the XXH64 bucket map
     "j3_resume": (q_j3_resume, _sql_j3),
     "pipeline_extract": (q_pipeline_extract, SQL_PIPELINE),
@@ -3420,6 +3423,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # callable: resolved lazily by oracle_sql() — building this SQL
     # scans fixture vocabulary with DuckDB and must not run at import
     "simhash": (q_simhash, _sql_simhash_xxh),
+    # round-4 promotion into the <=50 head (the one registry operator
+    # with no driver row in any round; the round-3 verdict's item 2):
+    # Hamming-neighbor search over the 4x16-bit simhash blocks, oracled
+    # by brute-force popcount over the same XXH64-LUT simhash CTE.
+    # o15_chapter_titles moved to the redundant tail to make room —
+    # S12 stays driver-proven by o15_cumulative_offsets and the
+    # 00_title edge has its green r03 row.
+    "simhash_near": (q_simhash_near, _sql_simhash_near),
     "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh()),
     "ivf_ann_topk": (q_ivf_ann_topk, _sql_ivf_ann()),
@@ -3440,19 +3451,17 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c1_html_classify": (q_c1_html_classify, SQL_C1),
     "c3_density": (q_c3_density, SQL_C3),
     # ---- redundant-coverage tail (see ordering note above) ----
+    # o15_chapter_titles demoted here in round 4 (swap with
+    # simhash_near): its operator surface (S12 title lookup incl. the
+    # 00_title edge) has a green driver row in CORRECTNESS_r03 and S12
+    # keeps a head proof via o15_cumulative_offsets.
+    "o15_chapter_titles": (q_o15_chapter_titles, SQL_O15_TITLES),
     "t1_reflow": (q_t1_reflow, SQL_T1),
     "t13_hyphenation": (q_t13_hyphenation, SQL_T13),
     "o8_merge_decisions": (q_o8_merge_decisions, SQL_O8_DECISIONS),
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_customer_orders": (q_q3_customer_orders, SQL_Q3),
-    # ---- post-freeze tail (position 57+): appended AFTER the frozen
-    # 1-56 ordering, so the defensive head is untouched — if the driver
-    # truncates at 50 these never run, and if it runs everything they
-    # add coverage.  simhash_near_pairs is the Hamming-neighbor search
-    # surface (previously pytest-only); callable: lazy, reuses the
-    # XXH64 vocabulary LUT.
-    "simhash_near": (q_simhash_near, _sql_simhash_near),
 }
 
 # Cross-check twins: oracle-verified locally (test_oracle_parity runs

@@ -569,3 +569,153 @@ def test_avi_media_decode_end_to_end(spark):
             assert r.mean_luma == round(v / 255.0, 6)
             rgb = bytes([v]) * (w * h * 3)
             assert r.frame_sha == hashlib.sha256(rgb).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# round-4 Arrow signature path: bit-equality vs the pure-JVM HOF forms
+# ---------------------------------------------------------------------------
+
+ADVERSARIAL_DOCS = [
+    (0, None),
+    (1, ""),
+    (2, "   \t\n  "),
+    (3, "one two"),                      # < n words -> no shingles
+    (4, "one two three"),                # exactly n
+    (5, "  MIXED   Case\tand\nweird   spacing between the many words here  "),
+    (6, "unicode café naïve straße tokens repeated café naïve straße tokens again"),
+    (7, "dup dup dup dup dup dup dup"),  # collapses to few distinct shingles
+    (8, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (9, "the quick brown fox jumps over the lazy dog near the river bend"),
+]
+
+
+def _adv_df(spark):
+    return spark.createDataFrame(ADVERSARIAL_DOCS, "doc_id long, text string")
+
+
+def test_arrow_shingles_match_jvm_arrays(spark):
+    """word_shingles_arrow_udf must produce element- AND order-identical
+    arrays to the JVM HOF form (array_distinct keeps first occurrence)
+    on nulls, whitespace-only, short, unicode and repeated-token docs +
+    the sf0.001 fixture corpus."""
+    from bookextract_spark.operators.dedup import (
+        norm_text_col,
+        word_shingles_arrow_udf,
+        word_shingles_col,
+    )
+
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (_adv_df(spark), fixture):
+        jvm = df.select("doc_id", word_shingles_col(F.col("text"), 3).alias("sh"))
+        arw = df.select(
+            "doc_id",
+            word_shingles_arrow_udf(3)(norm_text_col(F.col("text"))).alias("sh"),
+        )
+        n_diff = (
+            jvm.alias("a")
+            .join(arw.alias("b"), "doc_id")
+            .where(F.expr("a.sh IS DISTINCT FROM b.sh"))
+            .count()
+        )
+        assert n_diff == 0
+
+
+def test_arrow_struct_shingles_match_jvm(spark):
+    """The struct-returning variant (n_sh + sh in one column, used by
+    ngram_jaccard to avoid the double ArrowEvalPython plan) must agree
+    with the JVM form on both fields."""
+    from bookextract_spark.operators.dedup import (
+        _shingles_with_count_arrow_udf,
+        norm_text_col,
+        word_shingles_col,
+    )
+
+    df = _adv_df(spark)
+    jvm = df.select(
+        "doc_id",
+        F.size(word_shingles_col(F.col("text"), 3)).alias("n_sh"),
+        word_shingles_col(F.col("text"), 3).alias("sh"),
+    )
+    arw = df.select(
+        "doc_id",
+        _shingles_with_count_arrow_udf(3)(norm_text_col(F.col("text"))).alias("_x"),
+    ).select("doc_id", F.col("_x.n_sh").alias("n_sh"), F.col("_x.sh").alias("sh"))
+    n_diff = (
+        jvm.alias("a")
+        .join(arw.alias("b"), "doc_id")
+        .where(F.expr("a.n_sh IS DISTINCT FROM b.n_sh OR a.sh IS DISTINCT FROM b.sh"))
+        .count()
+    )
+    assert n_diff == 0
+
+
+def test_arrow_band_keys_match_jvm_banded_frame(spark):
+    """The Arrow xxhash64 signature pipeline must reproduce the JVM
+    banded frame (id, band, bucket) EXACTLY — this pins the numpy
+    uint64 twins of XXH64.hashLong/hashInt (fold order, signed mins,
+    int-literal 4-byte path) against Spark's own xxhash64, on both the
+    adversarial docs and the sf0.001 fixture corpus."""
+    from bookextract_spark.operators.dedup import (
+        _minhash_band_keys_arrow_udf,
+        norm_text_col,
+        word_shingles_col,
+        _XX_SEED_OFFSET,
+    )
+
+    fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (_adv_df(spark), fixture):
+        # JVM reference form (the arrow=False candidates path, pre-join)
+        toks = df.select(
+            F.col("doc_id").alias("id"),
+            word_shingles_col(F.col("text"), 3).alias("_sh"),
+        ).where(F.size("_sh") > 0)
+        hashed = toks.select(
+            "id", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)).alias("_h")
+        )
+        mins = hashed.select(
+            "id",
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("_h"),
+                        (lambda i: (lambda h: F.xxhash64(h, F.lit(i + _XX_SEED_OFFSET))))(i),
+                    )
+                ).alias(f"_m{i}")
+                for i in range(32)
+            ],
+        )
+        jvm = mins.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(*[F.col(f"_m{b * 4 + r}") for r in range(4)])
+                        for b in range(8)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+        arw = df.select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(
+                _minhash_band_keys_arrow_udf(3, 32, 8)(norm_text_col(F.col("text")))
+            ).alias("band", "bucket"),
+        )
+        assert jvm.exceptAll(arw).count() == 0 and arw.exceptAll(jvm).count() == 0
+        assert arw.count() > 0
+
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_arrow_dedup_pipelines_match_jvm(spark, sf):
+    """Full-output equality of the arrow=True vs arrow=False paths for
+    both rewritten operators at two fixture scales."""
+    from bookextract_spark.operators.dedup import minhash_dedup, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+    a = minhash_dedup(docs, threshold=0.05, arrow=True)
+    b = minhash_dedup(docs, threshold=0.05, arrow=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    g = ngram_jaccard_pairs(docs, threshold=0.05, arrow=True)
+    h = ngram_jaccard_pairs(docs, threshold=0.05, arrow=False)
+    assert g.exceptAll(h).count() == 0 and h.exceptAll(g).count() == 0
+    assert a.count() > 0 and g.count() > 0

@@ -59,15 +59,21 @@ BUDGETS = {
     "simhash_near": (2, 1, 0, 2),
     "curation_filter": (1, 0, 0, 1),
     "dedup_exact": (1, 0, 0, 1),
-    # minhash: banded self-join sides + ONE verify-side shingle scan
-    # (melt-join-pivot, round-3 scan-reuse); the shuffle is the pair
-    # pivot groupBy.
-    "minhash_dedup": (1, 2, 0, 3),
-    # ngram-jaccard: per-doc shingle counts ride the exploded frame as
-    # size(_sh) (round-3 scan-reuse) — self-join minimum of 2 scans;
-    # the shuffle is the pair groupBy, the broadcast the join's small
-    # side at sf0.001 (sort-merge with 2 exchanges at scale).
-    "ngram_jaccard": (1, 1, 0, 2),
+    # minhash (round-4 Arrow rewrite): the banded signature pipeline is
+    # one Arrow stage per self-join side in the STATIC plan, but both
+    # sides are fed by one repartition(band, bucket) exchange that AQE
+    # dedupes at runtime (ReusedExchange) — the pipeline EXECUTES once;
+    # the third Arrow stage/scan is the verify-side shingle frame
+    # (melt-join-pivot).  Exchanges: banded repartition + candidate
+    # pair pivot + verify pair groupBy; broadcast = melted candidates.
+    "minhash_dedup": (3, 1, 3, 3),
+    # ngram-jaccard (round-4 Arrow rewrite): one struct-returning Arrow
+    # shingle stage per self-join side (statically planned twice, fed
+    # by one repartition(s) exchange AQE-reused at runtime -> executes
+    # once); exchanges: shingle repartition + merge-hinted SMJ sides'
+    # pair groupBy + final pivot.  No broadcast: the exploded shingle
+    # frame is corpus-sized — SMJ is the honest shape at scale.
+    "ngram_jaccard": (3, 0, 2, 2),
     "lang_id": (0, 0, 0, 1),
     "quality_scores": (0, 0, 0, 1),
     "fingerprint": (0, 0, 0, 1),
