@@ -18,7 +18,9 @@ side when it is small and splits skewed conv joins otherwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bookextract_spark.functions.text import (
@@ -44,39 +46,6 @@ def strip_boilerplate(
     Unicode dialect (see functions/text.py module note).
     """
     text = F.col(text_col)
-    # PDF-layout payloads separate pages with form feed; a turn without
-    # \f is a single page, which round-trips exactly as before.  Null
-    # text is coalesced so the turn still emits its marker row (the
-    # per-conv turn count must include null turns, as the spec does).
-    pages = F.split(F.coalesce(text, F.lit("")), "\f", -1)
-
-    # candidate edge lines PER PAGE: first/last non-empty,
-    # non-page-number line of every page.  Per-line work is ONE fused
-    # regex — a line qualifies iff it does NOT match
-    # ws-only-or-bare-page-number (``^\s*(?:\d{1,4})?\s*$``), which is
-    # exactly "has non-whitespace AND not a page number" in a single
-    # engine execution instead of two (measured wall-neutral at sf0.1 —
-    # short-line regexes are not the stage bottleneck — kept for the
-    # smaller expression tree); the normalize regex chain runs only on
-    # the <= 2 winners per page
-    _edge_skip = _u(unicode_ws) + r"^\s*(?:\d{1,4})?\s*$"
-
-    def page_edges(pg):
-        edge_lines = F.filter(
-            F.split(pg, "\n", -1),
-            lambda ln: ~ln.rlike(_edge_skip),
-        )
-        return F.when(
-            F.size(edge_lines) > 0,
-            F.array(
-                normalize_line_col(F.try_element_at(edge_lines, F.lit(1)), unicode_ws),
-                normalize_line_col(F.try_element_at(edge_lines, F.lit(-1)), unicode_ws),
-            ),
-        )
-
-    cands = F.array_distinct(
-        F.flatten(F.array_compact(F.transform(pages, page_edges)))
-    )
 
     # one NULL marker element per row rides along with the candidate
     # keys, so a single aggregation pass yields both the per-key
@@ -85,7 +54,10 @@ def strip_boilerplate(
     cand_df = df.select(
         F.col("conv_id"),
         F.explode(
-            F.concat(cands, F.array(F.lit(None).cast("string")))
+            F.concat(
+                _cands_expr(text_col, unicode_ws),
+                F.array(F.lit(None).cast("string")),
+            )
         ).alias("line_key"),
     )
     counts = cand_df.groupBy("conv_id", "line_key").agg(
@@ -117,14 +89,74 @@ def strip_boilerplate(
     )
 
     out = df.join(boiler, "conv_id", "left")
+    return out.withColumn(
+        out_col,
+        F.when(text.isNull(), F.lit(None).cast("string")).otherwise(
+            _stripped_expr(text_col, unicode_ws)
+        ),
+    ).drop("_boiler_set")
+
+
+def _pages_col(text: Column) -> Column:
+    # PDF-layout payloads separate pages with form feed; a turn without
+    # \f is a single page, which round-trips exactly as before.  Null
+    # text is coalesced so the turn still emits its marker row (the
+    # per-conv turn count must include null turns, as the spec does).
+    return F.split(F.coalesce(text, F.lit("")), "\f", -1)
+
+
+@lru_cache(maxsize=None)
+def _cands_expr(text_col: str, unicode_ws: bool) -> Column:
+    """Memoized candidate-key expression (see :func:`strip_boilerplate`).
+
+    Candidate edge lines PER PAGE: first/last non-empty,
+    non-page-number line of every page.  Per-line work is ONE fused
+    regex — a line qualifies iff it does NOT match
+    ws-only-or-bare-page-number (``^\\s*(?:\\d{1,4})?\\s*$``), which is
+    exactly "has non-whitespace AND not a page number" in a single
+    engine execution instead of two; the normalize regex chain runs
+    only on the <= 2 winners per page.
+
+    Memoized because building the tree costs driver-side py4j
+    round-trips per job (the flagship plan-build constant); unresolved
+    Columns are immutable and reusable across jobs/sessions in one
+    process."""
+    pages = _pages_col(F.col(text_col))
+    _edge_skip = _u(unicode_ws) + r"^\s*(?:\d{1,4})?\s*$"
+
+    def page_edges(pg):
+        edge_lines = F.filter(
+            F.split(pg, "\n", -1),
+            lambda ln: ~ln.rlike(_edge_skip),
+        )
+        return F.when(
+            F.size(edge_lines) > 0,
+            F.array(
+                normalize_line_col(F.try_element_at(edge_lines, F.lit(1)), unicode_ws),
+                normalize_line_col(F.try_element_at(edge_lines, F.lit(-1)), unicode_ws),
+            ),
+        )
+
+    return F.array_distinct(
+        F.flatten(F.array_compact(F.transform(pages, page_edges)))
+    )
+
+
+@lru_cache(maxsize=None)
+def _stripped_expr(text_col: str, unicode_ws: bool) -> Column:
+    """Memoized strip expression over ``text_col`` + ``_boiler_set``
+    (see :func:`strip_boilerplate`; same memoization rationale as
+    :func:`_cands_expr`).
+
+    Strip page by page (spec: strip_boilerplate_text), then re-join the
+    non-empty pages with ``\\n\\n\\f\\n\\n`` so each page boundary
+    becomes a lone-``\\f`` piece -> page_division block downstream.
+    Branch per row: most conversations have NO boilerplate set (null
+    after the left join), and that branch never pays the per-line
+    normalize chain — only the page-number rlike."""
+    pages = _pages_col(F.col(text_col))
     boiler_set = F.col("_boiler_set")
 
-    # strip page by page (spec: strip_boilerplate_text), then re-join the
-    # non-empty pages with "\n\n\f\n\n" so each page boundary becomes a
-    # lone-\f piece -> page_division block downstream.  Branch per row:
-    # most conversations have NO boilerplate set (null after the left
-    # join), and that branch never pays the per-line normalize chain —
-    # only the page-number rlike.
     def strip_page(keep_pred):
         def inner(pg):
             kept = F.filter(F.split(pg, "\n", -1), keep_pred)
@@ -147,9 +179,6 @@ def strip_boilerplate(
     rejoin = lambda ps: F.array_join(  # noqa: E731
         F.filter(ps, lambda p: p != ""), "\n\n\f\n\n"
     )
-    stripped = F.when(boiler_set.isNull(), rejoin(simple_pages)).otherwise(
+    return F.when(boiler_set.isNull(), rejoin(simple_pages)).otherwise(
         rejoin(full_pages)
     )
-    return out.withColumn(
-        out_col, F.when(text.isNull(), F.lit(None).cast("string")).otherwise(stripped)
-    ).drop("_boiler_set")

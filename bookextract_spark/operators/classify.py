@@ -15,6 +15,8 @@ branches.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -164,6 +166,45 @@ def _density_udf(text: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["text_density", "link_density", "tag_depth"])
 
 
+@lru_cache(maxsize=None)
+def _ocr_blocks_expr(text_col: str, unicode_ws: bool) -> Column:
+    """Memoized C4 classifier expression over fixed column names.
+
+    Building this tree costs ~1 s of driver-side py4j round-trips (the
+    "driver plan-build constant" in BENCH/BASELINE.md's flagship
+    accounting); unresolved Column expressions are immutable and
+    session-independent, so one build per (text_col, unicode_ws) serves
+    every subsequent job in the process — exactly what a long-running
+    driver service does.  Catalyst analysis still runs per job."""
+    text = F.col(text_col)
+    source = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
+    return classify_ocr_blocks_col(
+        reflow_col(repair_hyphenation_col(text)), source, unicode_ws
+    )
+
+
+@lru_cache(maxsize=None)
+def _auto_blocks_exprs(text_col: str, unicode_ws: bool):
+    """Memoized html_mode='auto' Column trees: (blocks when-chain,
+    html_input for the density UDF).  Same rationale as
+    :func:`_ocr_blocks_expr`."""
+    text = F.col(text_col)
+    source = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
+    html = is_html_col(text, unicode_ws)
+    html_input = F.when(html, text).otherwise(F.lit(None).cast("string"))
+    # null the source too for non-HTML rows — the UDF ignores it when
+    # html is null, and an all-null column Arrow-transfers for free
+    # instead of shipping a per-row string for the whole corpus
+    html_source = F.when(html, source).otherwise(F.lit(None).cast("string"))
+    html_blocks = _classify_html_udf(html_input, html_source)
+    blocks = (
+        F.when(text.isNull(), F.array().cast(BLOCKS_ARRAY))
+        .when(html, html_blocks)
+        .otherwise(_ocr_blocks_expr(text_col, unicode_ws))
+    )
+    return blocks, _density_udf(html_input)
+
+
 def classify_turns(
     df: DataFrame,
     text_col: str = "clean_text",
@@ -194,15 +235,13 @@ def classify_turns(
       HTML then classify through the OCR rules.
     """
     text = F.col(text_col)
-    source = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))
-
-    ocr_norm = reflow_col(repair_hyphenation_col(text))
-    ocr_blocks = classify_ocr_blocks_col(ocr_norm, source, unicode_ws)
 
     if html_mode == "none":
         out = df.withColumn(
             out_col,
-            F.when(text.isNull(), F.array().cast(BLOCKS_ARRAY)).otherwise(ocr_blocks),
+            F.when(text.isNull(), F.array().cast(BLOCKS_ARRAY)).otherwise(
+                _ocr_blocks_expr(text_col, unicode_ws)
+            ),
         )
         if with_density:
             out = out.withColumn("density", F.lit(None).cast(DENSITY_STRUCT))
@@ -210,20 +249,8 @@ def classify_turns(
     if html_mode != "auto":
         raise ValueError(f"html_mode must be 'auto' or 'none', got {html_mode!r}")
 
-    html = is_html_col(text, unicode_ws)
-    html_input = F.when(html, text).otherwise(F.lit(None).cast("string"))
-    # null the source too for non-HTML rows — the UDF ignores it when
-    # html is null, and an all-null column Arrow-transfers for free
-    # instead of shipping a per-row string for the whole corpus
-    html_source = F.when(html, source).otherwise(F.lit(None).cast("string"))
-    html_blocks = _classify_html_udf(html_input, html_source)
-
-    out = df.withColumn(
-        out_col,
-        F.when(text.isNull(), F.array().cast(BLOCKS_ARRAY))
-        .when(html, html_blocks)
-        .otherwise(ocr_blocks),
-    )
+    blocks, density = _auto_blocks_exprs(text_col, unicode_ws)
+    out = df.withColumn(out_col, blocks)
     if with_density:
-        out = out.withColumn("density", _density_udf(html_input))
+        out = out.withColumn("density", density)
     return out

@@ -1,0 +1,220 @@
+"""Checkpointed production MinHash dedup: signatures written once,
+candidate pairs built from the written table.
+
+This is the job-shaped version of
+:func:`bookextract_spark.operators.dedup.minhash_lsh_candidates` — the
+pattern PLANS.md "MinHash cost anatomy" describes for production scale:
+the banded signature frame (id, band, bucket — a few longs per doc) is
+**materialized once** as a partitioned parquet table, bucket-granularly
+and resumably (same manifest protocol as
+:mod:`bookextract_spark.operators.checkpoint`, which generalizes the
+reference's skip-if-output-exists memoization,
+``ocr_processor.py:103-106,394-396``), and the band self-join then
+reads that slim table instead of re-running the signature pipeline per
+join side.  At 100 TB the signature table is ~1% of corpus bytes, so a
+crash during the (long) signature scan never repeats completed work,
+and the pair join touches no raw text at all.
+
+Layout under ``base_dir``::
+
+    signatures/        parquet, partitioned by wbucket (work bucket)
+    pairs/             parquet, the distinct candidate pairs
+    _manifest/         completion rows: stage + wbucket + metrics
+
+Protocol per signature batch: dynamic-partition-overwrite the batch's
+wbucket partitions, then append manifest rows — a crash between the
+two leaves the buckets absent from the manifest and the next run
+re-overwrites them (idempotent convergence, no duplicates).  The pairs
+stage records a ``stage='pairs'`` marker bound to the signature-bucket
+count it saw; a re-submit that adds signature buckets invalidates the
+marker and rebuilds pairs, a re-submit with nothing pending is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from bookextract_spark.operators.checkpoint import (
+    N_BUCKETS_DEFAULT,
+    bucket_col,
+    load_manifest,
+    manifest_path,
+)
+from bookextract_spark.operators.dedup import (
+    _banded_candidates,
+    _minhash_band_keys_arrow_udf,
+    norm_text_col,
+)
+
+_MANIFEST_SCHEMA = (
+    "stage string, wbucket int, run_id string, "
+    "batch_n_docs long, batch_sig_rows long, sig_buckets_seen int"
+)
+
+
+def signatures_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "signatures")
+
+
+def pairs_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "pairs")
+
+
+def pending_signature_buckets(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_dir: str,
+    id_col: str,
+    n_buckets: int,
+) -> list[int]:
+    """Work buckets present in the input but absent from the manifest's
+    signature rows — the anti-join that makes re-submits idempotent."""
+    have = docs.select(
+        bucket_col(F.col(id_col), n_buckets).alias("wbucket")
+    ).distinct()
+    manifest = load_manifest(spark, base_dir)
+    if manifest is not None:
+        done = (
+            manifest.where(F.col("stage") == "signatures")
+            .select("wbucket")
+            .distinct()
+        )
+        have = have.join(done, "wbucket", "left_anti")
+    return sorted(r.wbucket for r in have.collect())
+
+
+def _completed_signature_buckets(spark: SparkSession, base_dir: str) -> int:
+    manifest = load_manifest(spark, base_dir)
+    if manifest is None:
+        return 0
+    return (
+        manifest.where(F.col("stage") == "signatures")
+        .select("wbucket")
+        .distinct()
+        .count()
+    )
+
+
+def _pairs_marker_buckets(spark: SparkSession, base_dir: str) -> int | None:
+    """Signature-bucket count the last pairs build saw, or None."""
+    manifest = load_manifest(spark, base_dir)
+    if manifest is None:
+        return None
+    rows = (
+        manifest.where(F.col("stage") == "pairs")
+        .agg(F.max("sig_buckets_seen").alias("m"))
+        .collect()
+    )
+    return None if not rows or rows[0].m is None else int(rows[0].m)
+
+
+def run_dedup_with_checkpoint(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    buckets_per_batch: int = 64,
+    fail_after_batches: int | None = None,
+    fail_before_manifest: bool = False,
+) -> dict:
+    """Resumable signatures stage + pairs stage; see module docstring.
+
+    ``fail_after_batches`` / ``fail_before_manifest`` inject crashes
+    for the resume tests (after N completed signature batches, and
+    inside the data-write/manifest window, respectively) — mirrors
+    :func:`checkpoint.run_with_checkpoint`.
+    """
+    pending = pending_signature_buckets(spark, docs, base_dir, id_col, n_buckets)
+    run_id = uuid.uuid4().hex
+    sig_out = signatures_path(base_dir)
+    done_batches = 0
+    written_buckets = 0
+
+    band_keys = _minhash_band_keys_arrow_udf(n, k, bands)
+    with_bucket = docs.select(
+        bucket_col(F.col(id_col), n_buckets).alias("wbucket"),
+        F.col(id_col).alias("id"),
+        norm_text_col(F.col(text_col)).alias("_norm"),
+    )
+
+    for start in range(0, len(pending), buckets_per_batch):
+        batch = pending[start : start + buckets_per_batch]
+        subset = with_bucket.where(F.col("wbucket").isin(batch))
+        obs = Observation(f"dedup_sig_{run_id}_{start}")
+        banded = subset.select(
+            "wbucket",
+            "id",
+            F.posexplode(band_keys(F.col("_norm"))).alias("band", "bucket"),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("sig_rows"),
+            F.approx_count_distinct("id").alias("n_docs"),
+        )
+        (
+            banded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wbucket")
+            .parquet(sig_out)
+        )
+        if fail_before_manifest and done_batches == 0:
+            return {
+                "run_id": run_id,
+                "stage": "signatures",
+                "completed_buckets": 0,
+                "pending_before": len(pending),
+                "pairs_built": False,
+                "crashed": True,
+            }
+        got = obs.get
+        rows = [("signatures", int(b), run_id, None, None, None) for b in batch] + [
+            ("signatures_metrics", None, run_id, got["n_docs"], got["sig_rows"], None)
+        ]
+        spark.createDataFrame(rows, _MANIFEST_SCHEMA).withColumn(
+            "completed_at", F.current_timestamp()
+        ).write.mode("append").parquet(manifest_path(base_dir))
+        done_batches += 1
+        written_buckets += len(batch)
+        if fail_after_batches is not None and done_batches >= fail_after_batches:
+            return {
+                "run_id": run_id,
+                "stage": "signatures",
+                "completed_buckets": written_buckets,
+                "pending_before": len(pending),
+                "pairs_built": False,
+                "crashed": True,
+            }
+
+    # ---- pairs stage: build from the WRITTEN signature table --------
+    sig_buckets = _completed_signature_buckets(spark, base_dir)
+    marker = _pairs_marker_buckets(spark, base_dir)
+    pairs_built = False
+    if sig_buckets > 0 and marker != sig_buckets:
+        banded = spark.read.parquet(sig_out).select("id", "band", "bucket")
+        pairs = _banded_candidates(banded)
+        pairs.write.mode("overwrite").parquet(pairs_path(base_dir))
+        n_pairs = spark.read.parquet(pairs_path(base_dir)).count()
+        spark.createDataFrame(
+            [("pairs", None, run_id, None, int(n_pairs), int(sig_buckets))],
+            _MANIFEST_SCHEMA,
+        ).withColumn("completed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(manifest_path(base_dir))
+        pairs_built = True
+
+    return {
+        "run_id": run_id,
+        "stage": "pairs" if pairs_built else "noop",
+        "completed_buckets": written_buckets,
+        "pending_before": len(pending),
+        "pairs_built": pairs_built,
+        "crashed": False,
+    }

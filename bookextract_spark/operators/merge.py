@@ -33,6 +33,8 @@ sorts — no joins, no second consumer, no cache boundary.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -40,7 +42,43 @@ from bookextract_spark.functions.text import should_merge_col
 from bookextract_spark.schemas import BLOCKS_ARRAY
 
 
-def _stage_plain(df: DataFrame, blocks) -> DataFrame:
+@lru_cache(maxsize=None)
+def _plain_stage_exprs(blocks_col: str):
+    """Memoized Column trees of :func:`_stage_plain` (fixed column
+    names -> unresolved, immutable, reusable across jobs).  Building
+    them is driver-side py4j round-trips — the dominant term of the
+    flagship's per-job plan-build constant (BENCH/BASELINE.md), paid
+    once per process with the cache."""
+    blocks = F.col(blocks_col)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    has_blocks = F.size(blocks) > 0
+    first_content = F.try_element_at(blocks, F.lit(1))["content"]
+    last_content = F.try_element_at(blocks, F.lit(-1))["content"]
+    prev_wrapped = F.last(
+        F.when(has_blocks, F.struct(last_content.alias("v"))), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    stage1 = {
+        "_first_content": first_content,
+        "_prev_last": F.when(prev_wrapped.isNotNull(), prev_wrapped["v"]),
+        "_prev_exists": prev_wrapped.isNotNull(),
+    }
+    merged = (
+        has_blocks
+        & F.col("_prev_exists")
+        & should_merge_col(F.col("_prev_last"), F.col("_first_content"))
+    )
+    stage2 = {
+        "_survivors": F.when(
+            has_blocks, F.size(blocks) - F.col("_merged").cast("int")
+        ).otherwise(F.lit(0)),
+        "_kept": F.when(
+            F.col("_merged"), F.slice(blocks, 2, F.size(blocks) - 1)
+        ).otherwise(blocks),
+    }
+    return stage1, merged, stage2
+
+
+def _stage_plain(df: DataFrame, blocks_col: str) -> DataFrame:
     """Merge decision over one conv-wide window (default path).
 
     Empty turns stay in the frame (no filter+union split — a split
@@ -51,35 +89,13 @@ def _stage_plain(df: DataFrame, blocks) -> DataFrame:
     a null-content last block still (correctly) blocks the merge rather
     than letting the window skip back to an older turn.
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    has_blocks = F.size(blocks) > 0
-    first_content = F.try_element_at(blocks, F.lit(1))["content"]
-    last_content = F.try_element_at(blocks, F.lit(-1))["content"]
-    prev_wrapped = F.last(
-        F.when(has_blocks, F.struct(last_content.alias("v"))), ignorenulls=True
-    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    staged = df.withColumns(
-        {
-            "_first_content": first_content,
-            "_prev_last": F.when(prev_wrapped.isNotNull(), prev_wrapped["v"]),
-            "_prev_exists": prev_wrapped.isNotNull(),
-        }
-    ).withColumn(
-        "_merged",
-        has_blocks
-        & F.col("_prev_exists")
-        & should_merge_col(F.col("_prev_last"), F.col("_first_content")),
+    stage1, merged, stage2 = _plain_stage_exprs(blocks_col)
+    return (
+        df.withColumns(stage1)
+        .withColumn("_merged", merged)
+        .withColumns(stage2)
+        .drop("_prev_exists")
     )
-    return staged.withColumns(
-        {
-            "_survivors": F.when(
-                has_blocks, F.size(blocks) - F.col("_merged").cast("int")
-            ).otherwise(F.lit(0)),
-            "_kept": F.when(
-                F.col("_merged"), F.slice(blocks, 2, F.size(blocks) - 1)
-            ).otherwise(blocks),
-        }
-    ).drop("_prev_exists")
 
 
 def _stage_salted(nonempty: DataFrame, blocks, bucket_size: int) -> DataFrame:
@@ -178,6 +194,66 @@ def _stage_salted(nonempty: DataFrame, blocks, bucket_size: int) -> DataFrame:
         "_self_recv",
         "_carry_recv",
     )
+
+
+@lru_cache(maxsize=None)
+def _plain_tail_exprs():
+    """Memoized Column trees of the plain path's fragment-delivery
+    windows (all over fixed internal column names; same rationale as
+    :func:`_plain_stage_exprs`).
+
+    grp = running count of surviving turns; the receiver of any merged
+    row is exactly the grp-th survivor, so every fragment's donor group
+    (grp, minus one when the donor itself survives — it donates to the
+    PREVIOUS survivor) equals its receiver's grp.  The w2 window over
+    (conv, donor_grp) assembles each group's fragment string; the
+    delivery window over (conv, grp-order) hands it to the surviving
+    row (taken from any row whose donor_grp == grp, which always exists
+    whenever the group has fragments).  Both windows repartition by a
+    REFINEMENT of conv, so hash(conv) satisfies their clustering and no
+    further exchange is planned — only partition-local sorts.
+
+    Delivery: the row immediately after receiver r has
+    donor_grp == grp(r) exactly when fragments for r exist (any row
+    between r and the next survivor — merged donors and empty turns
+    alike — sits in r's donor group and carries its _extra_g; a
+    non-merged survivor next door means r has no fragments).
+    Ordering note: donor_grp is monotone non-decreasing in turn_idx
+    (donor_grp(t+1) - donor_grp(t) = is_surv(t) >= 0), so ordering by
+    (donor_grp, turn_idx) IS turn order — declaring the window that
+    way lets Catalyst reuse w2's sort instead of re-sorting the whole
+    corpus back to (conv, turn_idx) for this one lead()."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    is_surv = (F.col("_survivors") >= 1).cast("int")
+    grp = F.sum(is_surv).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    donor_grp = F.col("_grp") - is_surv
+
+    w2 = (
+        Window.partitionBy("conv_id", "_donor_grp")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    frag_structs = F.collect_list(
+        F.when(
+            F.col("_merged"),
+            F.struct(F.col("turn_idx"), F.col("_first_content").alias("frag")),
+        )
+    ).over(w2)
+    extra_g = F.when(
+        F.size(frag_structs) > 0,
+        F.array_join(F.transform(F.array_sort(frag_structs), lambda s: s["frag"]), " "),
+    )
+
+    w_deliver = Window.partitionBy("conv_id").orderBy("_donor_grp", "turn_idx")
+    nxt = F.lead(
+        F.struct(F.col("_donor_grp").alias("dg"), F.col("_extra_g").alias("eg"))
+    ).over(w_deliver)
+    extra = F.when(
+        (F.col("_survivors") >= 1) & (nxt["dg"] == F.col("_grp")), nxt["eg"]
+    )
+    return grp, donor_grp, extra_g, extra, _amend_kept(F.col("_extra"))
 
 
 def _amend_kept(extra: F.Column) -> F.Column:
@@ -304,52 +380,15 @@ def merge_across_turns(
     # REFINEMENT of conv, so hash(conv) satisfies their clustering and
     # no further exchange is planned — only partition-local sorts.
     # ------------------------------------------------------------------
-    staged = _stage_plain(df, blocks)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    is_surv = (F.col("_survivors") >= 1).cast("int")
-    staged = staged.withColumn(
-        "_grp",
-        F.sum(is_surv).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    ).withColumn("_donor_grp", F.col("_grp") - is_surv)
-
-    w2 = (
-        Window.partitionBy("conv_id", "_donor_grp")
-        .orderBy("turn_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = _stage_plain(df, blocks_col)
+    grp, donor_grp, extra_g, extra, amended = _plain_tail_exprs()
+    staged = (
+        staged.withColumn("_grp", grp)
+        .withColumn("_donor_grp", donor_grp)
+        .withColumn("_extra_g", extra_g)
+        .withColumn("_extra", extra)
     )
-    frag_structs = F.collect_list(
-        F.when(
-            F.col("_merged"),
-            F.struct(F.col("turn_idx"), F.col("_first_content").alias("frag")),
-        )
-    ).over(w2)
-    extra_g = F.when(
-        F.size(frag_structs) > 0,
-        F.array_join(F.transform(F.array_sort(frag_structs), lambda s: s["frag"]), " "),
-    )
-    staged = staged.withColumn("_extra_g", extra_g)
-
-    # delivery: the row immediately after receiver r has
-    # donor_grp == grp(r) exactly when fragments for r exist (any row
-    # between r and the next survivor — merged donors and empty turns
-    # alike — sits in r's donor group and carries its _extra_g; a
-    # non-merged survivor next door means r has no fragments).
-    # Ordering note: donor_grp is monotone non-decreasing in turn_idx
-    # (donor_grp(t+1) - donor_grp(t) = is_surv(t) >= 0), so ordering by
-    # (donor_grp, turn_idx) IS turn order — declaring the window that
-    # way lets Catalyst reuse w2's sort instead of re-sorting the whole
-    # corpus back to (conv, turn_idx) for this one lead()
-    w_deliver = Window.partitionBy("conv_id").orderBy("_donor_grp", "turn_idx")
-    nxt = F.lead(
-        F.struct(F.col("_donor_grp").alias("dg"), F.col("_extra_g").alias("eg"))
-    ).over(w_deliver)
-    staged = staged.withColumn(
-        "_extra",
-        F.when(
-            (F.col("_survivors") >= 1) & (nxt["dg"] == F.col("_grp")), nxt["eg"]
-        ),
-    )
-    return staged.withColumn(out_col, _amend_kept(F.col("_extra"))).drop(
+    return staged.withColumn(out_col, amended).drop(
         "_first_content",
         "_prev_last",
         "_merged",

@@ -1,0 +1,104 @@
+"""Checkpointed dedup job (signatures written once + candidate pairs):
+crash/resume semantics mirror test_render_checkpoint's three-run
+scenario, and the written pairs must equal the direct operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def _run(spark, docs, base, **kw):
+    from bookextract_spark.operators.dedup_checkpoint import run_dedup_with_checkpoint
+
+    return run_dedup_with_checkpoint(
+        spark, docs, str(base), n_buckets=16, buckets_per_batch=4, **kw
+    )
+
+
+def test_dedup_job_three_run_crash_resume(spark, tmp_path, docs):
+    from bookextract_spark.operators.dedup import minhash_lsh_candidates
+    from bookextract_spark.operators.dedup_checkpoint import (
+        pairs_path,
+        pending_signature_buckets,
+        signatures_path,
+    )
+
+    base = tmp_path / "dedup_out"
+
+    # run 1: crash inside the data-write/manifest window of batch 1 —
+    # the written wbucket partitions are orphaned (absent from manifest)
+    r1 = _run(spark, docs, base, fail_before_manifest=True)
+    assert r1["crashed"] and r1["completed_buckets"] == 0 and not r1["pairs_built"]
+    assert (
+        len(pending_signature_buckets(spark, docs, str(base), "doc_id", 16)) == 16
+    ), "orphaned partitions must NOT count as done"
+
+    # run 2: crash after two completed batches (8 of 16 buckets)
+    r2 = _run(spark, docs, base, fail_after_batches=2)
+    assert r2["crashed"] and r2["completed_buckets"] == 8 and not r2["pairs_built"]
+    assert len(pending_signature_buckets(spark, docs, str(base), "doc_id", 16)) == 8
+
+    # run 3: completes the rest and builds pairs from the written table
+    r3 = _run(spark, docs, base)
+    assert not r3["crashed"] and r3["completed_buckets"] == 8 and r3["pairs_built"]
+    assert pending_signature_buckets(spark, docs, str(base), "doc_id", 16) == []
+
+    # signatures on disk == the operator's banded frame (no dupes from
+    # the orphaned-partition re-overwrite)
+    sig = spark.read.parquet(signatures_path(str(base)))
+    assert sig.count() == sig.distinct().count()
+    n_docs_sig = sig.select("id").distinct().count()
+    n_docs_with_shingles = docs.where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    ).count()
+    assert n_docs_sig == n_docs_with_shingles
+
+    # pairs on disk == the direct operator output
+    got = spark.read.parquet(pairs_path(str(base)))
+    want = minhash_lsh_candidates(docs)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+    # run 4: fully-complete output -> zero pending, pairs NOT rebuilt
+    r4 = _run(spark, docs, base)
+    assert r4["pending_before"] == 0
+    assert r4["completed_buckets"] == 0
+    assert not r4["pairs_built"] and r4["stage"] == "noop"
+
+
+def test_dedup_job_cli_smoke(spark, tmp_path, monkeypatch):
+    """jobs/dedup_job.py end-to-end through its argparse surface,
+    including the --id-expr path for transcript-shaped input.  The
+    CLI's session teardown is neutered so it cannot stop the shared
+    test session (get_spark getOrCreate's the same one)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import dedup_job
+    finally:
+        sys.path.pop(0)
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = tmp_path / "cli_out"
+    rc = dedup_job.main(
+        [
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--id-expr",
+            "cast(doc_id as string)",
+            "--output",
+            str(out),
+            "--n-buckets",
+            "8",
+            "--buckets-per-batch",
+            "8",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out / "signatures")).count() > 0
+    assert spark.read.parquet(str(out / "pairs")).columns == ["a_id", "b_id"]
