@@ -71,6 +71,7 @@ def run_extraction(
     min_runs: int = 2,
     warmup_fixture: str | None = None,
     warmup_runs: int = 6,
+    salt_bucket_size=None,
 ) -> tuple[float, int]:
     """Flagship pipeline steady-state wall time + turn count.
 
@@ -96,7 +97,9 @@ def run_extraction(
         # build INSIDE the timed region: extract_turns materializes its
         # cache boundary eagerly, and that job is part of the pipeline
         t0 = time.time()
-        out = extract_turns(df, persist_classified=persist).select(
+        out = extract_turns(
+            df, persist_classified=persist, salt_bucket_size=salt_bucket_size
+        ).select(
             "conv_id", "turn_idx", "extracted_text"
         )
         _noop_write(out)
@@ -171,7 +174,65 @@ def make_spark(cores: int):
     )
 
 
+def skew_transcripts_path(giant_turns: int = 1_000_000) -> Path:
+    from bookextract_spark.datagen import (
+        DATAGEN_VERSION,
+        write_skew_transcripts_parquet,
+    )
+
+    CACHE.mkdir(exist_ok=True)
+    p = CACHE / f"transcripts_skew_g{giant_turns}_s42_v{DATAGEN_VERSION}.parquet"
+    if not p.exists():
+        t0 = time.time()
+        write_skew_transcripts_parquet(str(p), giant_turns=giant_turns)
+        print(f"# generated skew fixture {p.name} in {time.time() - t0:.1f}s", file=sys.stderr)
+    return p
+
+
+def run_skew_scaling() -> None:
+    """``--skew-scaling``: the pathological-key evidence — ONE 1M-turn
+    conversation (+200 normal convs).  The plain conv window serializes
+    the giant conversation into a single task, so its wall time cannot
+    scale with cores; the salted mode (auto-selected by the skew
+    pre-pass) bounds per-task state and must keep N-vs-4N efficiency
+    >= 0.8.  Prints one JSON line; recorded in BENCH/BASELINE.md."""
+    fixture = str(skew_transcripts_path())
+    warmup = str(transcripts_path(0.1, n_convs=400))
+    n_lo, n_hi = (
+        int(os.environ.get("SPARK_GRAFT_SCALE_LO", 4)),
+        int(os.environ.get("SPARK_GRAFT_SCALE_HI", 16)),
+    )
+    out = {"metric": "skew-fixture scaling (1M-turn conversation)", "modes": {}}
+    for mode, runs in (("auto", (3, 5)), ("plain", (2, 2))):
+        salt = "auto" if mode == "auto" else None
+        points = {}
+        for cores, max_runs in ((n_lo, runs[0]), (n_hi, runs[1])):
+            s = make_spark(cores)
+            sec, n = run_extraction(
+                s,
+                fixture,
+                max_runs=max_runs,
+                min_runs=max_runs,
+                warmup_fixture=warmup,
+                warmup_runs=3,
+                salt_bucket_size=salt,
+            )
+            points[cores] = {"sec": round(sec, 3), "turns_per_sec": round(n / sec, 1)}
+            out["n_turns"] = n
+            s.stop()
+        eff = (points[n_lo]["sec"] / points[n_hi]["sec"]) / (n_hi / n_lo)
+        out["modes"][mode] = {
+            f"local{n_lo}": points[n_lo],
+            f"local{n_hi}": points[n_hi],
+            f"efficiency_{n_lo}_to_{n_hi}": round(eff, 3),
+        }
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--skew-scaling" in sys.argv:
+        run_skew_scaling()
+        return
     scaling = "--scaling" in sys.argv
     sf = sf_factor(SF_DIR)
     fixture = str(transcripts_path(sf))

@@ -203,6 +203,60 @@ def transcripts_df(spark, n_convs: int = 50, seed: int = 42, skew: bool = True):
     return spark.createDataFrame(transcripts_pandas(n_convs, seed, skew), TRANSCRIPTS_SCHEMA)
 
 
+def write_skew_transcripts_parquet(
+    path: str,
+    giant_turns: int = 1_000_000,
+    n_normal_convs: int = 200,
+    seed: int = 42,
+) -> None:
+    """Pathological-skew fixture: ONE conversation with ``giant_turns``
+    turns plus a normal background population.
+
+    This is the case the salted merge/chapter windows exist for — a
+    plain conv-keyed window serializes the giant conversation into a
+    single task, so adding cores cannot help; the salted two-level
+    form bounds per-task state at ``salt_bucket_size`` turns.  Used by
+    ``bench.py --skew-scaling`` for the scaling-efficiency evidence on
+    a worst-case key distribution (BENCH/BASELINE.md).
+
+    Written in chunks through one ParquetWriter so generation stays
+    memory-bounded; rows of the giant conversation are deterministically
+    interleaved with the background so no single row group is one conv.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_ts = datetime(2025, 1, 1)
+    giant_texts = gen_conversation_texts(seed * 1_000_003 - 1, giant_turns)
+    normal = gen_transcript_rows(n_normal_convs, seed, skew=False)
+    rows = [
+        ("conv_giant", t, ROLES[t % 3], text, None, base_ts + timedelta(seconds=t))
+        for t, text in enumerate(giant_texts)
+    ] + normal
+    shuffler = random.Random(seed + 7)
+    shuffler.shuffle(rows)
+
+    import pandas as pd
+
+    schema = None
+    writer = None
+    try:
+        for start in range(0, len(rows), 200_000):
+            df = pd.DataFrame(
+                rows[start : start + 200_000], columns=TRANSCRIPTS_COLUMNS
+            )
+            df["ts"] = df["ts"].astype("datetime64[us]")
+            df["turn_idx"] = df["turn_idx"].astype("int32")
+            table = pa.Table.from_pandas(df, preserve_index=False)
+            if writer is None:
+                schema = table.schema
+                writer = pq.ParquetWriter(path, schema)
+            writer.write_table(table, row_group_size=2048)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
 def write_transcripts_parquet(
     path: str, n_convs: int, seed: int = 42, skew: bool = True, partitions: int = 32
 ) -> None:

@@ -9,7 +9,7 @@ All native Spark SQL; each op is registered with a DuckDB oracle in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bookextract_spark.operators.quality import (
@@ -223,33 +223,73 @@ def mixture_sample(
 
 
 # PII patterns (Java dialect on the Spark side; RE2-compatible subset so
-# the oracle matches byte-for-byte). Order matters: emails before the
-# bare number patterns so user@host doesn't get half-redacted.
+# the oracle matches byte-for-byte — NO \s shorthand: Java's is
+# [ \t\n\x0b\f\r], RE2's drops \x0b). Order matters: emails before the
+# bare number patterns so user@host doesn't get half-redacted, and
+# credit-card shapes before phone so a grouped 16-digit PAN is not
+# half-eaten as a 3-3-4 phone.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    # 13-19 digits with optional single space/dash separators (the
+    # Luhn-checkable shape; validity is audited separately — ALL card-
+    # shaped runs are redacted, over-redaction being the safe side)
+    ("credit_card", r"\b(?:[0-9][ -]?){12,18}[0-9]\b", "[CARD]"),
     # optional country code, then the 3-3-4 shape with separators
     ("phone", r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
     ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[ID]"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "[AWSKEY]"),
+    # key=value secret assignments (api_key/secret/token/password)
+    (
+        "secret_kv",
+        r"(?i)\b(?:api[_-]?key|secret|token|passwd|password)[\"']?[ \t]*[:=][ \t]*[\"']?[A-Za-z0-9_/+-]{8,}",
+        "[SECRET]",
+    ),
+    ("private_key", r"-----BEGIN [A-Z ]{0,24}PRIVATE KEY-----", "[PRIVATEKEY]"),
 )
+
+
+def luhn_valid_col(match: Column) -> Column:
+    """Luhn checksum over the digits of a card-shaped match: doubled
+    every second digit from the right, digits > 9 reduced by 9, total
+    divisible by 10.  The two-parameter transform lambda RECEIVES the
+    element index — here that arity is used on purpose (contrast the
+    seed-closure trap documented in dedup.py)."""
+    digits = F.reverse(F.regexp_extract_all(match, F.lit("[0-9]"), F.lit(0)))
+
+    def term(d: Column, i: Column) -> Column:
+        v = d.cast("int")
+        doubled = F.when(i % 2 == 1, v * 2).otherwise(v)
+        return F.when(doubled > 9, doubled - 9).otherwise(doubled)
+
+    total = F.aggregate(F.transform(digits, term), F.lit(0), lambda a, b: a + b)
+    return (F.size(digits) >= 13) & (total % 10 == 0)
 
 
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """PII redaction for training-data curation: emails, phone numbers,
-    IPv4 addresses, and SSN-shaped ids replaced with typed placeholders,
-    plus per-kind hit counts for audit metrics.  Pure map — one chained
-    regexp_replace projection inside whole-stage codegen."""
+    """PII redaction for training-data curation: emails, card numbers,
+    phone numbers, IPv4 addresses, SSN-shaped ids, AWS-style access
+    keys, secret assignments and private-key markers replaced with
+    typed placeholders, plus per-kind hit counts for audit metrics —
+    and ``n_luhn_valid``, the card-shaped matches that pass the Luhn
+    checksum (a shape hit that fails Luhn is usually a false positive;
+    both counts let the audit tell them apart).  Pure map — one chained
+    regexp projection, no exchange; the Luhn fold is a higher-order
+    expression over the (rare) matches only."""
     x = F.coalesce(F.col(text_col), F.lit(""))
     counts = []
     scrubbed = x
     for kind, pat, repl in PII_PATTERNS:
-        counts.append(
-            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
-            .cast("long")
-            .alias(f"n_{kind}")
-        )
+        matches = F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))
+        counts.append(F.size(matches).cast("long").alias(f"n_{kind}"))
+        if kind == "credit_card":
+            counts.append(
+                F.size(F.filter(matches, luhn_valid_col))
+                .cast("long")
+                .alias("n_luhn_valid")
+            )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return docs.select(
         F.col(id_col).alias("doc_id"), scrubbed.alias("scrubbed"), *counts

@@ -196,6 +196,322 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
     return width, height, (total / n) / 255.0
 
 
+# --------------------------------------------------------------------------
+# JPEG: minimal baseline encoder (solid-gray block tiles) + baseline-
+# sequential luma decoder.  Pure stdlib, independent implementation of
+# ITU-T T.81 (the public JPEG spec); standard huffman tables from its
+# Annex K.  The decoder exploits that every AC basis function has zero
+# spatial mean, so the image's mean luminance is exactly the mean of
+# the dequantized Y DC coefficients (+128 level shift) over the coded
+# block grid — no IDCT needed.  ACs still must be huffman-decoded to
+# keep the bitstream in sync, so the run/size path is fully exercised.
+# --------------------------------------------------------------------------
+
+# Annex K.3 typical luminance tables
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) canonical huffman assignment (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 B.1.1.5)
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _dc_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_gray_blocks_jpeg(block_grays: list[list[int]], width: int, height: int) -> bytes:
+    """Grayscale baseline JPEG whose 8x8 blocks are solid tiles of
+    ``block_grays[by][bx]`` (the coded grid must cover width x height).
+    Quantizer is all-8s, so the DC of a solid tile of gray v quantizes
+    EXACTLY to v - 128 (DC of a solid block is 8*(v-128)) and the
+    decoder's DC-mean luma is exact, not approximate.  A nonzero AC
+    coefficient (zigzag 1, value +1, zero spatial mean) is planted in
+    every block so a decoder that mis-skips ACs desyncs and fails the
+    oracle."""
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_AC_VALS))
+        + b"\x10"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    w = _BitWriter()
+    pred = 0
+    for row in block_grays:
+        for gray in row:
+            dc = gray - 128  # quantized DC with the all-8s table
+            diff = dc - pred
+            pred = dc
+            s = _dc_category(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            # one AC: run 0, size 1, value +1 (zigzag position 1)
+            code, length = ac_codes[0x01]
+            w.write(code, length)
+            w.write(1, 1)
+            code, length = ac_codes[0x00]  # EOB
+            w.write(code, length)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_solid_jpeg(width: int, height: int, gray: int) -> bytes:
+    """Solid-gray grayscale baseline JPEG (exact DC-mean luma = gray)."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    return encode_gray_blocks_jpeg([[gray] * bw for _ in range(bh)], width, height)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs FF00, stops AT markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy segment")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        self.nbits = 0
+        self.acc = 0
+        d = self.data
+        if d[self.pos : self.pos + 1] != b"\xff" or d[self.pos + 1] != 0xD0 + (n % 8):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bits(1)
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
+    """Full baseline-sequential decode of the DC plane: (width, height,
+    exact mean of the per-block Y means).  For dimensions divisible by
+    8 (or padding that replicates the edge, as the paired encoder
+    emits) this IS the image's mean luminance.  Raises
+    NotImplementedError for progressive/arithmetic/12-bit streams and
+    ValueError for malformed ones — the caller falls back to
+    header-dims-only."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("expected marker")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + length]
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("progressive JPEG: DC-mean decode is baseline-only")
+        if marker in (0xC9, 0xCB, 0xCD, 0xC3, 0xC5, 0xC7):
+            raise NotImplementedError("non-baseline JPEG coding process")
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                n = 64 * (2 if pq else 1)
+                vals = seg[i + 1 : i + 1 + n]
+                qt[tq] = (
+                    list(vals)
+                    if not pq
+                    else [v for (v,) in struct.iter_unpack(">H", vals)]
+                )
+                i += 1 + n
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = seg[i + 1 : i + 17]
+                nvals = sum(bits)
+                vals = seg[i + 17 : i + 17 + nvals]
+                table = {}
+                code = 0
+                k = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:
+            precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError("12-bit JPEG")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (w, h, comps)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            w, h, comps = sof
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next((x for x in comps if x[0] == cid), None)
+                if comp is None:
+                    raise ValueError("scan references unknown component")
+                scan.append((comp, tdta >> 4, tdta & 0xF))
+            if len(scan) != len(comps):
+                raise NotImplementedError("multi-scan JPEG")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            reader = _BitReader(payload, pos + 2 + length)
+            pred = [0] * len(scan)
+            y_sum = 0.0
+            y_blocks = 0
+            y_qt0 = qt[scan[0][0][3]][0]
+            n_rst = 0
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader.align_and_expect_rst(n_rst)
+                    n_rst += 1
+                    pred = [0] * len(scan)
+                for ci, ((_, ch, cv, _tq), td, ta) in enumerate(scan):
+                    for _ in range(ch * cv):
+                        s = _huff_decode(reader, huff[(0, td)])
+                        if s:
+                            pred[ci] += _extend(reader.bits(s), s)
+                        if ci == 0:
+                            val = pred[0] * y_qt0 / 8.0 + 128.0
+                            y_sum += min(255.0, max(0.0, val))
+                            y_blocks += 1
+                        k = 1
+                        while k <= 63:
+                            rs = _huff_decode(reader, huff[(1, ta)])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += (rs >> 4) + 1
+                            reader.bits(rs & 0xF)
+            return w, h, (y_sum / y_blocks) / 255.0 if y_blocks else 0.0
+        pos += 2 + length
+    raise ValueError("JPEG SOS marker not found")
+
+
 def decode_jpeg_dims(payload: bytes) -> tuple[int, int, float | None]:
     """JPEG dimensions from the first SOF marker (header parse only —
     full entropy decode is out of pure-stdlib scope; luma is None)."""
@@ -228,14 +544,20 @@ def decode_jpeg_dims(payload: bytes) -> tuple[int, int, float | None]:
 def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float | None]:
     """Image decode -> (width, height, mean_luma).
 
-    REAL for PNG (full decode: dims + true mean luminance) and JPEG
-    (header dims; luma None).  ``fake=True`` falls back to the
-    deterministic sha-derived fake for opaque non-image payloads so the
-    distributed plumbing stays testable end-to-end."""
+    REAL for PNG (full decode: dims + true mean luminance) and for
+    baseline-sequential JPEG (full entropy decode of the DC plane —
+    exact block-mean luminance; see :func:`decode_jpeg_luma`);
+    progressive/arithmetic/12-bit JPEG falls back to header dims with
+    luma None.  ``fake=True`` falls back to the deterministic
+    sha-derived fake for opaque non-image payloads so the distributed
+    plumbing stays testable end-to-end."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        return decode_jpeg_dims(payload)
+        try:
+            return decode_jpeg_luma(payload)
+        except NotImplementedError:
+            return decode_jpeg_dims(payload)
     if not fake:
         raise NotImplementedError(
             "only PNG/JPEG have pure-stdlib decoders; other formats need an imaging library"
@@ -248,11 +570,16 @@ def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float | None]:
 
 
 def png_media_from_documents(docs: DataFrame) -> DataFrame:
-    """REAL image media table: one genuine grayscale PNG per document
-    (pure-zlib encoder) with SQL-predictable geometry — width
-    ``8 + doc_id % 32``, height ``8 + (doc_id * 7) % 32``, solid gray
-    ``doc_id % 256`` — so the DECODED (width, height, mean_luma) has a
-    closed form an oracle can compute without touching the bytes."""
+    """REAL image media table: one genuine image per document with
+    SQL-predictable geometry — width ``8 + doc_id % 32``, height
+    ``8 + (doc_id * 7) % 32``, solid gray ``doc_id % 256`` — so the
+    DECODED (width, height, mean_luma) has a closed form an oracle can
+    compute without touching the bytes.  Every third document
+    (``doc_id % 3 == 1``) carries a genuine baseline JPEG (pure-stdlib
+    encoder, exact DC-mean luma — see :func:`encode_solid_jpeg`), the
+    rest grayscale PNG (pure-zlib encoder) — both formats share the
+    closed form, so one oracle row covers the format dispatch AND both
+    real decoders."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -260,7 +587,12 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h, g = 8 + d % 32, 8 + (d * 7) % 32, d % 256
-                rows.append((d, encode_png_gray(w, h, lambda x, y, g=g: g), "image/png"))
+                if d % 3 == 1:
+                    rows.append((d, encode_solid_jpeg(w, h, g), "image/jpeg"))
+                else:
+                    rows.append(
+                        (d, encode_png_gray(w, h, lambda x, y, g=g: g), "image/png")
+                    )
             yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
 
     out = docs.select("doc_id").mapInPandas(
