@@ -174,7 +174,9 @@ def make_spark(cores: int):
     )
 
 
-def skew_transcripts_path(giant_turns: int = 1_000_000) -> Path:
+def skew_transcripts_path(giant_turns: int = 1_200_000) -> Path:
+    # 1.2M: comfortably past skew.DEFAULT_CROSSOVER_ROWS (1M, strict >)
+    # so salt_bucket_size="auto" provably selects the salted mode
     from bookextract_spark.datagen import (
         DATAGEN_VERSION,
         write_skew_transcripts_parquet,
@@ -190,7 +192,7 @@ def skew_transcripts_path(giant_turns: int = 1_000_000) -> Path:
 
 
 def run_skew_scaling() -> None:
-    """``--skew-scaling``: the pathological-key evidence — ONE 1M-turn
+    """``--skew-scaling``: the pathological-key evidence — ONE 1.2M-turn
     conversation (+200 normal convs).  The plain conv window serializes
     the giant conversation into a single task, so its wall time cannot
     scale with cores; the salted mode (auto-selected by the skew

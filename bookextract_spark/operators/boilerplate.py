@@ -47,41 +47,35 @@ def strip_boilerplate(
     """
     text = F.col(text_col)
 
-    # one NULL marker element per row rides along with the candidate
-    # keys, so a single aggregation pass yields both the per-key
-    # frequencies and the per-conv turn count — no separate
-    # count-per-conv scan of the input
     cand_df = df.select(
         F.col("conv_id"),
-        F.explode(
-            F.concat(
-                _cands_expr(text_col, unicode_ws),
-                F.array(F.lit(None).cast("string")),
-            )
-        ).alias("line_key"),
+        F.explode(_cands_expr(text_col, unicode_ws)).alias("line_key"),
     )
     counts = cand_df.groupBy("conv_id", "line_key").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    # n_turns = the marker count, spread to every key row of the conv
-    # with a window (single consumer of the counts subtree — splitting
-    # counts into freq/n_turns frames and self-joining would make
-    # Catalyst plan the explode+aggregate subtree TWICE, one full extra
-    # pass over the corpus).  Threshold-filter WHILE STILL DISTRIBUTED,
-    # then collect only the surviving keys: the boilerplate set is tiny
-    # by construction (>= fraction of turns must repeat a line), whereas
-    # collecting all candidate (key, cnt) structs per conv first would
-    # build an unbounded single-row array for a 10^6-turn conversation —
-    # exactly the skew case the salted windows elsewhere are built for.
-    from pyspark.sql import Window
-
-    wc = Window.partitionBy("conv_id")
-    n_turns = F.max(F.when(F.col("line_key").isNull(), F.col("cnt"))).over(wc)
+    # n_turns per conv used to ride the counts frame as a NULL marker
+    # element spread by a max() over Window.partitionBy(conv_id) — but
+    # that window SERIALIZES: a 10^6-turn conversation has millions of
+    # distinct candidate keys (paragraph edge lines are mostly unique),
+    # and the window exchange lands them all in ONE sort task (measured
+    # on the 1.2M-turn skew fixture: the single window task dominated
+    # the whole boilerplate stage at local[16]).  Instead n_turns is
+    # its own conv_id-ONLY aggregation — column-pruned scan, map-side
+    # combinable, no candidate HOF evaluation, the same cheap-pre-pass
+    # cost model as operators/skew.py — and the tiny one-row-per-conv
+    # totals frame joins back to the key rows (AQE broadcasts it), so
+    # no corpus-sized frame ever single-tasks.  Threshold-filter WHILE
+    # STILL DISTRIBUTED, then collect only the surviving keys: the
+    # boilerplate set is tiny by construction (>= fraction of turns
+    # must repeat a line), whereas collecting all candidate (key, cnt)
+    # structs per conv first would build an unbounded single-row array
+    # for a 10^6-turn conversation.
+    totals = df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n_turns"))
     boiler = (
-        counts.withColumn("_n_turns", n_turns)
+        counts.join(totals, "conv_id")
         .where(
-            F.col("line_key").isNotNull()
-            & (F.col("_n_turns") >= F.lit(min_turns))
+            (F.col("_n_turns") >= F.lit(min_turns))
             & (F.col("cnt") >= F.lit(float(fraction)) * F.col("_n_turns"))
         )
         .groupBy("conv_id")

@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Skew-scaling evidence for the salted conv-window merge (O8).
+
+The north rule's pathological case is a single huge conversation: the
+plain merge path puts ALL of its rows in one window task, so adding
+cores cannot help; the salted two-level form bounds per-task state at
+``salt_bucket_size`` rows.  End-to-end pipeline runs over a skewed
+fixture confound this with the text-heavy map stages (boilerplate /
+classify), which dominate wall time and carry their own JIT/bandwidth
+behavior — so this script isolates the OPERATOR the salted mode exists
+for:
+
+1. classify the skew fixture ONCE (any core count; correctness-neutral)
+   and write the (conv_id, turn_idx, blocks) frame to parquet — the
+   production equivalent is the intermediate checkpoint table;
+2. run ``merge_across_turns`` plain vs salted over that table at two
+   parallelism levels and report per-mode N-vs-4N efficiency.
+
+Usage::
+
+    PYTHONPATH=. python3 scripts/skew_merge_scaling.py [giant_turns]
+
+Prints one JSON line; recorded in BENCH/BASELINE.md "Round-4 skew
+scaling".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+CACHE = REPO / ".bench_cache"
+
+
+def noop(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def make_spark(cores: int):
+    from bookextract_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"skew-merge-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 8),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+    )
+
+
+def main() -> None:
+    giant = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
+    from bookextract_spark.datagen import DATAGEN_VERSION, write_skew_transcripts_parquet
+
+    CACHE.mkdir(exist_ok=True)
+    fixture = CACHE / f"transcripts_skew_g{giant}_s42_v{DATAGEN_VERSION}.parquet"
+    if not fixture.exists():
+        t0 = time.time()
+        write_skew_transcripts_parquet(str(fixture), giant_turns=giant)
+        print(f"# generated {fixture.name} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    blocks_path = CACHE / f"blocks_skew_g{giant}_s42_v{DATAGEN_VERSION}.parquet"
+    if not blocks_path.exists():
+        s = make_spark(int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+        from bookextract_spark.operators.boilerplate import strip_boilerplate
+        from bookextract_spark.operators.classify import classify_turns
+
+        t0 = time.time()
+        (
+            classify_turns(strip_boilerplate(s.read.parquet(str(fixture))))
+            .select("conv_id", "turn_idx", "blocks")
+            .write.mode("overwrite")
+            .parquet(str(blocks_path))
+        )
+        print(f"# classified+wrote blocks in {time.time() - t0:.1f}s", file=sys.stderr)
+        s.stop()
+
+    from bookextract_spark.operators.merge import extracted_text_col, merge_across_turns
+    from pyspark.sql import functions as F
+
+    n_lo, n_hi = (
+        int(os.environ.get("SPARK_GRAFT_SCALE_LO", 4)),
+        int(os.environ.get("SPARK_GRAFT_SCALE_HI", 16)),
+    )
+    out = {
+        "metric": "salted vs plain conv-window merge on one giant conversation",
+        "giant_turns": giant,
+        "modes": {},
+    }
+    # bucket size chosen so the giant conversation yields ~4x more
+    # window groups than the larger core count (3M / 50k = 60 groups):
+    # the salted mode's scalability IS its task-count headroom — with
+    # 250k buckets only 12 window tasks exist and local[16] is capped
+    # at the same wave count as local[4] (measured eff 0.49); a real
+    # cluster picks bucket_size ~= rows_per_core for the same reason.
+    for mode, salt in (("salted", 50_000), ("plain", None)):
+        points = {}
+        for cores, runs in ((n_lo, 3), (n_hi, 4)):
+            s = make_spark(cores)
+            blocks = s.read.parquet(str(blocks_path))
+            n = blocks.count()
+            best = float("inf")
+            for i in range(runs):
+                t0 = time.time()
+                merged = merge_across_turns(blocks, salt_bucket_size=salt)
+                noop(
+                    merged.select(
+                        "conv_id",
+                        "turn_idx",
+                        extracted_text_col(F.col("merged_blocks")).alias(
+                            "extracted_text"
+                        ),
+                    )
+                )
+                dt = time.time() - t0
+                best = min(best, dt)
+                print(
+                    f"# {mode} local[{cores}] run {i}: {dt:.1f}s (best {best:.1f})",
+                    file=sys.stderr,
+                )
+            points[cores] = {"sec": round(best, 3), "turns_per_sec": round(n / best, 1)}
+            out["n_turns"] = n
+            s.stop()
+        eff = (points[n_lo]["sec"] / points[n_hi]["sec"]) / (n_hi / n_lo)
+        out["modes"][mode] = {
+            f"local{n_lo}": points[n_lo],
+            f"local{n_hi}": points[n_hi],
+            f"efficiency_{n_lo}_to_{n_hi}": round(eff, 3),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

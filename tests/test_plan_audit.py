@@ -103,13 +103,19 @@ BUDGETS = {
     # ---- late round 3: pin the rest of the registry (the flagship
     # pipeline above all).  Same method, same session config; every
     # query below measured clean (0 row-UDFs, 0 cartesians).
-    "pipeline_extract": (3, 1, 1, 2),
+    # round 4: +1 slim exchange / +1 column-pruned scan / +1 broadcast
+    # from the boilerplate n_turns rework — the per-conv turn count is
+    # its own conv_id-only aggregation joined back as a broadcast,
+    # replacing the counts-frame window whose single sort task
+    # serialized a 10^6-turn conversation's millions of candidate keys
+    # (measured on the 1.2M-turn skew fixture; see PLANS.md).
+    "pipeline_extract": (4, 2, 1, 3),
     "q1_pricing_summary": (1, 0, 0, 1),
     "q3_customer_orders": (1, 2, 0, 3),
     "s5_roundtrip": (2, 1, 0, 2),
     "s5_quarantine": (2, 0, 0, 2),
     "o15_chapter_titles": (3, 1, 0, 2),
-    "conv_dedup": (4, 1, 1, 2),
+    "conv_dedup": (5, 2, 1, 3),
     "s6_book_info": (1, 0, 0, 1),
     "s11_book_info": (2, 1, 0, 2),
     "c1_html_classify": (0, 0, 2, 1),
@@ -123,7 +129,8 @@ BUDGETS = {
     "t9_filename": (0, 0, 0, 1),
     "t10_chapter_num": (0, 0, 0, 1),
     "t11_word_count": (0, 0, 0, 1),
-    "t14_boilerplate": (2, 1, 0, 2),
+    # round 4: window -> totals-join rework, see pipeline_extract note
+    "t14_boilerplate": (3, 2, 0, 3),
     "edit_regex": (0, 0, 0, 1),
     "p5_validate": (1, 0, 0, 1),
     "p5_stubs": (1, 0, 0, 1),

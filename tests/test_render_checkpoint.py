@@ -162,8 +162,8 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
 
 def test_checkpoint_single_scan_per_batch(spark, tmp_path):
     """Regression guard for the metrics double-scan: one batch must run
-    exactly TWO jobs — the observed data write and the (driver-built)
-    manifest append — with no extra aggregation job over the input."""
+    a fixed, known set of jobs with no extra FULL-WIDTH aggregation job
+    over the batch input (metrics ride the write via observe())."""
     from bookextract_spark.datagen import transcripts_df
     from bookextract_spark.operators.checkpoint import run_with_checkpoint
 
@@ -183,11 +183,15 @@ def test_checkpoint_single_scan_per_batch(spark, tmp_path):
         sc.setJobGroup(None, None)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    # 1 pending-buckets collect + 2 for the dynamic-overwrite write
-    # action (data write + partition commit — one input scan) + 1
-    # manifest append.  The old double-scan implementation added a
-    # whole extra aggregation job over the batch input here.
-    assert len(jobs) == 4, f"expected 4 jobs for one batch, saw {len(jobs)}"
+    # 1 pending-buckets collect + 1 boilerplate per-conv totals
+    # aggregation (round 4: conv_id-only column-pruned pass that
+    # replaced the counts-frame window whose single sort task
+    # serialized a giant conversation — see PLANS.md) + 2 for the
+    # dynamic-overwrite write action (data write + partition commit —
+    # one input scan) + 1 manifest append.  The old metrics
+    # double-scan added a FULL-WIDTH aggregation job over the batch
+    # input here; the totals pass reads one string column.
+    assert len(jobs) == 5, f"expected 5 jobs for one batch, saw {len(jobs)}"
 
 
 def test_checkpoint_crash_between_write_and_manifest_no_dupes(spark, tmp_path):
@@ -266,11 +270,15 @@ def test_bucketed_table_skips_window_exchange(spark, transcripts, tmp_path):
     bucketed = spark.table(table)
     out = extract_turns(bucketed).select("conv_id", "turn_idx", "extracted_text")
     plain = extract_turns(transcripts).select("conv_id", "turn_idx", "extracted_text")
-    # plain plan: 2 conv-keyed exchanges (the tiny boilerplate threshold
-    # window over the candidate-counts frame + the corpus-carrying merge
-    # window).  Bucketed scan satisfies the merge window's clustering,
-    # so exactly the corpus exchange disappears.
-    assert len(conv_exchanges(plain)) == 2
+    # plain plan: 3 conv-keyed exchanges — the round-4 conv_id-only
+    # boilerplate totals aggregation, the boilerplate surviving-keys
+    # groupBy over the candidate-counts frame, and the corpus-carrying
+    # merge window.  A conv_id-bucketed scan satisfies the clustering
+    # of BOTH direct consumers of the scan (the totals aggregation and
+    # the merge window), so two exchanges disappear; the counts-frame
+    # groupBy keeps its slim exchange (its child is (conv_id, line_key)
+    # partitioned, which does not satisfy hash(conv_id)).
+    assert len(conv_exchanges(plain)) == 3
     assert len(conv_exchanges(out)) == 1, f"exchanges: {conv_exchanges(out)}"
 
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
