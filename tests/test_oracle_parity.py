@@ -1,9 +1,16 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
 same sf0.001 parquet, compare row count, column names, and values
-(order-insensitive)."""
+(order-insensitive).
+
+The DRIVER runs at sf0.01 — probabilistic blocking (MinHash bands, LSH
+buckets) can pass sf0.001 and fail there, so before each round the same
+sweep is re-run at the driver scale:
+``SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py``
+(CI default stays sf0.001 to keep the suite under budget)."""
 
 import math
+import os
 
 import duckdb
 import numpy as np
@@ -12,7 +19,7 @@ import pytest
 
 from bookextract_spark import queries as Q
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region",
     "nation",
