@@ -238,7 +238,20 @@ def write_skew_transcripts_parquet(
 
     import pandas as pd
 
-    schema = None
+    # explicit schema for EVERY chunk: inference is per-chunk, and a
+    # chunk whose `tool` values are all None infers pa.null() — which
+    # no longer matches the writer's string schema (hit at 12M giant
+    # turns, where the background rows thin out per chunk)
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
     writer = None
     try:
         for start in range(0, len(rows), 200_000):
@@ -247,9 +260,8 @@ def write_skew_transcripts_parquet(
             )
             df["ts"] = df["ts"].astype("datetime64[us]")
             df["turn_idx"] = df["turn_idx"].astype("int32")
-            table = pa.Table.from_pandas(df, preserve_index=False)
+            table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
             if writer is None:
-                schema = table.schema
                 writer = pq.ParquetWriter(path, schema)
             writer.write_table(table, row_group_size=2048)
     finally:

@@ -98,7 +98,13 @@ def main() -> None:
     # 250k buckets only 12 window tasks exist and local[16] is capped
     # at the same wave count as local[4] (measured eff 0.49); a real
     # cluster picks bucket_size ~= rows_per_core for the same reason.
+    # SPARK_GRAFT_SKEW_MODES=salted (or plain) runs one mode only —
+    # used for the larger Amdahl-validation fixture sizes where the
+    # plain mode's serialized window adds minutes and no information.
+    wanted = os.environ.get("SPARK_GRAFT_SKEW_MODES", "salted,plain").split(",")
     for mode, salt in (("salted", 50_000), ("plain", None)):
+        if mode not in wanted:
+            continue
         points = {}
         for cores, runs in ((n_lo, 3), (n_hi, 4)):
             s = make_spark(cores)
