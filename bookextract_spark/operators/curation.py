@@ -149,6 +149,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 3,
     min_shared: int = 1,
+    arrow: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing word
     n-gram shingles with any benchmark/eval document — the standard
@@ -157,16 +158,21 @@ def decontaminate(
     Scale shape: the benchmark side is small by definition — its
     distinct shingle set BROADCASTS, so the check is one map-side join
     over the corpus shingles plus a per-doc count; no corpus self-join,
-    no shuffle of document text.
+    no shuffle of document text.  ``arrow`` (default) builds the
+    shingles with the same Arrow-vectorized UDF as the dedup operators
+    (element- and order-identical to the JVM HOF form — the corpus-side
+    shingle pass dominated this op the way it dominated
+    ``minhash_dedup``: measured 6.8 -> ~2 s at sf0.1); ``arrow=False``
+    keeps the pure-JVM form for Python-worker-free deployments.
     """
-    from bookextract_spark.operators.dedup import word_shingles_col
+    from bookextract_spark.operators.dedup import _shingle_col
 
     doc_sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles_col(F.col(text_col), n)).alias("s"),
+        F.explode(_shingle_col(text_col, n, arrow)).alias("s"),
     )
     bench_sh = benchmark.select(
-        F.explode(word_shingles_col(F.col(text_col), n)).alias("s")
+        F.explode(_shingle_col(text_col, n, arrow)).alias("s")
     ).distinct()
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "s")

@@ -80,7 +80,10 @@ BUDGETS = {
     "repetition_signals": (0, 0, 0, 1),
     "pii_scrub": (0, 0, 0, 1),
     "mixture_sample": (0, 0, 0, 1),
-    "decontaminate": (2, 2, 0, 3),
+    # decontaminate (round-4 Arrow shingles): one Arrow stage per input
+    # side (corpus + benchmark), same bit-identical shingle UDF as the
+    # dedup ops; exchange/broadcast/scan shape unchanged.
+    "decontaminate": (2, 2, 2, 3),
     # similarity
     "ann_brute_topk": (1, 1, 0, 2),
     # lsh/near-dup: the 2 Arrow stages are the vectorized bucket-key
