@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from bookextract_spark.operators.quality import (
     fingerprint_col,
-    lang_id_col,
+    lang_id_from_score_cols,
+    lang_score_cols,
     punct_ratio_col,
     token_count_col,
 )
@@ -40,13 +41,22 @@ def curation_decisions(
     punctuation ratio is compared on its 6-dp rounding so the gate is
     reproducible across engines.
     """
+    # hoisted lang-ID: the signal scans land as named columns in the
+    # first projection and the decision reads them in the second, so
+    # each regex runs once per row (see lang_id_from_score_cols — the
+    # single-Column form re-scans ~3x and dominated this op)
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
         fingerprint_col(F.col(text_col)).alias("_fp"),
-        lang_id_col(F.col(text_col)).alias("pred_lang"),
         word_count_col(F.col(text_col)).alias("n_words"),
         F.round(punct_ratio_col(F.col(text_col)), 6).alias("punct_ratio"),
+        *lang_score_cols(F.col(text_col)),
+    ).select(
+        "doc_id",
+        "_fp",
+        lang_id_from_score_cols().alias("pred_lang"),
+        "n_words",
+        "punct_ratio",
     )
     w = Window.partitionBy("_fp")
     d = d.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))

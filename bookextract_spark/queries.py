@@ -844,11 +844,17 @@ FROM w
 
 
 def q_lang_id(spark, sf_dir):
-    """Stopword-vote language ID with deterministic tiebreak."""
-    from bookextract_spark.operators.quality import lang_id_col
+    """Stopword-vote language ID with deterministic tiebreak (hoisted
+    two-projection form — each signal regex scans the text once)."""
+    from bookextract_spark.operators.quality import (
+        lang_id_from_score_cols,
+        lang_score_cols,
+    )
 
     d = _load(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id_col(F.col("text")).alias("pred_lang"))
+    return d.select("doc_id", *lang_score_cols(F.col("text"))).select(
+        "doc_id", lang_id_from_score_cols().alias("pred_lang")
+    )
 
 
 SQL_LANG_ID = f"""

@@ -391,6 +391,30 @@ def test_lang_id_mislabel_rate_zero_on_clean_fixture(spark):
     assert not bad, f"mislabels: {bad}"
 
 
+def test_lang_id_hoisted_matches_inline(spark):
+    """The hoisted two-projection form (with_lang_id — the hot path in
+    curation_decisions / q_lang_id) must predict exactly what the
+    single-Column form does, on every script family and the und
+    edges."""
+    from pyspark.sql import functions as F
+
+    from bookextract_spark.operators.quality import lang_id_col, with_lang_id
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in MULTILINGUAL_FIXTURE], "doc_id int, text string"
+    )
+    inline = {
+        r.doc_id: r.pred
+        for r in df.select(
+            "doc_id", lang_id_col(F.col("text")).alias("pred")
+        ).collect()
+    }
+    hoisted = {r.doc_id: r.pred_lang for r in with_lang_id(df).collect()}
+    assert hoisted == inline
+    # the helper must not leak the _lid_* score columns
+    assert with_lang_id(df).columns == ["doc_id", "text", "pred_lang"]
+
+
 def test_lang_id_oracle_parity_multilingual(spark):
     """The generated DuckDB oracle and the Spark column must agree on
     text the sf fixtures never exercise (non-Latin scripts, all the new
