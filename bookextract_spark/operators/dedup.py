@@ -725,3 +725,120 @@ def simhash_near_pairs(
     return cands.withColumn("hamming", hamming.cast("int")).where(
         F.col("hamming") <= max_hamming
     ).select("a_id", "b_id", "hamming")
+
+
+# --------------------------------------------------------------------------
+# Connected components / cluster canonicalization
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round every node adopts the minimum label among itself and its
+    neighbors; fixpoint = per-component minimum id.  Returns
+    ``(id, label)`` for every node that appears in ``pairs``.
+
+    Scale shape: rounds are bounded by the component DIAMETER, and
+    near-dup components are small and dense (LSH puts every member of
+    a dup cluster within 1-2 hops), so real corpora converge in 2-4
+    rounds.  Each round shuffles only ``(id, label)`` longs — document
+    text never enters the loop.  Every iteration is
+    ``localCheckpoint(eager=True)``: the standard Spark iterative-
+    algorithm pattern — it materializes the round AND truncates
+    lineage, so the plan does not grow with the iteration count and
+    the convergence check cannot re-execute prior rounds (the
+    cold-cache double-compute race, see operators/caching.py).  On a
+    real cluster swap in reliable ``checkpoint()`` against the job's
+    checkpoint dir (the dedup_checkpoint job's protocol) so a lost
+    executor replays one round, not the whole loop; superseded rounds
+    are freed by the ContextCleaner when their handles drop.  At
+    extreme diameters (chain-shaped graphs, not dup clusters) the same
+    loop skeleton takes the large-star/small-star edge rewriting
+    [Kiveris et al., "Connected Components in MapReduce and Beyond"]
+    which converges in O(log n) rounds.
+
+    The convergence check is a per-round ``count()`` of changed labels
+    — a driver-side SCALAR (loop control, the same pattern as the IVF
+    centroid collect), not a hot-path collect of data rows.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # undirected: propagate both ways (pairs come a<b, so no dups)
+    edges = edges.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    # materialize the edge list once: every round joins it, and an
+    # unmaterialized union would re-run the upstream pair pipeline
+    # (LSH + verify) per round
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        # every node has >= 1 neighbor (ids come from edges), so the
+        # join is inner; least() keeps the node's own label competitive
+        stepped = labels.withColumnRenamed("label", "_prev").join(nbr_min, "id")
+        new_labels = stepped.select(
+            "id",
+            "_prev",
+            F.least(F.col("_prev"), F.col("_nbr_min")).alias("label"),
+        ).localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("label") != F.col("_prev")).count()
+        labels = new_labels.select("id", "label")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+    arrow: bool = True,
+) -> DataFrame:
+    """The dedup DECISION: near-dup pairs (:func:`minhash_dedup`) →
+    connected components → one canonical representative per cluster
+    (minimum doc id).  Returns every document with its ``cluster_id``
+    and ``keep`` = "this doc is its cluster's canonical" — i.e. the
+    filter a training-data pipeline actually applies; pair lists alone
+    under-delete (A~B, B~C must drop BOTH B and C even when A~C was
+    never emitted as a pair).
+
+    Singletons (no near-dup) are their own cluster and are kept.  The
+    component labels come from :func:`connected_components`; only
+    (id, label) longs iterate — the corpus-text stages run once inside
+    the pair pipeline.
+    """
+    pairs = minhash_dedup(
+        df, id_col, text_col, threshold, n, k, bands, hash_mode, arrow=arrow
+    )
+    comp = connected_components(pairs).withColumnsRenamed(
+        {"id": "doc_id", "label": "cluster_id"}
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    out = ids.join(comp, "doc_id", "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("keep"),
+    )

@@ -1073,6 +1073,44 @@ WHERE round(s.inter / CAST(ca.n_sh + cb.n_sh - s.inter AS DOUBLE), 6) >= 0.05
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → canonical-per-cluster
+    keep/drop decision (the filter a pipeline actually applies; pair
+    lists under-delete on transitive chains).  Oracle-checked: the
+    pair set is the blocking-independent verified output (see
+    q_minhash_dedup), and the component labels over a fixed pair set
+    are engine-independent, so a DuckDB recursive CTE over the
+    md5-twin pairs predicts the xxhash64 path's clusters exactly."""
+    from bookextract_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_load(spark, sf_dir, "documents"), threshold=0.05)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+{SQL_MINHASH_MD5}
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id AS s, a_id AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s
+)
+SELECT d.doc_id,
+  coalesce(c.cluster, d.doc_id) AS cluster_id,
+  coalesce(c.cluster, d.doc_id) = d.doc_id AS keep
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash per document — the xxhash64 scale path,
     oracle-checked: the oracle inlines a (token, hi, lo) hash table
@@ -3507,6 +3545,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_customer_orders": (q_q3_customer_orders, SQL_Q3),
+    # round-4 addition, appended POST-FREEZE (position 58, past the
+    # driver's 50-row truncation — proof is the local parity replica
+    # at sf0.001 + the recorded sf0.01 sweep): the dedup DECISION —
+    # near-dup pairs -> connected components (iterative min-label
+    # propagation) -> canonical-per-cluster keep flag, oracled by a
+    # DuckDB recursive CTE over the md5-twin pair set.
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }
 
 # Cross-check twins: oracle-verified locally (test_oracle_parity runs

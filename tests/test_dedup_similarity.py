@@ -719,3 +719,74 @@ def test_arrow_dedup_pipelines_match_jvm(spark, sf):
     h = ngram_jaccard_pairs(docs, threshold=0.05, arrow=False)
     assert g.exceptAll(h).count() == 0 and h.exceptAll(g).count() == 0
     assert a.count() > 0 and g.count() > 0
+
+
+def test_connected_components_chain_and_island(spark):
+    """Min-label propagation: a 3-node transitive chain collapses to
+    the chain minimum even though the far pair never appears as an
+    edge; a disjoint island keeps its own minimum."""
+    from bookextract_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    labels = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A path graph needs diameter-many rounds — the loop must iterate
+    to fixpoint, not stop after one propagation."""
+    from bookextract_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a_id long, b_id long"
+    )
+    labels = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert labels == {i: 0 for i in range(9)}
+
+
+def test_dedup_clusters_transitive_keep(spark, docs):
+    """The keep decision must drop EVERY non-canonical member of a
+    transitive cluster, and match a pure-Python union-find over the
+    operator's own pair output."""
+    from bookextract_spark.operators.dedup import dedup_clusters, minhash_dedup
+
+    threshold = 0.3
+    pairs = [(r.a_id, r.b_id) for r in minhash_dedup(docs, threshold=threshold).collect()]
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in dedup_clusters(docs, threshold=threshold).collect()}
+    all_ids = [r.doc_id for r in docs.collect()]
+    assert set(out) == set(all_ids)
+    for d in all_ids:
+        want = find(d) if d in parent else d
+        assert out[d] == (want, want == d), (d, out[d], want)
+    # the fixture really exercises a non-trivial cluster and singletons
+    assert sum(1 for c, k in out.values() if not k) >= 1
+    assert sum(1 for c, k in out.values() if k and out[c][0] == c) >= 2
+
+
+def test_dedup_clusters_no_pairs_all_kept(spark):
+    """Empty pair set (threshold nothing can reach): every doc is its
+    own cluster and kept — the loop must handle zero edges."""
+    from bookextract_spark.operators.dedup import dedup_clusters
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta one"), (1, "epsilon zeta eta theta two")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in dedup_clusters(df, threshold=0.99).collect()}
+    assert out == {0: (0, True), 1: (1, True)}

@@ -145,6 +145,13 @@ BUDGETS = {
     # returning the manifest frame — the pinned plan is the final
     # manifest read (2 slim bucket exchanges, 1 scan of the run dir).
     "j3_resume": (2, 0, 0, 1),
+    # dedup_clusters: the CC loop EXECUTES during construction (each
+    # round localCheckpoint'ed — lineage is cut, so the minhash
+    # pipeline and the per-round joins never appear in the final
+    # plan); the pinned plan is documents LEFT JOIN the checkpointed
+    # label frame, whose LogicalRDD has no stats -> SMJ (both sides
+    # exchange; the label side is (id,label) longs only).
+    "dedup_clusters": (2, 0, 0, 1),
 }
 
 
