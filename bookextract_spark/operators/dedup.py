@@ -688,7 +688,16 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4x16-bit keys (any pair
     within Hamming distance 3 shares at least one exact 16-bit block),
-    verify with popcount."""
+    verify with popcount.
+
+    The block frame is repartitioned on the join keys and the
+    self-join merge-hinted (same exchange-reuse shape as
+    :func:`_banded_candidates`): both sides consume ONE exchange
+    (``ReusedExchange`` at runtime), so the token-explode + 64-way
+    vote aggregation executes once instead of once per side — and SMJ
+    over the slim (id, simhash, blk) shuffle is the honest plan at
+    corpus scale, where broadcasting a corpus-sized fingerprint frame
+    (what size stats pick at test scale) is wrong."""
     sh = simhash_df(df, id_col, text_col)
     blocks = sh.select(
         "id",
@@ -704,11 +713,13 @@ def simhash_near_pairs(
             )
         ).alias("blk_idx", "blk"),
     )
+    blocks = blocks.repartition("blk_idx", "blk")
     a = blocks.alias("a")
     b = blocks.alias("b")
     cands = (
-        a.join(
-            b,
+        a.hint("merge")
+        .join(
+            b.hint("merge"),
             (F.col("a.blk_idx") == F.col("b.blk_idx"))
             & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),

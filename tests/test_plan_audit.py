@@ -53,10 +53,14 @@ BUDGETS = {
     "train_val_split": (0, 0, 0, 1),
     "seq_packing": (1, 0, 0, 1),
     "simhash": (1, 0, 0, 1),
-    # hamming-neighbor search: one vote-groupBy per self-join side
-    # (self-join minimum — the simhash value is 8 bytes/row, so both
-    # exchanges are slim), block join broadcasts at this sf.
-    "simhash_near": (2, 1, 0, 2),
+    # hamming-neighbor search (round-4 exchange-reuse rework): the
+    # block frame is repartitioned on (blk_idx, blk) and the self-join
+    # merge-hinted, so both sides consume ONE exchange at runtime
+    # (ReusedExchange — the static plan prints the vote-groupBy +
+    # repartition pair per side = 4, plus the pair-distinct = 5).  SMJ
+    # replaces the test-scale broadcast: at corpus scale the
+    # fingerprint frame must not broadcast.
+    "simhash_near": (5, 0, 0, 2),
     "curation_filter": (1, 0, 0, 1),
     "dedup_exact": (1, 0, 0, 1),
     # minhash (round-4 Arrow rewrite): the banded signature pipeline is
