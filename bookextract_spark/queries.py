@@ -3456,12 +3456,16 @@ FROM agg, tot
 #         pipeline operator.  Round 4 swapped simhash_near (appended
 #         post-freeze at 57, hence never driver-run) into the head in
 #         place of o15_chapter_titles, whose operator surface is
-#         r03-proven and whose S12 op keeps o15_cumulative_offsets.
-#   51-56: redundant-coverage queries (ops also proven earlier: T1/T13
+#         r03-proven and whose S12 op keeps o15_cumulative_offsets;
+#         late round 4 likewise swapped the new dedup_clusters into the
+#         head in place of s6_book_info (S6's parse keeps a head proof
+#         via s11_book_info's sink->source round trip).
+#   51-58: redundant-coverage queries (ops also proven earlier: T1/T13
 #          are stages of pipeline_extract's oracle, o8_merge_decisions'
 #          predicates drive o8_merge_extract, conv_dedup composes
 #          proven pieces, q1/q3 are generic warehouse demos,
-#          o15_chapter_titles' edge is green in r03) — if the driver
+#          o15_chapter_titles' edge is green in r03, s6_book_info's
+#          source parse is driven by s11_book_info) — if the driver
 #          truncates, ONLY these lose rows and no operator loses its
 #          proof.
 # Twin variants whose only job is cross-checking a default-hash path
@@ -3529,7 +3533,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pii_scrub": (q_pii_scrub, _sql_pii()),
     "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
     "s5_quarantine": (q_s5_quarantine, SQL_S5_QUAR),
-    "s6_book_info": (q_s6_book_info, SQL_S6),
+    # dedup_clusters swapped into the head in (late) round 4 so the new
+    # operator gets a driver row: near-dup pairs -> connected components
+    # (iterative min-label propagation) -> canonical-per-cluster keep
+    # flag, oracled by a DuckDB recursive CTE over the md5-twin pair
+    # set.  s6_book_info was demoted to make room — the S6 source parse
+    # keeps a head proof via s11_book_info's sink->source round trip.
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "s11_book_info": (q_s11_book_info, SQL_S11),
     "c1_html_classify": (q_c1_html_classify, SQL_C1),
     "c3_density": (q_c3_density, SQL_C3),
@@ -3545,13 +3555,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "conv_dedup": (q_conv_dedup, SQL_CONV_DEDUP),
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "q3_customer_orders": (q_q3_customer_orders, SQL_Q3),
-    # round-4 addition, appended POST-FREEZE (position 58, past the
-    # driver's 50-row truncation — proof is the local parity replica
-    # at sf0.001 + the recorded sf0.01 sweep): the dedup DECISION —
-    # near-dup pairs -> connected components (iterative min-label
-    # propagation) -> canonical-per-cluster keep flag, oracled by a
-    # DuckDB recursive CTE over the md5-twin pair set.
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    # s6_book_info demoted here in late round 4 (swap with
+    # dedup_clusters): the S6 legacy-JSON source parse is also driven
+    # by s11_book_info (head position 48), whose sink output is parsed
+    # back with the SAME load_book_info_json source — S6 keeps a head
+    # proof, and this standalone construction stays oracle-checked in
+    # the local replica.
+    "s6_book_info": (q_s6_book_info, SQL_S6),
 }
 
 # Cross-check twins: oracle-verified locally (test_oracle_parity runs

@@ -1,0 +1,72 @@
+"""Time every registry query at a given scale factor.
+
+Usage:
+    python scripts/op_timings.py [--sf-dir /root/testdata/sf0.1] \
+        [--runs 2] [--out BENCH/op_timings_sf01_r4.json] [--only name,...]
+
+For each entry in ``__spark_entry__.queries()`` the query is built and
+``collect()``ed ``--runs`` times; the BEST wall time is recorded (same
+rationale as bench.py: steady-state JIT'd throughput, see the JIT
+warm-up note in BENCH/BASELINE.md).  Row counts ride along as a sanity
+check against earlier rounds' files.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def _arg(flag: str, default: str) -> str:
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
+def main() -> None:
+    sf_dir = _arg("--sf-dir", "/root/testdata/sf0.1")
+    runs = int(_arg("--runs", "2"))
+    out_path = _arg("--out", "")
+    only = _arg("--only", "")
+
+    import __spark_entry__ as entry
+    from bookextract_spark.session import get_session
+
+    spark = get_session(cpus=32)
+    qs = entry.queries()
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        qs = {n: qs[n] for n in names}
+
+    results: dict[str, dict] = {}
+    for name, fn in qs.items():
+        best = None
+        rows = -1
+        for _ in range(runs):
+            t0 = time.monotonic()
+            try:
+                rows = len(fn(spark, sf_dir).collect())
+            except Exception as exc:  # keep timing the rest
+                results[name] = {"sec": -1.0, "rows": -1, "error": str(exc)[:200]}
+                print(f"{name:24s} ERROR {exc}", flush=True)
+                break
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        else:
+            results[name] = {"sec": round(best, 3), "rows": rows}
+            print(f"{name:24s} {best:7.3f}s  rows={rows}", flush=True)
+
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {out_path}")
+    timed = {k: v for k, v in results.items() if v["sec"] >= 0}
+    print("TOTAL", round(sum(v["sec"] for v in timed.values()), 1), "s")
+    print("slowest:", sorted(timed, key=lambda k: -timed[k]["sec"])[:8])
+
+
+if __name__ == "__main__":
+    main()
