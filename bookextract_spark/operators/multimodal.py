@@ -25,6 +25,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -675,15 +676,13 @@ def encode_avi_rgb24(width: int, height: int, fps: int, frames: list[bytes]) -> 
     for rgb in frames:
         if len(rgb) != width * height * 3:
             raise ValueError("frame byte length != width*height*3")
-        rows = []
-        for y in range(height - 1, -1, -1):  # bottom-up
-            row = bytearray(stride)
-            base = y * width * 3
-            for x in range(width):
-                r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
-                row[3 * x : 3 * x + 3] = bytes((b, g, r))  # BGR
-            rows.append(bytes(row))
-        enc_frames.append(b"".join(rows))
+        # vectorized layout transform: flip rows (bottom-up), reverse
+        # the channel axis (RGB -> BGR), zero-pad each row to stride
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+        bgr = arr[::-1, :, ::-1].reshape(height, width * 3)
+        padded = np.zeros((height, stride), dtype=np.uint8)
+        padded[:, : width * 3] = bgr
+        enc_frames.append(padded.tobytes())
 
     avih = struct.pack(
         "<14I",
@@ -778,14 +777,14 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     for data in raw_frames:
         if len(data) < stride * height:
             raise ValueError("truncated AVI frame chunk")
-        out = bytearray(width * height * 3)
-        for y in range(height):
-            src = (height - 1 - y) * stride  # stored bottom-up
-            base = y * width * 3
-            for x in range(width):
-                b_, g, r = data[src + 3 * x : src + 3 * x + 3]
-                out[base + 3 * x : base + 3 * x + 3] = bytes((r, g, b_))
-        frames.append(bytes(out))
+        # vectorized inverse of the encoder transform: drop the row
+        # padding, flip rows (stored bottom-up), reverse the channel
+        # axis (BGR -> RGB)
+        rows = np.frombuffer(data[: stride * height], dtype=np.uint8).reshape(
+            height, stride
+        )[:, : width * 3]
+        rgb = rows.reshape(height, width, 3)[::-1, :, ::-1]
+        frames.append(rgb.tobytes())
     return width, height, fps, frames
 
 
@@ -798,9 +797,9 @@ def frame_mean_luma(rgb: bytes) -> float:
     n = len(rgb) // 3
     if n == 0:
         return 0.0
-    sum_r = sum(rgb[0::3])
-    sum_g = sum(rgb[1::3])
-    sum_b = sum(rgb[2::3])
+    # int64 channel sums are exact (the float math below is unchanged)
+    sums = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    sum_r, sum_g, sum_b = (int(s) for s in sums)
     return (0.299 * (sum_r / n) + 0.587 * (sum_g / n) + 0.114 * (sum_b / n)) / 255.0
 
 

@@ -33,9 +33,9 @@ def main() -> None:
     only = _arg("--only", "")
 
     import __spark_entry__ as entry
-    from bookextract_spark.session import get_session
+    from bookextract_spark.session import get_spark
 
-    spark = get_session(cpus=32)
+    spark = get_spark(master="local[32]")
     qs = entry.queries()
     if only:
         names = [n.strip() for n in only.split(",") if n.strip()]

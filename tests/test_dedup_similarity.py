@@ -504,6 +504,52 @@ def test_decontaminate_planted_leak(spark, docs):
     assert not out[2].contaminated and out[2].n_shared_shingles == 0
 
 
+def test_avi_vectorized_layout_matches_loop_twin():
+    """The numpy layout transforms (round-4 rewrite of the per-pixel
+    loops) must emit byte-identical streams: the per-pixel loop twin
+    here IS the original implementation, so any numpy
+    stride/flip/channel slip shows up as a byte diff — including in
+    the zero pad bytes a round-trip test never sees."""
+    from bookextract_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi_rgb24,
+        frame_mean_luma,
+    )
+
+    rng = __import__("random").Random(7)
+    for w, h in ((5, 3), (8, 8), (1, 1), (6, 2)):
+        frames = [
+            bytes(rng.randrange(256) for _ in range(w * h * 3)) for _ in range(2)
+        ]
+        stride = (w * 3 + 3) & ~3
+        loop_frames = []
+        for rgb in frames:
+            rows = []
+            for y in range(h - 1, -1, -1):  # bottom-up
+                row = bytearray(stride)
+                base = y * w * 3
+                for x in range(w):
+                    r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
+                    row[3 * x : 3 * x + 3] = bytes((b, g, r))  # BGR
+                rows.append(bytes(row))
+            loop_frames.append(b"".join(rows))
+        avi = encode_avi_rgb24(w, h, 10, frames)
+        # the movi payloads must equal the loop-built layouts exactly
+        for lf in loop_frames:
+            assert lf in avi
+        # and the vectorized decoder must invert back to the originals
+        assert decode_avi(avi)[3] == frames
+        # luma: numpy int64 channel sums == exact Python integer sums
+        for rgb in frames:
+            n = len(rgb) // 3
+            exp = (
+                0.299 * (sum(rgb[0::3]) / n)
+                + 0.587 * (sum(rgb[1::3]) / n)
+                + 0.114 * (sum(rgb[2::3]) / n)
+            ) / 255.0
+            assert frame_mean_luma(rgb) == exp
+
+
 def test_avi_codec_round_trip():
     """The stdlib AVI decoder must walk the real RIFF tree and undo all
     three storage transforms (bottom-up rows, BGR order, 4-byte stride
