@@ -384,26 +384,62 @@ def _ivf_cent_map(
     return cent_map
 
 
-def _cents_df(any_df: DataFrame, cent_map: dict[int, list[float]]) -> DataFrame:
-    """Tiny literal centroid frame (j, cvec) — repr-exact doubles, so
-    the collected values round-trip bit-identically."""
+def _cents_df(
+    any_df: DataFrame, cent_map: dict[int, list[float]], with_norm: bool = False
+) -> DataFrame:
+    """Tiny literal centroid frame (j, cvec[, cnorm]) — repr-exact
+    doubles, so the collected values round-trip bit-identically."""
     spark = any_df.sparkSession
+    if with_norm:
+        rows = [(j, cent_map[j], _py_norm(cent_map[j])) for j in sorted(cent_map)]
+        return spark.createDataFrame(rows, "j int, cvec array<double>, cnorm double")
     rows = [(j, cent_map[j]) for j in sorted(cent_map)]
     return spark.createDataFrame(rows, "j int, cvec array<double>")
 
 
-def _ivf_assign_col(vec: Column, cent_map: dict[int, list[float]]) -> Column:
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side twin of :func:`norm_col`: the same left-fold
+    ``acc + v*v`` then sqrt, in IEEE doubles — Python float arithmetic
+    and ``math.sqrt`` are the identical correctly-rounded IEEE-754
+    operations the JVM fold performs, so a centroid's norm computed
+    here equals ``norm_col(lit(centroid))`` bit-for-bit.  Precomputing
+    it matters because HOF folds over literal arrays are NOT
+    constant-folded by Catalyst (HigherOrderFunction is never
+    foldable): without this, every corpus row re-derived every
+    centroid's constant norm in interpreted mode."""
+    acc = 0.0
+    for v in vec:
+        acc += v * v
+    return math.sqrt(acc)
+
+
+def _ivf_assign_col(
+    vec: Column, cent_map: dict[int, list[float]], vnorm: Column | None = None
+) -> Column:
     """Best cluster for ``vec`` (max rounded cosine, ties -> lowest j)
     as a pure map-side expression: ``greatest()`` over one
     ``struct(cosine, -j)`` per centroid literal.  Struct ordering
     compares field-by-field, so this is the exact argmax the
     crossJoin + ``max(struct)`` aggregate computes — same expressions,
     same 6-dp rounding, bit-identical results — without an exchange
-    ever carrying a corpus vector."""
+    ever carrying a corpus vector.
+
+    ``vnorm``: pre-hoisted ``norm_col(vec)`` column.  The cosine here
+    expands to ``dot/(vnorm * lit(centroid_norm))`` — identical
+    operand order and IEEE values as ``cosine_col`` (centroid norms
+    via the bit-exact :func:`_py_norm` twin), but the row norm is
+    computed ONCE instead of once per centroid, and the constant
+    centroid norms never run on the executor at all (greatest()'s
+    branches are conditionally evaluated, so codegen subexpression
+    elimination would NOT have deduplicated them — the same finding as
+    the lang-ID hoist, PLANS.md round-4)."""
+    vn = norm_col(vec) if vnorm is None else vnorm
     structs = [
         F.struct(
             F.round(
-                cosine_col(vec, F.array(*[F.lit(x) for x in cent_map[j]])), 6
+                dot_col(vec, F.array(*[F.lit(x) for x in cent_map[j]]))
+                / (vn * F.lit(_py_norm(cent_map[j]))),
+                6,
             ).alias("c"),
             F.lit(-j).alias("nj"),
         )
@@ -421,24 +457,41 @@ def _ivf_assign_col(vec: Column, cent_map: dict[int, list[float]]) -> Column:
 _IVF_EXPR_TERMS_MAX = 8192
 
 
-def _ivf_assign_frame(base: DataFrame, cent_map: dict[int, list[float]]) -> DataFrame:
+def _ivf_assign_frame(
+    base: DataFrame, cent_map: dict[int, list[float]], keep_norm: bool = False
+) -> DataFrame:
     """``base`` (id, vec) + best-cluster column ``j``.  Picks the
     map-side literal-projection argmax while the expression stays
     small, else the broadcast crossJoin aggregate (bit-identical
-    either way — same cosine expression, same rounding, same
-    struct-ordered argmax)."""
+    either way — same cosine values, same rounding, same
+    struct-ordered argmax).  The row norm is hoisted into its own
+    projection (``_vn``) so it is computed once per row, not once per
+    centroid; ``keep_norm=True`` keeps it in the output (callers that
+    re-score against the row vector reuse it instead of re-folding).
+    """
+    with_n = base.select("*", norm_col(F.col("vec")).alias("_vn"))
     dim = len(next(iter(cent_map.values())))
     if len(cent_map) * dim <= _IVF_EXPR_TERMS_MAX:
-        return base.withColumn("j", _ivf_assign_col(F.col("vec"), cent_map))
-    cents = _cents_df(base, cent_map)
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "_cos", F.round(cosine_col(F.col("vec"), F.col("cvec")), 6)
+        out = with_n.withColumn(
+            "j", _ivf_assign_col(F.col("vec"), cent_map, F.col("_vn"))
+        )
+        return out if keep_norm else out.drop("_vn")
+    cents = _cents_df(base, cent_map, with_norm=True)
+    scored = with_n.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos",
+        F.round(
+            dot_col(F.col("vec"), F.col("cvec")) / (F.col("_vn") * F.col("cnorm")), 6
+        ),
     )
     best = scored.groupBy("id").agg(
         F.max(F.struct(F.col("_cos").alias("c"), (-F.col("j")).alias("nj"))).alias("_b"),
         F.first("vec").alias("vec"),
+        F.first("_vn").alias("_vn"),
     )
-    return best.select("id", "vec", (-F.col("_b.nj")).cast("int").alias("j"))
+    cols = ["id", "vec", (-F.col("_b.nj")).cast("int").alias("j")]
+    if keep_norm:
+        cols.insert(2, F.col("_vn"))
+    return best.select(*cols)
 
 
 def ivf_ann_topk(
@@ -467,11 +520,20 @@ def ivf_ann_topk(
     )
     cent_map = _ivf_cent_map(embeddings, n_clusters, iters, id_col, vec_col)
     cents = _cents_df(embeddings, cent_map)
-    lists = _ivf_assign_frame(base, cent_map).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), F.col("j")
+    # keep_norm: the per-row fold from the assignment projection is
+    # reused as c_norm in the candidate scoring below (one fold per
+    # corpus row TOTAL, instead of one per centroid plus one per
+    # candidate pair)
+    lists = _ivf_assign_frame(base, cent_map, keep_norm=True).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        F.col("_vn").alias("c_norm"),
+        F.col("j"),
     )
     q = base.where(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec")
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        norm_col(F.col("vec")).alias("q_norm"),
     )
     probed = q.crossJoin(F.broadcast(cents)).withColumn(
         "_cos", F.round(cosine_col(F.col("q_vec"), F.col("cvec")), 6)
@@ -480,13 +542,20 @@ def ivf_ann_topk(
     probes = (
         probed.withColumn("_rn", F.row_number().over(wp))
         .where(F.col("_rn") <= nprobe)
-        .select("query_id", "q_vec", "j")
+        .select("query_id", "q_vec", "q_norm", "j")
     )
     cands = lists.join(F.broadcast(probes), "j").where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # dot/(q_norm*c_norm): identical operand order and IEEE values as
+    # cosine_col(q_vec, c_vec), with both folds hoisted
     scored = cands.withColumn(
-        "cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+        "cosine",
+        F.round(
+            dot_col(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
