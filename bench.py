@@ -231,9 +231,55 @@ def run_skew_scaling() -> None:
     print(json.dumps(out))
 
 
+def run_data_scaling() -> None:
+    """``--data-scaling``: the data-size axis of the scale argument —
+    the same extraction job at FIXED cores (default local[16]) over
+    1x / 2x / 4x organic fixtures (same generator, same seed family).
+    Cores-scaling (--scaling) shows the job absorbs more executors;
+    this shows per-turn cost stays flat as the input grows, i.e. no
+    super-linear term (quadratic join, driver-side accumulation,
+    per-job constant) hides in the pipeline.  Prints one JSON line;
+    recorded in BENCH/BASELINE.md."""
+    cores = int(os.environ.get("SPARK_GRAFT_DATA_SCALE_CPUS", 16))
+    base = int(os.environ.get("SPARK_GRAFT_DATA_SCALE_CONVS", 25_000))
+    warmup = str(transcripts_path(0.1, n_convs=400))
+    out = {
+        "metric": f"data-size scaling at local[{cores}] (1x/2x/4x organic fixtures)",
+        "cpus": cores,
+        "points": {},
+    }
+    tps = {}
+    for mult in (1, 2, 4):
+        fixture = str(transcripts_path(0.1, n_convs=base * mult))
+        s = make_spark(cores)
+        sec, n = run_extraction(
+            s,
+            fixture,
+            max_runs=4,
+            min_runs=4,
+            warmup_fixture=warmup,
+            warmup_runs=3,
+        )
+        tps[mult] = n / sec
+        out["points"][f"{mult}x"] = {
+            "n_turns": n,
+            "sec": round(sec, 3),
+            "turns_per_sec": round(n / sec, 1),
+        }
+        s.stop()
+    # flatness: throughput at 4x the data over throughput at 1x —
+    # >=1 means the fixed per-job overhead amortizes away; <0.8 would
+    # mean a super-linear cost term
+    out["throughput_ratio_4x_over_1x"] = round(tps[4] / tps[1], 3)
+    print(json.dumps(out))
+
+
 def main() -> None:
     if "--skew-scaling" in sys.argv:
         run_skew_scaling()
+        return
+    if "--data-scaling" in sys.argv:
+        run_data_scaling()
         return
     scaling = "--scaling" in sys.argv
     sf = sf_factor(SF_DIR)
