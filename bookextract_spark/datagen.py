@@ -219,9 +219,12 @@ def write_skew_transcripts_parquet(
     ``bench.py --skew-scaling`` for the scaling-efficiency evidence on
     a worst-case key distribution (BENCH/BASELINE.md).
 
-    Written in chunks through one ParquetWriter so generation stays
-    memory-bounded; rows of the giant conversation are deterministically
-    interleaved with the background so no single row group is one conv.
+    The full row list is generated and shuffled IN MEMORY (the seeded
+    global shuffle is what makes the fixture deterministic yet
+    row-group-interleaved; ~5 GB at the 12M-turn size, fine for a
+    fixture generator on this box) — only the pandas/arrow conversion
+    and parquet writing are chunked through one ParquetWriter, which is
+    what actually overflowed before chunking (arrow string columns).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -793,6 +793,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1  # only reported if max_iters <= 0 short-circuits the loop
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -812,6 +813,19 @@ def connected_components(
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    else:
+        # exiting via max_iters means labels are NOT a fixpoint —
+        # returning them silently would split true components (dedup
+        # under-deletes and every downstream oracle disagrees).  Fail
+        # loud: this only happens when the graph's diameter exceeds the
+        # dup-cluster assumption documented above.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iters={max_iters} "
+            f"rounds ({changed} labels still changing); the pair graph has a "
+            "longer diameter than a near-dup cluster should — raise max_iters "
+            "or switch to large-star/small-star edge rewriting for "
+            "chain-shaped graphs"
+        )
     return labels
 
 

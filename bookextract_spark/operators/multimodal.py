@@ -230,18 +230,26 @@ _JPEG_AC_VALS = (
 )
 
 
-def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
-    """value -> (code, length) canonical huffman assignment (T.81 C.2)."""
-    out = {}
+def _canonical_code_triples(bits, vals):
+    """Yield ``(value, code, length)`` of the T.81 C.2 canonical huffman
+    walk — the ONE implementation shared by the encoder (which needs
+    value -> (code, length)) and the DHT decoder (which needs the
+    inverse (length, code) -> value)."""
+    if len(bits) < 16 or len(vals) < sum(bits):
+        raise ValueError("truncated huffman table definition")
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[vals[k]] = (code, length)
+            yield vals[k], code, length
             code += 1
             k += 1
         code <<= 1
-    return out
+
+
+def _canonical_codes(bits, vals) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) canonical huffman assignment (T.81 C.2)."""
+    return {v: (c, ln) for v, c, ln in _canonical_code_triples(bits, vals)}
 
 
 class _BitWriter:
@@ -369,7 +377,9 @@ class _BitReader:
         self.nbits = 0
         self.acc = 0
         d = self.data
-        if d[self.pos : self.pos + 1] != b"\xff" or d[self.pos + 1] != 0xD0 + (n % 8):
+        # slice compare: a stream truncated AT the restart boundary must
+        # raise the documented ValueError, never IndexError
+        if d[self.pos : self.pos + 2] != bytes((0xFF, 0xD0 + (n % 8))):
             raise ValueError("expected restart marker")
         self.pos += 2
 
@@ -395,6 +405,17 @@ def decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
     NotImplementedError for progressive/arithmetic/12-bit streams and
     ValueError for malformed ones — the caller falls back to
     header-dims-only."""
+    try:
+        return _decode_jpeg_luma(payload)
+    except (IndexError, KeyError, struct.error) as exc:
+        # malformed-stream paths too obscure to guard individually
+        # (a scan referencing an undefined quant/huffman table, a
+        # segment header truncated mid-field) must still keep the
+        # documented ValueError contract
+        raise ValueError(f"malformed JPEG stream: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -438,16 +459,10 @@ def decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
                 bits = seg[i + 1 : i + 17]
                 nvals = sum(bits)
                 vals = seg[i + 17 : i + 17 + nvals]
-                table = {}
-                code = 0
-                k = 0
-                for ln in range(1, 17):
-                    for _ in range(bits[ln - 1]):
-                        table[(ln, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+                huff[(tc, th)] = {
+                    (ln, code): v
+                    for v, code, ln in _canonical_code_triples(bits, vals)
+                }
                 i += 17 + nvals
         elif marker == 0xC0 or marker == 0xC1:
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -548,8 +563,8 @@ def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float | None]:
     REAL for PNG (full decode: dims + true mean luminance) and for
     baseline-sequential JPEG (full entropy decode of the DC plane —
     exact block-mean luminance; see :func:`decode_jpeg_luma`);
-    progressive/arithmetic/12-bit JPEG falls back to header dims with
-    luma None.  ``fake=True`` falls back to the deterministic
+    progressive/arithmetic/12-bit JPEG — and baseline streams with
+    damaged entropy data — fall back to header dims with luma None.  ``fake=True`` falls back to the deterministic
     sha-derived fake for opaque non-image payloads so the distributed
     plumbing stays testable end-to-end."""
     if payload[:8] == _PNG_SIG:
@@ -557,7 +572,12 @@ def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float | None]:
     if payload[:2] == b"\xff\xd8":
         try:
             return decode_jpeg_luma(payload)
-        except NotImplementedError:
+        except (NotImplementedError, ValueError):
+            # unsupported coding process OR damaged/truncated entropy
+            # data: scraped corpora carry both, and one bad payload must
+            # not fail the whole decode job — fall back to header dims
+            # (dims-only parse raises only if the header itself is
+            # broken, the same contract as before the luma decoder)
             return decode_jpeg_dims(payload)
     if not fake:
         raise NotImplementedError(

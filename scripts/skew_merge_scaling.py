@@ -43,6 +43,10 @@ def noop(df):
 
 
 def make_spark(cores: int):
+    # NOT bench.make_spark: this script reads a blocks table (wide
+    # struct rows, fewer bytes/row than raw transcripts), so it keeps
+    # its own maxPartitionBytes — the recorded evidence was measured
+    # with 4m and must stay reproducible
     from bookextract_spark.session import get_spark
 
     return get_spark(
@@ -55,14 +59,14 @@ def make_spark(cores: int):
 
 def main() -> None:
     giant = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
-    from bookextract_spark.datagen import DATAGEN_VERSION, write_skew_transcripts_parquet
+    # the skew fixture cache key (name + seed + generator version) has
+    # exactly one owner — bench.py — so the two entry points can never
+    # drift apart and silently regenerate / stale-reuse the fixture
+    from bench import skew_transcripts_path
+    from bookextract_spark.datagen import DATAGEN_VERSION
 
     CACHE.mkdir(exist_ok=True)
-    fixture = CACHE / f"transcripts_skew_g{giant}_s42_v{DATAGEN_VERSION}.parquet"
-    if not fixture.exists():
-        t0 = time.time()
-        write_skew_transcripts_parquet(str(fixture), giant_turns=giant)
-        print(f"# generated {fixture.name} in {time.time() - t0:.1f}s", file=sys.stderr)
+    fixture = skew_transcripts_path(giant_turns=giant)
 
     blocks_path = CACHE / f"blocks_skew_g{giant}_s42_v{DATAGEN_VERSION}.parquet"
     if not blocks_path.exists():

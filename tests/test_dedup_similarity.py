@@ -836,3 +836,18 @@ def test_dedup_clusters_no_pairs_all_kept(spark):
     )
     out = {r.doc_id: (r.cluster_id, r.keep) for r in dedup_clusters(df, threshold=0.99).collect()}
     assert out == {0: (0, True), 1: (1, True)}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """Exiting via max_iters with labels still changing must fail loud
+    — silently-unconverged labels split true components and every
+    downstream keep/oracle decision goes wrong."""
+    import pytest
+
+    from bookextract_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)

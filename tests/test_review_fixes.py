@@ -362,3 +362,53 @@ def test_jpeg_truncated_entropy_raises():
     b = encode_solid_jpeg(16, 16, 42)
     with pytest.raises(ValueError):
         decode_jpeg_luma(b[: len(b) - 8])
+
+
+def test_decode_image_falls_back_on_damaged_entropy():
+    """A baseline JPEG with an intact header but truncated entropy data
+    (common in scraped corpora) must NOT fail the decode job: the luma
+    decoder raises ValueError and decode_image falls back to header
+    dims with luma None, exactly like an unsupported coding process."""
+    from bookextract_spark.operators.multimodal import (
+        decode_image,
+        encode_solid_jpeg,
+    )
+
+    b = encode_solid_jpeg(16, 16, 42)
+    assert decode_image(b[: len(b) - 8], fake=False) == (16, 16, None)
+
+
+def test_jpeg_undefined_table_is_valueerror_not_keyerror():
+    """A scan referencing a huffman table that was never defined must
+    keep the documented ValueError contract (it used to escape as
+    KeyError, crashing decode_image's fallback)."""
+    from bookextract_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg_luma,
+        encode_solid_jpeg,
+    )
+
+    b = bytearray(encode_solid_jpeg(16, 16, 42))
+    # retag every DHT segment as APPE (same length field, skipped as an
+    # opaque application segment) so the scan's tables are undefined
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] == 0xFF and b[i + 1] == 0xC4:
+            b[i + 1] = 0xEE
+        if b[i] == 0xFF and b[i + 1] == 0xDA:
+            break
+        i += 1
+    payload = bytes(b)
+    with pytest.raises(ValueError):
+        decode_jpeg_luma(payload)
+    assert decode_image(payload, fake=False) == (16, 16, None)
+
+
+def test_truncated_dht_is_valueerror():
+    """A DHT segment whose value list is shorter than its BITS counts
+    promise must raise ValueError from the shared canonical-code walk."""
+    from bookextract_spark.operators.multimodal import _canonical_code_triples
+
+    bits = [0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    with pytest.raises(ValueError):
+        list(_canonical_code_triples(bits, [7]))  # promises 2 vals, has 1
