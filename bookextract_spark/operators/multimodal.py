@@ -10,12 +10,14 @@ headers are parsed for dimensions (SOF scan); the WAV codec writes and
 parses RIFF/fmt/data PCM16 streams with real sample statistics (RMS,
 peak, duration); the AVI codec writes and decodes uncompressed 24-bit
 RIFF/BI_RGB video (bottom-up padded BGR frames, hdrl/movi/idx1) with
-true per-frame luminance.  Entropy-coded formats (JPEG pixel data,
-compressed AVI streams) refuse loudly with ``NotImplementedError`` —
-they need a real media library; deterministic sha-derived ``fake``
-modes keep the distributed plumbing (schemas, Arrow batch shapes,
-``mapInPandas`` contracts, 1->N expansion) testable for opaque
-payloads either way.
+true per-frame luminance, plus ENTROPY-CODED Motion-JPEG AVI ('MJPG'
+fourcc: each movi chunk is an independent baseline JPEG, decoded by
+the same huffman/DCT-DC machinery as still images).  The remaining
+entropy-coded formats (progressive JPEG, inter-frame video codecs)
+refuse loudly with ``NotImplementedError`` — they need a real media
+library; deterministic sha-derived ``fake`` modes keep the
+distributed plumbing (schemas, Arrow batch shapes, ``mapInPandas``
+contracts, 1->N expansion) testable for opaque payloads either way.
 """
 
 from __future__ import annotations
@@ -738,15 +740,15 @@ def encode_avi_rgb24(width: int, height: int, fps: int, frames: list[bytes]) -> 
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
-    """REAL AVI decode -> (width, height, fps, frames as top-down RGB).
+# 'MJPG' fourcc as the little-endian DWORD biCompression carries it
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
-    Walks the RIFF chunk tree (avih for geometry, strh for rate/scale,
-    strf for pixel format, movi for frame data), validates BI_RGB
-    24-bit, and undoes the bottom-up padded BGR storage.  Compressed
-    streams ('dc' chunks with non-zero biCompression) raise
-    ``NotImplementedError`` — entropy-coded video needs a real codec
-    library."""
+
+def _walk_avi(payload: bytes):
+    """Shared RIFF walk -> (width, height, fps, bitcount, compression,
+    raw movi chunk payloads).  Format validation (which biCompression
+    values are decodable) is the CALLER's job — ``decode_avi`` and
+    ``avi_frame_stats`` accept different sets."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     width = height = None
@@ -786,26 +788,121 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     walk(payload, 12, len(payload))
     if width is None or height is None:
         raise ValueError("AVI missing avih header")
+    fps = (rate // scale) if rate and scale else 0
+    return width, height, fps, bitcount, compression, raw_frames
+
+
+def _dib_frame_to_rgb(data: bytes, width: int, height: int) -> bytes:
+    """Undo the BI_RGB on-disk layout of ONE frame chunk: drop the row
+    padding, flip rows (stored bottom-up), reverse the channel axis
+    (BGR -> RGB) — vectorized inverse of the encoder transform."""
+    stride = (width * 3 + 3) & ~3
+    if len(data) < stride * height:
+        raise ValueError("truncated AVI frame chunk")
+    rows = np.frombuffer(data[: stride * height], dtype=np.uint8).reshape(
+        height, stride
+    )[:, : width * 3]
+    return rows.reshape(height, width, 3)[::-1, :, ::-1].tobytes()
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL AVI decode -> (width, height, fps, frames as top-down RGB).
+
+    Walks the RIFF chunk tree (avih for geometry, strh for rate/scale,
+    strf for pixel format, movi for frame data), validates BI_RGB
+    24-bit, and undoes the bottom-up padded BGR storage.  Compressed
+    streams raise ``NotImplementedError`` — there is no RGB pixel
+    plane to return (for 'MJPG' streams use :func:`avi_frame_stats`,
+    which decodes per-frame luma without one; other codecs need a real
+    media library)."""
+    width, height, fps, bitcount, compression, raw_frames = _walk_avi(payload)
     if compression not in (0, None) or (bitcount is not None and bitcount != 24):
         raise NotImplementedError(
             f"only uncompressed 24-bit AVI supported (biCompression={compression}, "
-            f"biBitCount={bitcount}); compressed video needs a codec library"
+            f"biBitCount={bitcount}); MJPG streams decode via avi_frame_stats, "
+            "other codecs need a media library"
         )
-    fps = (rate // scale) if rate and scale else 0
-    stride = (width * 3 + 3) & ~3
-    frames = []
-    for data in raw_frames:
-        if len(data) < stride * height:
-            raise ValueError("truncated AVI frame chunk")
-        # vectorized inverse of the encoder transform: drop the row
-        # padding, flip rows (stored bottom-up), reverse the channel
-        # axis (BGR -> RGB)
-        rows = np.frombuffer(data[: stride * height], dtype=np.uint8).reshape(
-            height, stride
-        )[:, : width * 3]
-        rgb = rows.reshape(height, width, 3)[::-1, :, ::-1]
-        frames.append(rgb.tobytes())
-    return width, height, fps, frames
+    return width, height, fps, [_dib_frame_to_rgb(d, width, height) for d in raw_frames]
+
+
+def encode_avi_mjpeg(width: int, height: int, fps: int, jpeg_frames: list[bytes]) -> bytes:
+    """Minimal REAL Motion-JPEG AVI muxer: each element of
+    ``jpeg_frames`` is a complete baseline JPEG stream (every MJPEG
+    frame is an independent keyframe), stored as '00dc' chunks with
+    fccHandler/biCompression 'MJPG' and a spec-complete idx1 index."""
+    for j in jpeg_frames:
+        if j[:2] != b"\xff\xd8":
+            raise ValueError("MJPEG frame is not a JPEG stream")
+    bufsize = max((len(j) for j in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0x10,  # usec/frame, maxbytes, pad, HASINDEX
+        len(jpeg_frames), 0, 1, bufsize,  # total frames, initial, streams, sugg buf
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack(
+            "<IHHIIIIIIII4h",
+            0, 0, 0, 0,  # flags, priority, language, initial frames
+            1, fps, 0, len(jpeg_frames),  # scale, rate, start, length
+            bufsize, 0, 0,  # sugg buf, quality, sample size (0: variable)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, _MJPG_FOURCC, 0, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx = b""
+    for data in jpeg_frames:
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(data))
+        movi_body += _riff_chunk(b"00dc", data)
+    movi = _riff_list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_frame_stats(
+    payload: bytes, every_n: int = 1
+) -> tuple[int, int, int, int, list[tuple[int, float, str]]]:
+    """Decode every ``every_n``-th frame of an AVI stream to
+    ``(frame_idx, mean_luma, sha16)`` without materializing the whole
+    pixel plane list -> (width, height, fps, n_frames, stats).
+
+    Two REAL paths: BI_RGB (layout undo + exact channel-sum luma; sha
+    over the reconstructed RGB buffer) and 'MJPG' (each chunk is an
+    independent baseline JPEG — DC-plane luma via
+    :func:`decode_jpeg_luma`, the identical kernel the still-image
+    table uses; sha over the frame's JPEG bytes, the decoded identity
+    MJPEG actually stores).  Other codecs refuse loudly."""
+    width, height, fps, bitcount, compression, raw_frames = _walk_avi(payload)
+    stats: list[tuple[int, float, str]] = []
+    if compression in (0, None) and (bitcount is None or bitcount == 24):
+        for i in range(0, len(raw_frames), every_n):
+            rgb = _dib_frame_to_rgb(raw_frames[i], width, height)
+            stats.append(
+                (i, frame_mean_luma(rgb), hashlib.sha256(rgb).hexdigest()[:16])
+            )
+    elif compression == _MJPG_FOURCC:
+        for i in range(0, len(raw_frames), every_n):
+            jpeg = raw_frames[i]
+            fw, fh, luma = decode_jpeg_luma(jpeg)
+            if (fw, fh) != (width, height):
+                raise ValueError(
+                    f"MJPEG frame geometry {fw}x{fh} != container {width}x{height}"
+                )
+            stats.append((i, luma, hashlib.sha256(jpeg).hexdigest()[:16]))
+    else:
+        raise NotImplementedError(
+            f"unsupported AVI codec (biCompression={compression}, "
+            f"biBitCount={bitcount}); only BI_RGB 24-bit and MJPG decode"
+        )
+    return width, height, fps, len(raw_frames), stats
 
 
 def frame_mean_luma(rgb: bytes) -> float:
@@ -831,12 +928,13 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling via ``mapInPandas`` (1->N expansion).
 
-    REAL path (default): payloads are uncompressed AVI streams —
-    ``decode_avi`` parses the RIFF tree and yields one row per sampled
-    frame (every ``every_n``-th) with true geometry and mean luminance.
-    ``fake_decode=True`` keeps the opaque-payload plumbing twin for
-    formats without a stdlib codec: one row per ``every_n_bytes``
-    window with a deterministic sha (geometry/luma null)."""
+    REAL path (default): payloads are AVI streams (uncompressed BI_RGB
+    or Motion-JPEG) — ``avi_frame_stats`` parses the RIFF tree and
+    yields one row per sampled frame (every ``every_n``-th) with true
+    geometry and mean luminance.  ``fake_decode=True`` keeps the
+    opaque-payload plumbing twin for formats without a stdlib codec:
+    one row per ``every_n_bytes`` window with a deterministic sha
+    (geometry/luma null)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -852,14 +950,13 @@ def sample_frames(
                              hashlib.sha256(window).hexdigest()[:16])
                         )
                     continue
-                width, height, _fps, frames = decode_avi(data)
-                for i in range(0, len(frames), every_n):
+                width, height, _fps, n_frames, stats = avi_frame_stats(
+                    data, every_n=every_n
+                )
+                for i, luma, sha in stats:
                     rows.append(
-                        (
-                            int(media_id), i, width, height, len(frames),
-                            round(frame_mean_luma(frames[i]), 6),
-                            hashlib.sha256(frames[i]).hexdigest()[:16],
-                        )
+                        (int(media_id), i, width, height, n_frames,
+                         round(luma, 6), sha)
                     )
             yield pd.DataFrame(
                 rows,
@@ -872,12 +969,16 @@ def sample_frames(
 
 
 def avi_media_from_documents(docs: DataFrame) -> DataFrame:
-    """REAL video media table: one genuine uncompressed AVI per
-    document with SQL-predictable geometry — width ``8 + doc_id % 16``,
-    height ``8 + (doc_id * 3) % 16``, ``3 + doc_id % 5`` solid-gray
-    frames of value ``(doc_id * 7 + frame_idx * 11) % 256`` at 10 fps —
-    so the DECODED (width, height, n_frames, mean_luma) of every
-    sampled frame has a closed form an oracle computes without touching
+    """REAL video media table: one genuine AVI per document with
+    SQL-predictable geometry — width ``8 + doc_id % 16``, height
+    ``8 + (doc_id * 3) % 16``, ``3 + doc_id % 5`` solid-gray frames of
+    value ``(doc_id * 7 + frame_idx * 11) % 256`` at 10 fps.  Every
+    third document (``doc_id % 3 == 1``, mirroring the image table's
+    PNG/JPEG split) is Motion-JPEG — each frame an independent baseline
+    JPEG with exact DC-mean luma — the rest uncompressed BI_RGB; a
+    solid JPEG frame of gray v and a solid RGB frame of gray v decode
+    to the SAME ``v/255`` luma, so one closed form covers the codec
+    dispatch AND both real decode paths without the oracle touching
     the bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -886,10 +987,16 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h, n = 8 + d % 16, 8 + (d * 3) % 16, 3 + d % 5
-                frames = [
-                    bytes([(d * 7 + f * 11) % 256]) * (w * h * 3) for f in range(n)
-                ]
-                rows.append((d, encode_avi_rgb24(w, h, 10, frames), "video/x-msvideo"))
+                grays = [(d * 7 + f * 11) % 256 for f in range(n)]
+                if d % 3 == 1:
+                    payload = encode_avi_mjpeg(
+                        w, h, 10, [encode_solid_jpeg(w, h, g) for g in grays]
+                    )
+                else:
+                    payload = encode_avi_rgb24(
+                        w, h, 10, [bytes([g]) * (w * h * 3) for g in grays]
+                    )
+                rows.append((d, payload, "video/x-msvideo"))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
 
     out = docs.select("doc_id").mapInPandas(

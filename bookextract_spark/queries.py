@@ -1628,16 +1628,20 @@ FROM documents
 
 
 def q_frame_sample(spark, sf_dir):
-    """REAL video frame sampling end-to-end: genuine uncompressed AVI
-    payloads are generated distributed (RIFF/BI_RGB encoder,
-    mapInPandas), then every 2nd frame is decoded for real — RIFF tree
-    walk, bottom-up padded BGR undo, true per-frame mean luminance.
-    Geometry, frame count, and gray level follow a closed form of
-    doc_id, so the oracle predicts the DECODED values without touching
-    the bytes; a decoder that misread the stride padding or skipped the
-    bottom-up flip would mismatch.  (frame_sha is pytest-asserted, not
-    part of the driver surface; the opaque sha-window plumbing twin
-    remains ``frame_sample_fake`` in the local registry.)"""
+    """REAL video frame sampling end-to-end over a MIXED-codec table:
+    genuine AVI payloads are generated distributed (mapInPandas) —
+    uncompressed RIFF/BI_RGB for two thirds of the documents,
+    Motion-JPEG (every frame an independent baseline JPEG, entropy-
+    decoded by the same huffman/DC kernel as still images) for
+    ``doc_id % 3 == 1`` — then every 2nd frame is decoded for real.
+    Geometry, frame count, and gray level follow ONE closed form of
+    doc_id on both codecs (solid JPEG and solid RGB frames of gray v
+    both decode to v/255), so the oracle predicts the DECODED values
+    without touching the bytes; a decoder that misread the stride
+    padding, skipped the bottom-up flip, or desynced the MJPEG huffman
+    stream would mismatch.  (frame_sha is pytest-asserted, not part of
+    the driver surface; the opaque sha-window plumbing twin remains
+    ``frame_sample_fake`` in the local registry.)"""
     from bookextract_spark.operators.multimodal import (
         avi_media_from_documents,
         sample_frames,

@@ -590,13 +590,16 @@ def test_avi_codec_round_trip():
 
 
 def test_avi_media_decode_end_to_end(spark):
-    """Distributed generate -> decode: every sampled frame's geometry
-    and luminance must match the closed form, and the per-frame sha
-    must equal the sha of the reconstructed RGB buffer."""
+    """Distributed generate -> decode over the MIXED codec table: every
+    sampled frame's geometry and luminance must match the one closed
+    form on both paths; the per-frame sha is the decoded identity —
+    the reconstructed RGB buffer (BI_RGB docs) or the frame's JPEG
+    bytes (MJPEG docs, ``doc_id % 3 == 1``)."""
     import hashlib
 
     from bookextract_spark.operators.multimodal import (
         avi_media_from_documents,
+        encode_solid_jpeg,
         sample_frames,
     )
 
@@ -613,8 +616,84 @@ def test_avi_media_decode_end_to_end(spark):
             assert (r.width, r.height, r.n_frames) == (w, h, n)
             v = (d * 7 + r.frame_idx * 11) % 256
             assert r.mean_luma == round(v / 255.0, 6)
-            rgb = bytes([v]) * (w * h * 3)
-            assert r.frame_sha == hashlib.sha256(rgb).hexdigest()[:16]
+            if d % 3 == 1:
+                ident = encode_solid_jpeg(w, h, v)
+            else:
+                ident = bytes([v]) * (w * h * 3)
+            assert r.frame_sha == hashlib.sha256(ident).hexdigest()[:16]
+
+
+def test_mjpeg_avi_round_trip():
+    """MJPEG AVI: the muxer must store independent baseline JPEGs the
+    stats decoder fully entropy-decodes — exact per-frame DC-mean luma,
+    geometry validated against the container, every_n sampling, and
+    sha over the frame's JPEG bytes."""
+    import hashlib
+
+    from bookextract_spark.operators.multimodal import (
+        avi_frame_stats,
+        decode_avi,
+        encode_avi_mjpeg,
+        encode_solid_jpeg,
+    )
+
+    w, h = 11, 6  # non-multiple-of-8 dims: partial MCU blocks both axes
+    grays = [0, 100, 255, 37, 201]
+    jpegs = [encode_solid_jpeg(w, h, g) for g in grays]
+    avi = encode_avi_mjpeg(w, h, 10, jpegs)
+
+    W, H, fps, n, stats = avi_frame_stats(avi, every_n=2)
+    assert (W, H, fps, n) == (w, h, 10, len(grays))
+    assert [i for i, _, _ in stats] == [0, 2, 4]
+    for (i, luma, sha), g in zip(stats, (grays[0], grays[2], grays[4])):
+        assert luma == g / 255.0
+        assert sha == hashlib.sha256(jpegs[i]).hexdigest()[:16]
+
+    # decode_avi has no pixel plane to return for MJPEG: refuse loudly
+    with pytest.raises(NotImplementedError):
+        decode_avi(avi)
+
+    # a frame whose JPEG geometry disagrees with the container headers
+    # is a malformed stream, not a silent wrong-luma row
+    bad = encode_avi_mjpeg(w, h, 10, [encode_solid_jpeg(w + 1, h, 10)])
+    with pytest.raises(ValueError):
+        avi_frame_stats(bad)
+
+    # non-JPEG frame bytes are rejected at mux time
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg(w, h, 10, [b"not a jpeg"])
+
+
+def test_avi_frame_stats_matches_decode_avi_on_dib():
+    """On BI_RGB streams the stats path must agree exactly with the
+    full-decode path (same luma doubles, sha over the same RGB bytes)
+    — it is the one implementation sample_frames now uses."""
+    import hashlib
+
+    from bookextract_spark.operators.multimodal import (
+        avi_frame_stats,
+        decode_avi,
+        encode_avi_rgb24,
+        frame_mean_luma,
+    )
+
+    rng = __import__("random").Random(11)
+    w, h = 5, 3
+    frames = [bytes(rng.randrange(256) for _ in range(w * h * 3)) for _ in range(4)]
+    avi = encode_avi_rgb24(w, h, 10, frames)
+    W, H, fps, decoded = decode_avi(avi)
+    sW, sH, sfps, n, stats = avi_frame_stats(avi, every_n=1)
+    assert (sW, sH, sfps, n) == (W, H, fps, len(decoded))
+    for (i, luma, sha), rgb in zip(stats, decoded):
+        assert luma == frame_mean_luma(rgb)
+        assert sha == hashlib.sha256(rgb).hexdigest()[:16]
+    # unknown codecs still refuse loudly in the stats path
+    import struct as st
+
+    plain_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 0)
+    comp_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 1)
+    with pytest.raises(NotImplementedError):
+        avi_frame_stats(avi.replace(plain_strf, comp_strf))
 
 
 # ---------------------------------------------------------------------------
