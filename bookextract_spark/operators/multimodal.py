@@ -12,10 +12,13 @@ peak, duration); the AVI codec writes and decodes uncompressed 24-bit
 RIFF/BI_RGB video (bottom-up padded BGR frames, hdrl/movi/idx1) with
 true per-frame luminance, plus ENTROPY-CODED Motion-JPEG AVI ('MJPG'
 fourcc: each movi chunk is an independent baseline JPEG, decoded by
-the same huffman/DCT-DC machinery as still images).  The remaining
-entropy-coded formats (progressive JPEG, inter-frame video codecs)
-refuse loudly with ``NotImplementedError`` — they need a real media
-library; deterministic sha-derived ``fake`` modes keep the
+the same huffman/DCT-DC machinery as still images).  PROGRESSIVE
+huffman JPEG (SOF2) decodes for real too: DC scans — first pass and
+successive-approximation refinements — are entropy-decoded, AC scans
+skipped at the byte level (zero spatial mean).  The remaining
+entropy-coded formats (arithmetic-coded JPEG, inter-frame video
+codecs) refuse loudly with ``NotImplementedError`` — they need a real
+media library; deterministic sha-derived ``fake`` modes keep the
 distributed plumbing (schemas, Arrow batch shapes, ``mapInPandas``
 contracts, 1->N expansion) testable for opaque payloads either way.
 """
@@ -342,6 +345,100 @@ def encode_solid_jpeg(width: int, height: int, gray: int) -> bytes:
     return encode_gray_blocks_jpeg([[gray] * bw for _ in range(bh)], width, height)
 
 
+def encode_gray_blocks_jpeg_progressive(
+    block_grays: list[list[int]], width: int, height: int, al: int = 1
+) -> bytes:
+    """PROGRESSIVE grayscale JPEG twin of :func:`encode_gray_blocks_jpeg`
+    (same all-8s quantizer, same exact solid-tile DC quantization),
+    coded as T.81 spectral selection + successive approximation:
+
+    * scan 1 — DC band, first pass (Ss=Se=0, Ah=0, Al=``al``): huffman
+      diffs of the point-transformed DC (arithmetic shift right by Al);
+    * ``al`` refinement scans (Ah=a, Al=a-1): ONE raw bit per block,
+      no huffman — a decoder that huffman-decodes them desyncs;
+    * final AC scan (Ss=1..63, single-component as progressive
+      requires) with a planted +1 at zigzag 1 per block, so the stream
+      is a complete, externally-renderable JPEG.
+
+    ``(dc >> al) << al`` OR'd with the refinement bits reconstructs the
+    DC exactly (two's complement), so the decoder's DC-mean luma is
+    exact at any ``al``."""
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + b"\x00"
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_AC_VALS))
+        + b"\x10"
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+
+    def sos(ss: int, se: int, ah: int, a_l: int, tdta: int) -> bytes:
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, tdta, ss, se, (ah << 4) | a_l]
+        )
+
+    dcs = [gray - 128 for row in block_grays for gray in row]
+
+    # scan 1: DC first pass on the point-transformed values
+    out += sos(0, 0, 0, al, 0x00)
+    w = _BitWriter()
+    pred = 0
+    for dc in dcs:
+        vt = dc >> al
+        diff = vt - pred
+        pred = vt
+        s = _dc_category(diff)
+        code, length = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    out += w.flush()
+
+    # DC refinement scans: one raw bit per block, high bits first
+    for a in range(al, 0, -1):
+        out += sos(0, 0, a, a - 1, 0x00)
+        w = _BitWriter()
+        for dc in dcs:
+            w.write((dc >> (a - 1)) & 1, 1)
+        out += w.flush()
+
+    # AC scan (progressive AC scans are single-component): run/size +1
+    # at zigzag 1 then EOB — code 0x00 in a progressive AC scan is an
+    # EOBRUN of length 1, bit-identical to the baseline per-block form
+    out += sos(1, 63, 0, 0, 0x00)
+    w = _BitWriter()
+    for _ in dcs:
+        code, length = ac_codes[0x01]
+        w.write(code, length)
+        w.write(1, 1)
+        code, length = ac_codes[0x00]
+        w.write(code, length)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_solid_jpeg_progressive(width: int, height: int, gray: int, al: int = 1) -> bytes:
+    """Solid-gray PROGRESSIVE JPEG (exact DC-mean luma = gray)."""
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    return encode_gray_blocks_jpeg_progressive(
+        [[gray] * bw for _ in range(bh)], width, height, al=al
+    )
+
+
 class _BitReader:
     """Entropy-segment bit reader: un-stuffs FF00, stops AT markers."""
 
@@ -399,14 +496,37 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Scan forward to the next REAL marker boundary (the position of
+    its 0xFF).  Stuffed 0xFF00 pairs and restart markers are entropy
+    data; 0xFF fill bytes before a marker are spec-legal — this is what
+    makes progressive AC scans skippable without entropy-decoding
+    them."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        b = data[pos + 1]
+        if b == 0x00 or 0xD0 <= b <= 0xD7:
+            pos += 2
+            continue
+        if b == 0xFF:
+            pos += 1
+            continue
+        return pos
+    raise ValueError("truncated JPEG: no marker after entropy segment")
+
+
 def decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
-    """Full baseline-sequential decode of the DC plane: (width, height,
-    exact mean of the per-block Y means).  For dimensions divisible by
-    8 (or padding that replicates the edge, as the paired encoder
-    emits) this IS the image's mean luminance.  Raises
-    NotImplementedError for progressive/arithmetic/12-bit streams and
-    ValueError for malformed ones — the caller falls back to
-    header-dims-only."""
+    """Full decode of the DC plane: (width, height, exact mean of the
+    per-block Y means).  For dimensions divisible by 8 (or padding that
+    replicates the edge, as the paired encoders emit) this IS the
+    image's mean luminance.  Baseline-sequential streams decode inline;
+    progressive-huffman (SOF2) streams dispatch to
+    :func:`_decode_jpeg_luma_progressive`.  Raises NotImplementedError
+    for arithmetic/differential/12-bit streams and ValueError for
+    malformed ones — the caller falls back to header-dims-only."""
     try:
         return _decode_jpeg_luma(payload)
     except (IndexError, KeyError, struct.error) as exc:
@@ -438,8 +558,10 @@ def _decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
             break
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + length]
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("progressive JPEG: DC-mean decode is baseline-only")
+        if marker == 0xC2:  # progressive huffman: real multi-scan DC decode
+            return _decode_jpeg_luma_progressive(payload)
+        if marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("differential/arithmetic progressive JPEG")
         if marker in (0xC9, 0xCB, 0xCD, 0xC3, 0xC5, 0xC7):
             raise NotImplementedError("non-baseline JPEG coding process")
         if marker == 0xDB:
@@ -530,6 +652,171 @@ def _decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
     raise ValueError("JPEG SOS marker not found")
 
 
+def _decode_jpeg_luma_progressive(payload: bytes) -> tuple[int, int, float]:
+    """PROGRESSIVE (SOF2, huffman) decode of the DC plane -> (width,
+    height, exact mean of the per-block Y means).
+
+    The mean-luma identity that makes baseline DC-only decode exact
+    (AC basis functions have zero spatial mean) holds per SCAN BAND
+    here: only the DC band contributes to the block mean, so AC scans
+    (Ss>0) are SKIPPED at the byte level (:func:`_next_marker` — no
+    entropy decode needed, stuffing/RST make scan boundaries
+    self-describing) while DC scans are fully decoded: first pass
+    (Ah=0) as huffman-coded diffs of the point-transformed values
+    shifted up by Al, successive-approximation refinements (Ah>0) as
+    one raw bit per block OR'd in at Al.  Tables may be redefined
+    between scans (the marker walk is stateful); restart intervals
+    reset the prediction per T.81.  Interleaved (ns>1) and
+    single-component DC scans both decode; the traversal order is
+    recomputed identically per scan so refinement bits land on the
+    same blocks."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    coef: dict[int, list[int]] = {}  # component id -> DC values in traversal order
+    seen_first: set[int] = set()
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("expected marker")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                n = 64 * (2 if pq else 1)
+                vals = seg[i + 1 : i + 1 + n]
+                qt[tq] = (
+                    list(vals)
+                    if not pq
+                    else [v for (v,) in struct.iter_unpack(">H", vals)]
+                )
+                i += 1 + n
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = seg[i + 1 : i + 17]
+                nvals = sum(bits)
+                vals = seg[i + 17 : i + 17 + nvals]
+                huff[(tc, th)] = {
+                    (ln, code): v
+                    for v, code, ln in _canonical_code_triples(bits, vals)
+                }
+                i += 17 + nvals
+        elif marker == 0xC2:
+            precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise NotImplementedError("12-bit JPEG")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE):
+            raise ValueError("unexpected second SOF in progressive stream")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            w, h, comps = sof
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next((x for x in comps if x[0] == cid), None)
+                if comp is None:
+                    raise ValueError("scan references unknown component")
+                scan.append((comp, tdta >> 4, tdta & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, a_l = ahal >> 4, ahal & 0xF
+            data_start = pos + 2 + length
+            if ss != 0:  # AC band: zero spatial mean — skip at byte level
+                pos = _next_marker(payload, data_start)
+                continue
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            reader = _BitReader(payload, data_start)
+            # traversal: interleaved MCU order (ns>1) or the single
+            # component's own block raster (ns==1), per T.81 A.2
+            if ns > 1:
+                units = (
+                    ((w + 8 * hmax - 1) // (8 * hmax))
+                    * ((h + 8 * vmax - 1) // (8 * vmax))
+                )
+                per_unit = [(ci, comp[1] * comp[2]) for ci, (comp, _, _) in enumerate(scan)]
+            else:
+                comp = scan[0][0]
+                cw = (w * comp[1] + hmax - 1) // hmax
+                chh = (h * comp[2] + vmax - 1) // vmax
+                units = ((cw + 7) // 8) * ((chh + 7) // 8)
+                per_unit = [(0, 1)]
+            first_pass = ah == 0
+            for comp, _, _ in scan:
+                coef.setdefault(comp[0], [])
+                if first_pass and comp[0] in seen_first:
+                    raise ValueError("duplicate first DC scan for component")
+            cursor = {ci: 0 for ci in range(len(scan))}
+            pred = [0] * len(scan)
+            n_rst = 0
+            for m in range(units):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader.align_and_expect_rst(n_rst)
+                    n_rst = (n_rst + 1) % 8
+                    pred = [0] * len(scan)
+                for ci, nblocks in per_unit:
+                    comp, td, _ta = scan[ci]
+                    arr = coef[comp[0]]
+                    for _ in range(nblocks):
+                        if first_pass:
+                            s = _huff_decode(reader, huff[(0, td)])
+                            if s:
+                                pred[ci] += _extend(reader.bits(s), s)
+                            arr.append(pred[ci] << a_l)
+                        else:
+                            k = cursor[ci]
+                            if k >= len(arr):
+                                raise ValueError(
+                                    "DC refinement scan before first DC scan"
+                                )
+                            arr[k] |= reader.bits(1) << a_l
+                            cursor[ci] = k + 1
+            if first_pass:
+                for comp, _, _ in scan:
+                    seen_first.add(comp[0])
+            pos = _next_marker(payload, reader.pos)
+            continue
+        pos += 2 + length
+    if sof is None:
+        raise ValueError("progressive JPEG missing SOF2")
+    w, h, comps = sof
+    y_comp = comps[0]
+    vals = coef.get(y_comp[0])
+    if not vals:
+        raise ValueError("progressive JPEG has no DC scan for the Y component")
+    y_qt0 = qt[y_comp[3]][0]
+    y_sum = 0.0
+    for v in vals:
+        y_sum += min(255.0, max(0.0, v * y_qt0 / 8.0 + 128.0))
+    return w, h, (y_sum / len(vals)) / 255.0
+
+
 def decode_jpeg_dims(payload: bytes) -> tuple[int, int, float | None]:
     """JPEG dimensions from the first SOF marker (header parse only —
     full entropy decode is out of pure-stdlib scope; luma is None)."""
@@ -563,10 +850,11 @@ def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float | None]:
     """Image decode -> (width, height, mean_luma).
 
     REAL for PNG (full decode: dims + true mean luminance) and for
-    baseline-sequential JPEG (full entropy decode of the DC plane —
-    exact block-mean luminance; see :func:`decode_jpeg_luma`);
-    progressive/arithmetic/12-bit JPEG — and baseline streams with
-    damaged entropy data — fall back to header dims with luma None.  ``fake=True`` falls back to the deterministic
+    baseline-sequential AND progressive-huffman JPEG (full entropy
+    decode of the DC plane — exact block-mean luminance; see
+    :func:`decode_jpeg_luma` / :func:`_decode_jpeg_luma_progressive`);
+    arithmetic/12-bit JPEG — and streams with damaged entropy data —
+    fall back to header dims with luma None.  ``fake=True`` falls back to the deterministic
     sha-derived fake for opaque non-image payloads so the distributed
     plumbing stays testable end-to-end."""
     if payload[:8] == _PNG_SIG:
@@ -597,12 +885,16 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
     SQL-predictable geometry — width ``8 + doc_id % 32``, height
     ``8 + (doc_id * 7) % 32``, solid gray ``doc_id % 256`` — so the
     DECODED (width, height, mean_luma) has a closed form an oracle can
-    compute without touching the bytes.  Every third document
-    (``doc_id % 3 == 1``) carries a genuine baseline JPEG (pure-stdlib
-    encoder, exact DC-mean luma — see :func:`encode_solid_jpeg`), the
-    rest grayscale PNG (pure-zlib encoder) — both formats share the
-    closed form, so one oracle row covers the format dispatch AND both
-    real decoders."""
+    compute without touching the bytes.  A three-way format mix under
+    the ONE closed form: ``doc_id % 3 == 1`` is a genuine baseline JPEG
+    (pure-stdlib encoder, exact DC-mean luma — see
+    :func:`encode_solid_jpeg`), ``doc_id % 3 == 2`` a genuine
+    PROGRESSIVE JPEG (multi-scan SOF2 with successive-approximation DC
+    — :func:`encode_solid_jpeg_progressive`, Al cycling 0-2 by doc_id
+    so single-scan and refinement-scan DC paths are both driver-
+    exercised), the rest grayscale PNG (pure-zlib encoder) — so one
+    oracle row covers the format dispatch AND all three real
+    decoders."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -612,6 +904,10 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
                 w, h, g = 8 + d % 32, 8 + (d * 7) % 32, d % 256
                 if d % 3 == 1:
                     rows.append((d, encode_solid_jpeg(w, h, g), "image/jpeg"))
+                elif d % 3 == 2:
+                    rows.append(
+                        (d, encode_solid_jpeg_progressive(w, h, g, al=(d // 3) % 3), "image/jpeg")
+                    )
                 else:
                     rows.append(
                         (d, encode_png_gray(w, h, lambda x, y, g=g: g), "image/png")

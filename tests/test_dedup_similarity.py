@@ -402,9 +402,11 @@ def test_jpeg_header_dimensions():
 
 
 def test_real_png_media_decode_end_to_end(spark):
-    """Distributed real-decode path: genuine PNG payloads generated in
-    one mapInPandas pass, decoded (inflate + unfilter) in another; the
-    decoded geometry/luma must match the closed form."""
+    """Distributed real-decode path over the THREE-format image table
+    (PNG / baseline JPEG / progressive JPEG by doc_id % 3): payloads
+    generated in one mapInPandas pass, decoded for real in another;
+    the decoded geometry/luma must match the one closed form on every
+    format."""
     from bookextract_spark.operators.multimodal import (
         image_metadata,
         png_media_from_documents,

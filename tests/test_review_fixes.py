@@ -328,10 +328,35 @@ def test_jpeg_baseline_luma_codec_round_trip():
     assert abs(L - (sum(map(sum, grid)) / 6) / 255.0) < 1e-12
 
 
-def test_jpeg_progressive_falls_back_to_dims_only():
-    """A progressive (SOF2) stream must NOT be mis-decoded: luma decode
-    refuses (NotImplementedError) and decode_image falls back to the
-    header-dims parse with luma None."""
+def test_jpeg_progressive_luma_codec_round_trip():
+    """Progressive (SOF2) streams now DECODE for real: exact DC-mean
+    luma at every successive-approximation depth, including odd dims
+    (partial MCU blocks) and multi-block grids with positive AND
+    negative DC diffs split across first-pass/refinement scans."""
+    from bookextract_spark.operators.multimodal import (
+        decode_jpeg_luma,
+        encode_gray_blocks_jpeg_progressive,
+        encode_solid_jpeg_progressive,
+    )
+
+    for al in (0, 1, 2, 3):
+        for (w, h, g) in [(8, 8, 0), (8, 8, 255), (16, 24, 128), (13, 9, 37), (1, 1, 99)]:
+            W, H, L = decode_jpeg_luma(encode_solid_jpeg_progressive(w, h, g, al=al))
+            assert (W, H) == (w, h)
+            assert abs(L - g / 255.0) < 1e-12
+    grid = [[0, 255, 10], [250, 5, 128]]
+    for al in (0, 1, 2):
+        W, H, L = decode_jpeg_luma(encode_gray_blocks_jpeg_progressive(grid, 24, 16, al=al))
+        assert (W, H) == (24, 16)
+        assert abs(L - (sum(map(sum, grid)) / 6) / 255.0) < 1e-12
+
+
+def test_jpeg_progressive_malformed_and_unsupported():
+    """Malformed progressive streams stay on the documented contracts:
+    a SOF2 stream with no DC scan is ValueError (decode_image falls
+    back to header dims), a refinement scan arriving before the first
+    DC scan is ValueError, truncated entropy data is ValueError, and
+    arithmetic-coded progressive (SOF10) still refuses loudly."""
     import struct
 
     import pytest as _pytest
@@ -339,8 +364,10 @@ def test_jpeg_progressive_falls_back_to_dims_only():
     from bookextract_spark.operators.multimodal import (
         decode_image,
         decode_jpeg_luma,
+        encode_solid_jpeg_progressive,
     )
 
+    # no scans at all: malformed, falls back to dims in decode_image
     sof2 = (
         b"\xff\xd8"
         + b"\xff\xc2"
@@ -348,9 +375,33 @@ def test_jpeg_progressive_falls_back_to_dims_only():
         + bytes([1, 0x11, 0])
         + b"\xff\xd9"
     )
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg_luma(sof2)
     assert decode_image(sof2, fake=False) == (30, 40, None)
+
+    good = encode_solid_jpeg_progressive(16, 16, 42, al=1)
+
+    # refinement scan before the first DC scan: the encoder emits the
+    # first-pass SOS (Ss=0,Se=0,Ah=0,Al=1) before the refinement SOS
+    # (Ah=1,Al=0) — swapping their Ah/Al bytes makes the refinement
+    # arrive first, which must be a loud ValueError, not garbage luma
+    first_hdr = bytes([1, 0x00, 0, 0, 0x01])
+    refine_hdr = bytes([1, 0x00, 0, 0, 0x10])
+    assert first_hdr in good and refine_hdr in good
+    swapped = good.replace(first_hdr, b"\x00TMP\x00").replace(
+        refine_hdr, first_hdr
+    ).replace(b"\x00TMP\x00", refine_hdr)
+    with _pytest.raises(ValueError):
+        decode_jpeg_luma(swapped)
+
+    # truncated entropy data
+    with _pytest.raises(ValueError):
+        decode_jpeg_luma(good[: len(good) - 8])
+
+    # arithmetic-coded progressive still refuses
+    sof10 = good.replace(b"\xff\xc2", b"\xff\xca", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_luma(sof10)
 
 
 def test_jpeg_truncated_entropy_raises():
