@@ -6,11 +6,14 @@ Default: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
 sec}, "sf", plus turns/sec for the flagship extraction}.
 
---scaling: additionally runs the identical extraction job at local[8]
-and local[32] on the same input and reports throughput at both plus
-efficiency = (T8/T32)/4 wall-clock ratio over the 4x core ratio — the
+--scaling: additionally runs the identical extraction job at local[N]
+and local[4N] on the same input and reports throughput at both plus
+efficiency = (T_N/T_4N)/4 wall-clock ratio over the 4x core ratio — the
 sandbox evidence for the north rule's N-vs-4N criterion (no real
-cluster available here).
+cluster available here).  Sibling modes on other axes:
+--skew-scaling (pathological 1.2M-turn conversation, salted vs plain),
+--data-scaling (fixed cores, 1x/2x/4x input),
+--dedup-scaling (the MinHash dedup pass at N vs 4N cores).
 
 The transcripts fixture is generated deterministically (seed 42) at a
 size proportional to the scale factor and cached as parquet next to
@@ -274,12 +277,93 @@ def run_data_scaling() -> None:
     print(json.dumps(out))
 
 
+def run_dedup_scaling() -> None:
+    """``--dedup-scaling``: cores-scaling evidence for the DEDUP pass —
+    the other headline 100 TB workload next to extraction.  Runs the
+    full MinHash+LSH+verify pipeline (``minhash_dedup``, xxhash64
+    Arrow path, one document per transcript turn of the 1x organic
+    fixture) at local[N] vs local[4N], same input, best-of-3 per point
+    (run 0 absorbs Python-worker spin-up + codegen warm-up).  LSH
+    blocking is threshold-independent, so the measured work —
+    signature build, banded self-join, exact-Jaccard verification of
+    every candidate — is the production shape regardless of how many
+    pairs survive; the organic fixture has no true near-dups at 0.8,
+    so ``n_candidates`` carries the blocking volume while ``n_pairs``
+    is 0.  Prints one JSON line; recorded in BENCH/BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from bookextract_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_lsh_candidates,
+    )
+
+    n_lo, n_hi = (
+        int(os.environ.get("SPARK_GRAFT_SCALE_LO", 4)),
+        int(os.environ.get("SPARK_GRAFT_SCALE_HI", 16)),
+    )
+    base = int(os.environ.get("SPARK_GRAFT_DEDUP_CONVS", 25_000))
+    fixture = str(transcripts_path(0.1, n_convs=base))
+    out = {
+        "metric": "dedup-pass scaling (MinHash+LSH+exact-verify, one doc per turn)",
+        "points": {},
+    }
+
+    def docs(s):
+        return s.read.parquet(fixture).select(
+            F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+
+    for cores in (n_lo, n_hi):
+        s = make_spark(cores)
+        t = docs(s)
+        n = t.count()
+        # small-slice warm-up: same plan shape -> same codegen classes
+        # and Python workers, fraction of the per-run cost (the JIT
+        # re-warms over SEVERAL runs otherwise — see run_extraction)
+        small = t.limit(40_000)
+        for i in range(3):
+            t0 = time.time()
+            _noop_write(minhash_dedup(small, threshold=0.8))
+            print(f"# dedup warmup {i} at local[{cores}]: {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+        best = float("inf")
+        for i in range(5):
+            t0 = time.time()
+            _noop_write(minhash_dedup(t, threshold=0.8))
+            dt = time.time() - t0
+            prev_best = best
+            best = min(best, dt)
+            print(
+                f"# dedup run {i} at local[{cores}]: {dt:.1f}s (best {best:.1f}s)",
+                file=sys.stderr,
+            )
+            # converged: a repeat confirmed the best within 10%
+            if i >= 2 and dt <= prev_best * 1.1:
+                break
+        out["points"][f"local{cores}"] = {
+            "sec": round(best, 3),
+            "docs_per_sec": round(n / best, 1),
+        }
+        out["n_docs"] = n
+        if cores == n_hi:
+            out["n_candidates"] = minhash_lsh_candidates(t).count()
+        s.stop()
+    eff = (
+        out["points"][f"local{n_lo}"]["sec"] / out["points"][f"local{n_hi}"]["sec"]
+    ) / (n_hi / n_lo)
+    out[f"efficiency_{n_lo}_to_{n_hi}"] = round(eff, 3)
+    print(json.dumps(out))
+
+
 def main() -> None:
     if "--skew-scaling" in sys.argv:
         run_skew_scaling()
         return
     if "--data-scaling" in sys.argv:
         run_data_scaling()
+        return
+    if "--dedup-scaling" in sys.argv:
+        run_dedup_scaling()
         return
     scaling = "--scaling" in sys.argv
     sf = sf_factor(SF_DIR)

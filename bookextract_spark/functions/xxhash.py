@@ -81,6 +81,90 @@ def xxh64(data: bytes, seed: int = SPARK_SEED) -> int:
     return h
 
 
+def xxh64_fixed_len(mat, seed: int = SPARK_SEED):
+    """Vectorized XXH64 over a ``(g, L)`` uint8 matrix of ``g``
+    same-length byte strings -> ``(g,)`` uint64, bit-equal to
+    :func:`xxh64` row-for-row (property-tested).
+
+    Grouping inputs by byte length is what makes the spec's
+    data-dependent control flow (stripe count, 8/4/1-byte tail)
+    uniform across the batch, so every step is one numpy uint64 op
+    over all rows — this is the C-speed path the Arrow MinHash kernel
+    uses for its per-shingle string hash.  numpy uint64 arithmetic
+    wraps mod 2^64 exactly like the `& _MASK` in the scalar form."""
+    import numpy as np
+
+    U = np.uint64
+    g, L = mat.shape
+    P1, P2, P3, P4, P5 = (U(_P1), U(_P2), U(_P3), U(_P4), U(_P5))
+
+    def rotl(x, r):
+        return (x << U(r)) | (x >> U(64 - r))
+
+    def rnd(acc, inp):
+        return rotl(acc + inp * P2, U(31).item()) * P1
+
+    i = 0
+    if L >= 32:
+        ns = L // 32
+        stripes = (
+            np.ascontiguousarray(mat[:, : ns * 32]).view("<u8").reshape(g, ns, 4)
+        )
+        v1 = np.full(g, (seed + _P1 + _P2) & _MASK, dtype=U)
+        v2 = np.full(g, (seed + _P2) & _MASK, dtype=U)
+        v3 = np.full(g, seed & _MASK, dtype=U)
+        v4 = np.full(g, (seed - _P1) & _MASK, dtype=U)
+        for s in range(ns):
+            v1 = rnd(v1, stripes[:, s, 0])
+            v2 = rnd(v2, stripes[:, s, 1])
+            v3 = rnd(v3, stripes[:, s, 2])
+            v4 = rnd(v4, stripes[:, s, 3])
+        h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        for v in (v1, v2, v3, v4):
+            h = (h ^ rnd(U(0), v)) * P1 + P4  # _merge_round
+        i = ns * 32
+    else:
+        h = np.full(g, (seed + _P5) & _MASK, dtype=U)
+    h = h + U(L)
+    while i + 8 <= L:
+        w = np.ascontiguousarray(mat[:, i : i + 8]).view("<u8")[:, 0]
+        h = h ^ rnd(U(0), w)
+        h = rotl(h, 27) * P1 + P4
+        i += 8
+    if i + 4 <= L:
+        w4 = np.ascontiguousarray(mat[:, i : i + 4]).view("<u4")[:, 0].astype(U)
+        h = h ^ (w4 * P1)
+        h = rotl(h, 23) * P2 + P3
+        i += 4
+    while i < L:
+        h = h ^ (mat[:, i].astype(U) * P5)
+        h = rotl(h, 11) * P1
+        i += 1
+    h = h ^ (h >> U(33))
+    h = h * P2
+    h = h ^ (h >> U(29))
+    h = h * P3
+    return h ^ (h >> U(32))
+
+
+def xxh64_many(chunks: list, seed: int = SPARK_SEED):
+    """XXH64 of many variable-length byte strings -> (len,) uint64,
+    bit-equal to per-element :func:`xxh64`.  Buckets by length and
+    dispatches each bucket to :func:`xxh64_fixed_len`."""
+    import numpy as np
+
+    out = np.empty(len(chunks), dtype=np.uint64)
+    by_len: dict = {}
+    for j, b in enumerate(chunks):
+        by_len.setdefault(len(b), []).append(j)
+    for L, idxs in by_len.items():
+        mat = np.frombuffer(b"".join(chunks[j] for j in idxs), dtype=np.uint8)
+        out[np.asarray(idxs, dtype=np.int64)] = xxh64_fixed_len(
+            mat.reshape(len(idxs), L), seed
+        )
+    return out
+
+
 def spark_xxhash64(s: str, seed: int = SPARK_SEED) -> int:
     """Spark-compatible ``xxhash64(string)``: XXH64 of the UTF-8 bytes,
     seed 42, as a SIGNED 64-bit long."""

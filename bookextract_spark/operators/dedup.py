@@ -277,11 +277,20 @@ def _minhash_band_keys_arrow_udf(n: int, k: int, bands: int):
 
     All of the long-domain folding is numpy uint64 arithmetic
     vectorized ACROSS shingles x seeds (wraparound multiply/shift ==
-    the JVM's); only the variable-length string hash runs per shingle
-    in Python — ~50 distinct shingles/doc on the fixture corpus.  One
-    Arrow batch per stage; no per-row Python in the JVM plan.  This is
-    the same treatment that took the ANN bucket keys 27x faster
-    (``similarity.py``); measured effect in PLANS.md."""
+    the JVM's), and the variable-length string hash is vectorized too:
+    each batch's DISTINCT shingles are bucketed by byte length and run
+    through ``xxh64_fixed_len`` (numpy XXH64 over a same-length byte
+    matrix, bit-equal to the scalar form) — no per-shingle Python loop
+    remains.  The seeded (distinct, k) matrix is evaluated in 8k-row
+    chunks so its ~15-temporary op chain stays cache-resident instead
+    of streaming tens of MB through DRAM per op — this plus the
+    vectorized string hash took the measured 4->16-core efficiency of
+    the whole dedup pass from 0.59 to 0.81 on one shared-bandwidth box
+    (BENCH/dedup_scaling_r4.json) and its wall time down 2.5x.  One
+    Arrow batch per stage; no per-row
+    Python in the JVM plan.  This is the same treatment that took the
+    ANN bucket keys 27x faster (``similarity.py``); measured effect in
+    PLANS.md."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -298,7 +307,7 @@ def _band_keys_batch(texts, n: int, k: int, bands: int) -> list:
     the doc has no shingles)."""
     import numpy as np
 
-    from bookextract_spark.functions.xxhash import xxh64
+    from bookextract_spark.functions.xxhash import xxh64_many
 
     rpb = k // bands
     U = np.uint64
@@ -343,32 +352,36 @@ def _band_keys_batch(texts, n: int, k: int, bands: int) -> list:
     ne = counts > 0
     if not ne.any():
         return out
-    # memoize the per-shingle string hash within the batch: shingles
-    # repeat heavily ACROSS documents (~90% dup rate on the fixture
-    # corpus — common phrases), and the Python-loop string hash is the
-    # only non-vectorized step left; memory is bounded by the distinct
-    # shingles of one Arrow batch (<= arrow.maxRecordsPerBatch rows)
-    cache: dict = {}
-
-    def _h(s):
-        v = cache.get(s)
-        if v is None:
-            v = cache[s] = xxh64(s.encode("utf-8"))
-        return v
-
-    H = np.fromiter(
+    # hash each DISTINCT shingle of the batch once (shingles repeat
+    # across documents — common phrases), vectorized: occurrence ->
+    # first-seen index map, then the distinct strings go through the
+    # length-bucketed numpy XXH64 (bit-equal to the scalar form) —
+    # no per-shingle Python hash loop remains; memory is bounded by
+    # the distinct shingles of one Arrow batch
+    index: dict = {}
+    inv = np.fromiter(
         (
-            _h(s)
+            index.setdefault(s, len(index))
             for lst, keep in zip(shingle_lists, ne)
             if keep
             for s in lst
         ),
-        dtype=np.uint64,
+        dtype=np.int64,
         count=int(counts[ne].sum()),
     )
-    T = _hash_long(H, U(42))  # xxhash64(shingle-string) per shingle
-    seeded = _hash_int(seeds[None, :], T[:, None])  # (n_shingles, k)
-    si = seeded.view(np.int64)  # array_min compares SIGNED longs
+    Hu = xxh64_many([s.encode("utf-8") for s in index])
+    Tu = _hash_long(Hu, U(42))  # xxhash64(shingle-string) per DISTINCT shingle
+    # seeded (distinct, k) matrix in row chunks: the full-matrix form
+    # chains ~15 temporaries of n_shingles*k*8 bytes (tens of MB each)
+    # through DRAM; 8k-row chunks keep every temporary cache-resident,
+    # which is what lets 16 concurrent workers scale on one box
+    su = np.empty((Tu.shape[0], k), dtype=np.int64)
+    step = 8192
+    for a in range(0, Tu.shape[0], step):
+        su[a : a + step] = _hash_int(seeds[None, :], Tu[a : a + step, None]).view(
+            np.int64
+        )
+    si = su[inv]  # back to occurrence order; array_min compares SIGNED longs
     ne_counts = counts[ne]
     starts = np.zeros(len(ne_counts), dtype=np.int64)
     np.cumsum(ne_counts[:-1], out=starts[1:])

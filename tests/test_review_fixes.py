@@ -185,6 +185,65 @@ def test_wav_codec_property_round_trip(samples, rate):
     assert abs(rms - expected) < 1e-12
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    lens=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=60),
+)
+def test_xxh64_vectorized_property_bit_equal(seed, lens):
+    """The length-bucketed numpy XXH64 (the MinHash kernel's string
+    hash) must be bit-equal to the scalar pure-Python form — which is
+    itself pinned against Spark's xxhash64 — across random bytes at
+    every length regime (empty, <32 one-shot, >=32 striped, 8/4/1-byte
+    tails)."""
+    import random
+
+    from bookextract_spark.functions.xxhash import xxh64, xxh64_many
+
+    rng = random.Random(seed)
+    chunks = [bytes(rng.randrange(256) for _ in range(L)) for L in lens]
+    got = xxh64_many(chunks)
+    for b, g in zip(chunks, got):
+        assert int(g) == xxh64(b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=4),
+    dw=st.integers(min_value=0, max_value=7),
+    dh=st.integers(min_value=0, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31),
+    al=st.integers(min_value=0, max_value=3),
+)
+def test_jpeg_codec_property_round_trip(bw, bh, dw, dh, seed, al):
+    """Baseline AND progressive: a random block grid at random
+    (possibly non-multiple-of-8) dims must decode to the exact grid
+    mean at every successive-approximation depth — random DC diffs
+    exercise the prediction chain, category coding, and the
+    first-pass/refinement split far beyond the fixed fixtures."""
+    import random
+
+    from bookextract_spark.operators.multimodal import (
+        decode_jpeg_luma,
+        encode_gray_blocks_jpeg,
+        encode_gray_blocks_jpeg_progressive,
+    )
+
+    rng = random.Random(seed)
+    grid = [[rng.randrange(256) for _ in range(bw)] for _ in range(bh)]
+    w = max(8 * (bw - 1) + 1, 8 * bw - dw)
+    h = max(8 * (bh - 1) + 1, 8 * bh - dh)
+    expected = sum(map(sum, grid)) / (bw * bh) / 255.0
+    for payload in (
+        encode_gray_blocks_jpeg(grid, w, h),
+        encode_gray_blocks_jpeg_progressive(grid, w, h, al=al),
+    ):
+        W, H, L = decode_jpeg_luma(payload)
+        assert (W, H) == (w, h)
+        assert abs(L - expected) < 1e-12
+
+
 def test_pii_scrub_semantics(spark):
     """Pins real-world PII shapes independently of the SQL oracle (a
     shared wrong pattern would pass parity while missing actual PII —
