@@ -337,8 +337,11 @@ def run_dedup_scaling() -> None:
                 f"# dedup run {i} at local[{cores}]: {dt:.1f}s (best {best:.1f}s)",
                 file=sys.stderr,
             )
-            # converged: a repeat confirmed the best within 10%
-            if i >= 2 and dt <= prev_best * 1.1:
+            # converged: a repeat CONFIRMED the best within 10% —
+            # dt must not itself be a new improvement (a still-warming
+            # JIT keeps producing new bests; breaking on one records
+            # an under-warmed point)
+            if i >= 2 and prev_best <= dt <= prev_best * 1.1:
                 break
         out["points"][f"local{cores}"] = {
             "sec": round(best, 3),

@@ -147,6 +147,46 @@ def xxh64_fixed_len(mat, seed: int = SPARK_SEED):
     return h ^ (h >> U(32))
 
 
+def np_fmix64(h):
+    """Vectorized XXH64 final avalanche over a uint64 ndarray (numpy
+    wraparound multiply == the scalar form's ``& _MASK``)."""
+    import numpy as np
+
+    U = np.uint64
+    h = h ^ (h >> U(33))
+    h = h * U(_P2)
+    h = h ^ (h >> U(29))
+    h = h * U(_P3)
+    return h ^ (h >> U(32))
+
+
+def np_hash_long(x, seed):
+    """``XXH64.hashLong(input, seed)`` — Spark's 8-byte one-shot fold
+    (what ``xxhash64(longCol)`` applies per child), vectorized over
+    broadcastable uint64 ndarrays."""
+    import numpy as np
+
+    U = np.uint64
+    h = seed + U(_P5) + U(8)
+    y = x * U(_P2)
+    h = h ^ (((y << U(31)) | (y >> U(33))) * U(_P1))
+    h = ((h << U(27)) | (h >> U(37))) * U(_P1) + U(_P4)
+    return np_fmix64(h)
+
+
+def np_hash_int(x, seed):
+    """``XXH64.hashInt(input, seed)`` — the 4-byte one-shot fold Spark
+    applies to INT children of ``xxhash64``, vectorized over
+    broadcastable uint64 ndarrays."""
+    import numpy as np
+
+    U = np.uint64
+    h = seed + U(_P5) + U(4)
+    h = h ^ ((x & U(0xFFFFFFFF)) * U(_P1))
+    h = ((h << U(23)) | (h >> U(41))) * U(_P2) + U(_P3)
+    return np_fmix64(h)
+
+
 def xxh64_many(chunks: list, seed: int = SPARK_SEED):
     """XXH64 of many variable-length byte strings -> (len,) uint64,
     bit-equal to per-element :func:`xxh64`.  Buckets by length and

@@ -307,37 +307,17 @@ def _band_keys_batch(texts, n: int, k: int, bands: int) -> list:
     the doc has no shingles)."""
     import numpy as np
 
-    from bookextract_spark.functions.xxhash import xxh64_many
+    # the one-shot folds live next to the scalar XXH64 spec so the
+    # prime constants exist in exactly ONE place (a drifted copy here
+    # would break bit-equality with Spark's xxhash64 only on this path)
+    from bookextract_spark.functions.xxhash import (
+        np_hash_int as _hash_int,
+        np_hash_long as _hash_long,
+        xxh64_many,
+    )
 
     rpb = k // bands
     U = np.uint64
-    P1 = U(0x9E3779B185EBCA87)
-    P2 = U(0xC2B2AE3D27D4EB4F)
-    P3 = U(0x165667B19E3779F9)
-    P4 = U(0x85EBCA77C2B2AE63)
-    P5 = U(0x27D4EB2F165667C5)
-
-    def _fmix(h):
-        h = h ^ (h >> U(33))
-        h = h * P2
-        h = h ^ (h >> U(29))
-        h = h * P3
-        return h ^ (h >> U(32))
-
-    def _hash_long(x, seed):
-        # XXH64.hashLong(input, seed) — the 8-byte one-shot path
-        h = seed + P5 + U(8)
-        y = x * P2
-        h = h ^ (((y << U(31)) | (y >> U(33))) * P1)
-        h = ((h << U(27)) | (h >> U(37))) * P1 + P4
-        return _fmix(h)
-
-    def _hash_int(x, seed):
-        # XXH64.hashInt(input, seed) — the 4-byte one-shot path
-        h = seed + P5 + U(4)
-        h = h ^ ((x & U(0xFFFFFFFF)) * P1)
-        h = ((h << U(23)) | (h >> U(41))) * P2 + P3
-        return _fmix(h)
 
     seeds = np.arange(_XX_SEED_OFFSET, k + _XX_SEED_OFFSET, dtype=np.uint64)
 

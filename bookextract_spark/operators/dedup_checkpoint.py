@@ -198,10 +198,31 @@ def run_dedup_with_checkpoint(
     marker = _pairs_marker_buckets(spark, base_dir)
     pairs_built = False
     if sig_buckets > 0 and marker != sig_buckets:
-        banded = spark.read.parquet(sig_out).select("id", "band", "bucket")
+        # Explicit schema (taken from the same lazy projection the
+        # writer used): a signatures stage whose every batch produced
+        # ZERO rows (all docs shorter than n words) writes a data-less
+        # directory, and schema inference would raise
+        # UNABLE_TO_INFER_SCHEMA — permanently, since the manifest
+        # already marks all buckets complete and the pairs marker is
+        # never reached.  With the schema pinned, an empty table is
+        # just an empty frame and the job converges to empty pairs.
+        sig_schema = with_bucket.select(
+            "wbucket",
+            "id",
+            F.posexplode(band_keys(F.col("_norm"))).alias("band", "bucket"),
+        ).schema
+        banded = (
+            spark.read.schema(sig_schema)
+            .parquet(sig_out)
+            .select("id", "band", "bucket")
+        )
         pairs = _banded_candidates(banded)
         pairs.write.mode("overwrite").parquet(pairs_path(base_dir))
-        n_pairs = spark.read.parquet(pairs_path(base_dir)).count()
+        # read-back count needs the schema pin for the same reason
+        # (an empty pairs frame can write zero part files)
+        n_pairs = (
+            spark.read.schema(pairs.schema).parquet(pairs_path(base_dir)).count()
+        )
         spark.createDataFrame(
             [("pairs", None, run_id, None, int(n_pairs), int(sig_buckets))],
             _MANIFEST_SCHEMA,

@@ -518,6 +518,39 @@ def _next_marker(data: bytes, pos: int) -> int:
     raise ValueError("truncated JPEG: no marker after entropy segment")
 
 
+def _parse_dqt(seg: bytes, qt: dict[int, list[int]]) -> None:
+    """DQT segment -> quant tables, in place (shared by the baseline
+    and progressive decoders so 8/16-bit handling cannot drift)."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0xF
+        n = 64 * (2 if pq else 1)
+        vals = seg[i + 1 : i + 1 + n]
+        qt[tq] = (
+            list(vals)
+            if not pq
+            else [v for (v,) in struct.iter_unpack(">H", vals)]
+        )
+        i += 1 + n
+
+
+def _parse_dht(
+    seg: bytes, huff: dict[tuple[int, int], dict[tuple[int, int], int]]
+) -> None:
+    """DHT segment -> (class, id) decode tables, in place (shared by
+    the baseline and progressive decoders)."""
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0xF
+        bits = seg[i + 1 : i + 17]
+        nvals = sum(bits)
+        vals = seg[i + 17 : i + 17 + nvals]
+        huff[(tc, th)] = {
+            (ln, code): v for v, code, ln in _canonical_code_triples(bits, vals)
+        }
+        i += 17 + nvals
+
+
 def decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
     """Full decode of the DC plane: (width, height, exact mean of the
     per-block Y means).  For dimensions divisible by 8 (or padding that
@@ -565,29 +598,9 @@ def _decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
         if marker in (0xC9, 0xCB, 0xCD, 0xC3, 0xC5, 0xC7):
             raise NotImplementedError("non-baseline JPEG coding process")
         if marker == 0xDB:
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0xF
-                n = 64 * (2 if pq else 1)
-                vals = seg[i + 1 : i + 1 + n]
-                qt[tq] = (
-                    list(vals)
-                    if not pq
-                    else [v for (v,) in struct.iter_unpack(">H", vals)]
-                )
-                i += 1 + n
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0xF
-                bits = seg[i + 1 : i + 17]
-                nvals = sum(bits)
-                vals = seg[i + 17 : i + 17 + nvals]
-                huff[(tc, th)] = {
-                    (ln, code): v
-                    for v, code, ln in _canonical_code_triples(bits, vals)
-                }
-                i += 17 + nvals
+            _parse_dht(seg, huff)
         elif marker == 0xC0 or marker == 0xC1:
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
@@ -679,6 +692,9 @@ def _decode_jpeg_luma_progressive(payload: bytes) -> tuple[int, int, float]:
     restart_interval = 0
     coef: dict[int, list[int]] = {}  # component id -> DC values in traversal order
     seen_first: set[int] = set()
+    # component id -> traversal mode of its FIRST DC scan ("mcu" for an
+    # interleaved scan, "raster" for a single-component scan)
+    first_mode: dict[int, str] = {}
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("expected marker")
@@ -695,29 +711,9 @@ def _decode_jpeg_luma_progressive(payload: bytes) -> tuple[int, int, float]:
         (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + length]
         if marker == 0xDB:
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0xF
-                n = 64 * (2 if pq else 1)
-                vals = seg[i + 1 : i + 1 + n]
-                qt[tq] = (
-                    list(vals)
-                    if not pq
-                    else [v for (v,) in struct.iter_unpack(">H", vals)]
-                )
-                i += 1 + n
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0xF
-                bits = seg[i + 1 : i + 17]
-                nvals = sum(bits)
-                vals = seg[i + 17 : i + 17 + nvals]
-                huff[(tc, th)] = {
-                    (ln, code): v
-                    for v, code, ln in _canonical_code_triples(bits, vals)
-                }
-                i += 17 + nvals
+            _parse_dht(seg, huff)
         elif marker == 0xC2:
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
@@ -768,10 +764,27 @@ def _decode_jpeg_luma_progressive(payload: bytes) -> tuple[int, int, float]:
                 units = ((cw + 7) // 8) * ((chh + 7) // 8)
                 per_unit = [(0, 1)]
             first_pass = ah == 0
+            mode = "mcu" if ns > 1 else "raster"
             for comp, _, _ in scan:
                 coef.setdefault(comp[0], [])
-                if first_pass and comp[0] in seen_first:
-                    raise ValueError("duplicate first DC scan for component")
+                if first_pass:
+                    if comp[0] in seen_first:
+                        raise ValueError("duplicate first DC scan for component")
+                    first_mode[comp[0]] = mode
+                elif first_mode.get(comp[0], mode) != mode and comp[1] * comp[2] != 1:
+                    # coef[] stores values in the FIRST scan's traversal
+                    # order; the refinement cursor walks THIS scan's
+                    # order.  For an h=v=1 component the two orders
+                    # provably coincide (the MCU grid IS the block
+                    # raster: ceil(ceil(w/hmax)/8) == ceil(w/(8*hmax))),
+                    # but a subsampled component interleaves h*v blocks
+                    # per MCU (plus edge padding), so a mixed-interleave
+                    # refinement would OR bits into the wrong blocks —
+                    # refuse loudly instead of returning silent wrong luma
+                    raise ValueError(
+                        "DC refinement interleaving differs from the first "
+                        "DC scan for a subsampled component"
+                    )
             cursor = {ci: 0 for ci in range(len(scan))}
             pred = [0] * len(scan)
             n_rst = 0
@@ -1210,8 +1223,14 @@ def frame_mean_luma(rgb: bytes) -> float:
     n = len(rgb) // 3
     if n == 0:
         return 0.0
-    # int64 channel sums are exact (the float math below is unchanged)
-    sums = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    # int64 channel sums are exact (the float math below is unchanged);
+    # trailing bytes of a truncated buffer are ignored (n = len // 3),
+    # matching the pre-numpy strided-slice behavior
+    sums = (
+        np.frombuffer(rgb, dtype=np.uint8, count=n * 3)
+        .reshape(-1, 3)
+        .sum(axis=0, dtype=np.int64)
+    )
     sum_r, sum_g, sum_b = (int(s) for s in sums)
     return (0.299 * (sum_r / n) + 0.587 * (sum_g / n) + 0.114 * (sum_b / n)) / 255.0
 

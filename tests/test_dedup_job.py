@@ -70,6 +70,28 @@ def test_dedup_job_three_run_crash_resume(spark, tmp_path, docs):
     assert not r4["pairs_built"] and r4["stage"] == "noop"
 
 
+def test_dedup_job_zero_signature_rows_converges(spark, tmp_path):
+    """Every doc shorter than the shingle width -> the signatures stage
+    completes all buckets but writes ZERO rows.  The pairs stage must
+    still converge (empty pairs + marker) instead of crashing on
+    schema inference over the data-less table — and a re-submit must
+    be a pure no-op, not a permanently-retried crash."""
+    from bookextract_spark.operators.dedup_checkpoint import pairs_path
+
+    base = tmp_path / "dedup_short"
+    short = spark.createDataFrame(
+        [(i, "one two") for i in range(40)], "doc_id long, text string"
+    )
+    r1 = _run(spark, short, base)
+    assert not r1["crashed"] and r1["pairs_built"]
+    got = spark.read.parquet(pairs_path(str(base)))
+    assert got.count() == 0 and got.columns == ["a_id", "b_id"]
+
+    r2 = _run(spark, short, base)
+    assert r2["pending_before"] == 0 and r2["stage"] == "noop"
+    assert not r2["pairs_built"]
+
+
 def test_dedup_job_cli_smoke(spark, tmp_path, monkeypatch):
     """jobs/dedup_job.py end-to-end through its argparse surface,
     including the --id-expr path for transcript-shaped input.  The

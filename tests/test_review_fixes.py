@@ -463,6 +463,82 @@ def test_jpeg_progressive_malformed_and_unsupported():
         decode_jpeg_luma(sof10)
 
 
+def test_frame_mean_luma_truncated_buffer():
+    """Trailing bytes of a truncated RGB buffer are ignored (n=len//3),
+    not a reshape crash — the pre-numpy strided-slice behavior."""
+    from bookextract_spark.operators.multimodal import frame_mean_luma
+
+    full = bytes([100, 150, 200] * 4)
+    assert frame_mean_luma(full + b"\x07") == frame_mean_luma(full)
+    assert frame_mean_luma(full + b"\x07\x08") == frame_mean_luma(full)
+    assert frame_mean_luma(b"") == 0.0
+    assert frame_mean_luma(b"\x01\x02") == 0.0
+
+
+def test_jpeg_progressive_mixed_interleave_refinement():
+    """The DC coefficient store is in the FIRST scan's traversal order;
+    a refinement scan with DIFFERENT interleaving walks a different
+    order.  For a SUBSAMPLED component (h*v > 1) that would OR bits
+    into the wrong blocks — must refuse loudly.  For an h=v=1
+    component the two orders provably coincide — must decode."""
+    import struct
+
+    import pytest as _pytest
+
+    from bookextract_spark.operators import multimodal as mm
+
+    def stream(refine_comp: int) -> bytes:
+        # 16x16, Y(id 1) h=v=2 -> 4 blocks/MCU, C(id 2) h=v=1 -> 1
+        # block/MCU; one MCU total.  First DC scan interleaved (Al=1),
+        # then a SINGLE-COMPONENT refinement for `refine_comp`.
+        dc_codes = mm._canonical_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 14, 8, 16, 16, 2)
+        out += bytes([1, 0x22, 0])  # Y: h=2, v=2
+        out += bytes([2, 0x11, 0])  # C: h=1, v=1
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + len(mm._JPEG_DC_VALS))
+            + b"\x00"
+            + bytes(mm._JPEG_DC_BITS)
+            + bytes(mm._JPEG_DC_VALS)
+        )
+        # interleaved first DC scan: 4 Y blocks then 1 C block, all
+        # diffs zero (category-0 code each), Ah=0 Al=1
+        out += b"\xff\xda" + struct.pack(">HB", 10, 2) + bytes(
+            [1, 0x00, 2, 0x00, 0, 0, 0x01]
+        )
+        w = mm._BitWriter()
+        code, ln = dc_codes[0]
+        for _ in range(5):
+            w.write(code, ln)
+        out += w.flush()
+        # single-component DC refinement (Ah=1 Al=0): raster blocks of
+        # that component — 4 raw bits for Y (16x16 at h=v=2), 1 for C
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [refine_comp, 0x00, 0, 0, 0x10]
+        )
+        w = mm._BitWriter()
+        for _ in range(4 if refine_comp == 1 else 1):
+            w.write(0, 1)
+        out += w.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # subsampled Y: MCU order != raster order -> loud refusal (and the
+    # decode_image caller falls back to header dims)
+    with _pytest.raises(ValueError, match="interleav"):
+        mm.decode_jpeg_luma(stream(1))
+    assert mm.decode_image(stream(1), fake=False) == (16, 16, None)
+
+    # h=v=1 C component: orders coincide, decode proceeds; the luma is
+    # the Y DC mean (all-zero DCs -> 128/255)
+    w_, h_, luma = mm.decode_jpeg_luma(stream(2))
+    assert (w_, h_) == (16, 16)
+    assert abs(luma - 128.0 / 255.0) < 1e-12
+
+
 def test_jpeg_truncated_entropy_raises():
     from bookextract_spark.operators.multimodal import (
         decode_jpeg_luma,
