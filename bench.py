@@ -327,7 +327,9 @@ def run_dedup_scaling() -> None:
             print(f"# dedup warmup {i} at local[{cores}]: {time.time() - t0:.1f}s",
                   file=sys.stderr)
         best = float("inf")
-        for i in range(5):
+        n_runs = int(os.environ.get("SPARK_GRAFT_DEDUP_RUNS", 5))
+        allow_break = os.environ.get("SPARK_GRAFT_DEDUP_ALLRUNS", "") != "1"
+        for i in range(n_runs):
             t0 = time.time()
             _noop_write(minhash_dedup(t, threshold=0.8))
             dt = time.time() - t0
@@ -341,7 +343,7 @@ def run_dedup_scaling() -> None:
             # dt must not itself be a new improvement (a still-warming
             # JIT keeps producing new bests; breaking on one records
             # an under-warmed point)
-            if i >= 2 and prev_best <= dt <= prev_best * 1.1:
+            if allow_break and i >= 2 and prev_best <= dt <= prev_best * 1.1:
                 break
         out["points"][f"local{cores}"] = {
             "sec": round(best, 3),

@@ -281,13 +281,15 @@ def _minhash_band_keys_arrow_udf(n: int, k: int, bands: int):
     each batch's DISTINCT shingles are bucketed by byte length and run
     through ``xxh64_fixed_len`` (numpy XXH64 over a same-length byte
     matrix, bit-equal to the scalar form) — no per-shingle Python loop
-    remains.  The seeded (distinct, k) matrix is evaluated in 8k-row
-    chunks so its ~15-temporary op chain stays cache-resident instead
-    of streaming tens of MB through DRAM per op — this plus the
-    vectorized string hash took the measured 4->16-core efficiency of
-    the whole dedup pass from 0.59 to 0.81 on one shared-bandwidth box
-    (BENCH/dedup_scaling_r4.json) and its wall time down 2.5x.  One
-    Arrow batch per stage; no per-row
+    remains.  The seeded mins are evaluated ONE SEED AT A TIME over
+    (distinct,)-sized arrays instead of materializing the
+    (distinct, k) matrix and its (occurrences, k) gather (~2x 200 MB
+    per Arrow batch): per seed everything in flight is a few MB, so
+    each worker's working set stays cache-resident and concurrent
+    workers stop serializing on the shared L3/DRAM — measured
+    16-process kernel slowdown 2.2x -> 1.06x, solo kernel ~3x faster
+    (numbers + the earlier chunked-matrix step in BENCH/BASELINE.md
+    and PLANS.md).  One Arrow batch per stage; no per-row
     Python in the JVM plan.  This is the same treatment that took the
     ANN bucket keys 27x faster (``similarity.py``); measured effect in
     PLANS.md."""
@@ -351,21 +353,25 @@ def _band_keys_batch(texts, n: int, k: int, bands: int) -> list:
     )
     Hu = xxh64_many([s.encode("utf-8") for s in index])
     Tu = _hash_long(Hu, U(42))  # xxhash64(shingle-string) per DISTINCT shingle
-    # seeded (distinct, k) matrix in row chunks: the full-matrix form
-    # chains ~15 temporaries of n_shingles*k*8 bytes (tens of MB each)
-    # through DRAM; 8k-row chunks keep every temporary cache-resident,
-    # which is what lets 16 concurrent workers scale on one box
-    su = np.empty((Tu.shape[0], k), dtype=np.int64)
-    step = 8192
-    for a in range(0, Tu.shape[0], step):
-        su[a : a + step] = _hash_int(seeds[None, :], Tu[a : a + step, None]).view(
-            np.int64
-        )
-    si = su[inv]  # back to occurrence order; array_min compares SIGNED longs
+    # per-SEED evaluation: one (distinct,) seeded column at a time,
+    # gathered to occurrence order and min-reduced into its mins column
+    # (array_min compares SIGNED longs).  The earlier (distinct, k)
+    # matrix + (occurrences, k) gather materialized ~2x 200 MB per
+    # Arrow batch — 16 workers serialized on the shared L3/DRAM (the
+    # measured dedup cores-efficiency ceiling).  Per seed, every array
+    # in flight (Tu, su_s, inv, the gather, one mins column) is a few
+    # MB, so the whole loop stays cache-resident per worker: measured
+    # 16-process slowdown fell from 2.2x to 1.06x and the solo kernel
+    # got ~3x faster (BENCH/BASELINE.md round-4).
     ne_counts = counts[ne]
     starts = np.zeros(len(ne_counts), dtype=np.int64)
     np.cumsum(ne_counts[:-1], out=starts[1:])
-    mins = np.minimum.reduceat(si, starts, axis=0)  # (n_docs_ne, k)
+    mins = np.empty((len(ne_counts), k), dtype=np.int64)
+    for s in range(k):
+        # seeds[s:s+1]: (1,) array, broadcasts against Tu without
+        # numpy's scalar-overflow warnings (wraparound is intended)
+        su_s = _hash_int(seeds[s : s + 1], Tu).view(np.int64)
+        mins[:, s] = np.minimum.reduceat(su_s[inv], starts)
     mu = mins.view(np.uint64)
     nrows = mu.shape[0]
     keys = np.empty((nrows, bands), dtype=np.int64)
@@ -582,8 +588,26 @@ def minhash_dedup(
         persist_signatures=persist_signatures, persisted_out=persisted_out,
         arrow=arrow,
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), _shingle_col(text_col, n, arrow).alias("sh")
+    # Verify-side SEMI-JOIN reduction: only docs that appear in a
+    # candidate pair need shingles (measured 5.9% of the 857k-turn
+    # fixture; the ratio shrinks as the corpus grows, since the
+    # candidate set is bounded by real near-dups + band collisions).
+    # Broadcasting the id set (bounded by 2x pairs, ids only) pushes
+    # the filter below the shingle projection, so the verify-side
+    # Python pass AND the join exchange carry the candidate set's
+    # arrays, not the corpus's.  The candidate subtree feeds both this
+    # branch and the melt below; its shuffles dedupe via
+    # ReusedExchange, so the signature pipeline still EXECUTES once
+    # (same plan-audit-pinned trick as the band self-join itself).
+    cand_ids = cands.select(
+        F.explode(F.array("a_id", "b_id")).alias("_cand_id")
+    ).distinct()
+    sh = (
+        df.join(
+            F.broadcast(cand_ids), F.col(id_col) == F.col("_cand_id"), "left_semi"
+        ).select(
+            F.col(id_col).alias("id"), _shingle_col(text_col, n, arrow).alias("sh")
+        )
     )
     # Verify-side scan reuse: melt each candidate pair into one row per
     # member and join the shingle frame ONCE, then pivot back with a

@@ -63,14 +63,21 @@ BUDGETS = {
     "simhash_near": (5, 0, 0, 2),
     "curation_filter": (1, 0, 0, 1),
     "dedup_exact": (1, 0, 0, 1),
-    # minhash (round-4 Arrow rewrite): the banded signature pipeline is
-    # one Arrow stage per self-join side in the STATIC plan, but both
-    # sides are fed by one repartition(band, bucket) exchange that AQE
-    # dedupes at runtime (ReusedExchange) — the pipeline EXECUTES once;
-    # the third Arrow stage/scan is the verify-side shingle frame
-    # (melt-join-pivot).  Exchanges: banded repartition + candidate
-    # pair pivot + verify pair groupBy; broadcast = melted candidates.
-    "minhash_dedup": (3, 1, 3, 3),
+    # minhash (round-4 Arrow rewrite + verify semi-join): the banded
+    # signature pipeline is one Arrow stage per self-join side in the
+    # STATIC plan, fed by one repartition(band, bucket) exchange that
+    # AQE dedupes at runtime (ReusedExchange) — the pipeline EXECUTES
+    # once.  The verify side joins shingles only for docs that appear
+    # in a candidate pair (5.9% of the fixture; shrinking with corpus
+    # size — verify cost scales with the CANDIDATE SET, not the
+    # corpus): the broadcast cand-id semi-join filter sits below the
+    # verify shingle stage, and its id branch statically re-plans the
+    # whole candidate subtree (hence the doubled static counts).
+    # Runtime final plan verified: 6x ReusedExchange, every duplicated
+    # exchange deduped, signature pipeline executed once (probe
+    # recorded in PLANS.md round-4).  Broadcasts: melted candidates +
+    # the cand-id set.
+    "minhash_dedup": (7, 2, 5, 5),
     # ngram-jaccard (round-4 Arrow rewrite): one struct-returning Arrow
     # shingle stage per self-join side (statically planned twice, fed
     # by one repartition(s) exchange AQE-reused at runtime -> executes
