@@ -285,6 +285,19 @@ def _dc_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+def _validate_sof(w: int, h: int, comps: list) -> None:
+    """Reject spec-illegal SOF values that a corrupt byte can produce.
+    T.81 requires sampling factors in 1-4 and nonzero dimensions; a
+    zero factor or dimension would otherwise surface as
+    ZeroDivisionError from the MCU-grid math — the wrong exception
+    type for ``decode_image``'s damaged-stream fallback, which catches
+    exactly ValueError/NotImplementedError."""
+    if w == 0 or h == 0:
+        raise ValueError("invalid JPEG SOF: zero image dimension")
+    if not comps or any(c[1] == 0 or c[2] == 0 for c in comps):
+        raise ValueError("invalid JPEG SOF: no components or zero sampling factor")
+
+
 def encode_gray_blocks_jpeg(block_grays: list[list[int]], width: int, height: int) -> bytes:
     """Grayscale baseline JPEG whose 8x8 blocks are solid tiles of
     ``block_grays[by][bx]`` (the coded grid must cover width x height).
@@ -562,7 +575,7 @@ def decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
     malformed ones — the caller falls back to header-dims-only."""
     try:
         return _decode_jpeg_luma(payload)
-    except (IndexError, KeyError, struct.error) as exc:
+    except (IndexError, KeyError, struct.error, ZeroDivisionError) as exc:
         # malformed-stream paths too obscure to guard individually
         # (a scan referencing an undefined quant/huffman table, a
         # segment header truncated mid-field) must still keep the
@@ -609,6 +622,7 @@ def _decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
+            _validate_sof(w, h, comps)
             sof = (w, h, comps)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -722,6 +736,7 @@ def _decode_jpeg_luma_progressive(payload: bytes) -> tuple[int, int, float]:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
+            _validate_sof(w, h, comps)
             sof = (w, h, comps)
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE):
             raise ValueError("unexpected second SOF in progressive stream")
@@ -1367,6 +1382,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
         body = payload[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
         if tag == b"fmt ":
+            if len(body) < 16:
+                # corrupt/truncated size field: struct.error is the
+                # wrong exception type for the ValueError contract
+                raise ValueError("truncated WAV fmt chunk")
             fmt_code, n_channels, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -1376,6 +1395,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
             data = body
     if sample_rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if n_channels == 0 or sample_rate == 0:
+        # corrupt fmt chunk: the frame/duration math below would
+        # ZeroDivisionError — keep the documented ValueError contract
+        raise ValueError("invalid WAV fmt: zero channels or sample rate")
     samples = array.array("h")
     samples.frombytes(data[: len(data) - len(data) % 2])
     n_frames = len(samples) // n_channels

@@ -1,0 +1,191 @@
+"""Property fuzz over the pure-Python media codecs (no Spark session).
+
+Hypothesis-generated inputs; shrinking finds minimal counterexamples.
+Four invariant families:
+
+* baseline and progressive JPEG encode->decode round-trips are EXACT
+  (decoded mean luma == mean of the coded block grays) at arbitrary
+  dims, tile contents, and successive-approximation depth — and the
+  two coding processes agree on the identical decoded tuple;
+* MJPEG AVI mux -> ``avi_frame_stats`` equals per-frame still decode
+  at any sampling stride;
+* failure contract: truncating or flipping ONE byte of a valid JPEG
+  must either decode to a well-typed tuple or raise exactly
+  ValueError/NotImplementedError — ``decode_image`` catches those two
+  to fall back to header dims, so any other exception type (the
+  ZeroDivisionError a zero sampling factor used to produce) would
+  kill a 100 TB task instead of yielding a null-luma row;
+* the same wrong-type-exception contract for ``decode_wav`` (zero
+  n_channels / sample_rate from a corrupt fmt chunk).
+"""
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bookextract_spark.operators.multimodal import (
+    avi_frame_stats,
+    decode_image,
+    decode_jpeg_luma,
+    decode_wav,
+    encode_avi_mjpeg,
+    encode_gray_blocks_jpeg,
+    encode_gray_blocks_jpeg_progressive,
+    encode_solid_jpeg,
+)
+
+FUZZ = settings(
+    max_examples=150,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# a block grid plus dims it covers: bw,bh in 1..4, dims hang 1..8 px
+# into the last block column/row (exercises odd, non-multiple-of-8 dims)
+grids = st.integers(1, 4).flatmap(
+    lambda bw: st.integers(1, 4).flatmap(
+        lambda bh: st.tuples(
+            st.lists(
+                st.lists(st.integers(0, 255), min_size=bw, max_size=bw),
+                min_size=bh,
+                max_size=bh,
+            ),
+            st.integers(8 * bw - 7, 8 * bw),
+            st.integers(8 * bh - 7, 8 * bh),
+        )
+    )
+)
+
+
+def _expected_mean(grid: list[list[int]]) -> float:
+    flat = [float(g) for row in grid for g in row]
+    return (sum(flat) / len(flat)) / 255.0
+
+
+@FUZZ
+@given(grids)
+def test_baseline_roundtrip_exact(gwh):
+    grid, w, h = gwh
+    dec_w, dec_h, luma = decode_jpeg_luma(encode_gray_blocks_jpeg(grid, w, h))
+    assert (dec_w, dec_h) == (w, h)
+    assert luma == _expected_mean(grid)
+
+
+@FUZZ
+@given(gwh=grids, al=st.integers(0, 3))
+def test_progressive_roundtrip_exact_and_equals_baseline(gwh, al):
+    grid, w, h = gwh
+    prog = decode_jpeg_luma(encode_gray_blocks_jpeg_progressive(grid, w, h, al=al))
+    assert prog == decode_jpeg_luma(encode_gray_blocks_jpeg(grid, w, h))
+    assert prog == (w, h, _expected_mean(grid))
+
+
+@FUZZ
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 32),
+    grays=st.lists(st.integers(0, 255), min_size=1, max_size=5),
+    every_n=st.integers(1, 6),
+)
+def test_mjpeg_avi_stats_equal_still_decode(w, h, grays, every_n):
+    frames = [encode_solid_jpeg(w, h, g) for g in grays]
+    aw, ah, fps, n, stats = avi_frame_stats(
+        encode_avi_mjpeg(w, h, 10, frames), every_n=every_n
+    )
+    assert (aw, ah, fps, n) == (w, h, 10, len(frames))
+    assert [i for i, _, _ in stats] == list(range(0, len(frames), every_n))
+    for i, luma, _sha in stats:
+        assert luma == decode_jpeg_luma(frames[i])[2]
+
+
+# -- failure contract: only ValueError / NotImplementedError may escape --
+
+_CONTRACT = (ValueError, NotImplementedError)
+
+
+def _assert_contract(payload: bytes) -> None:
+    try:
+        out = decode_jpeg_luma(payload)
+    except _CONTRACT:
+        return
+    assert isinstance(out, tuple) and len(out) == 3
+    w, h, luma = out
+    assert isinstance(w, int) and isinstance(h, int)
+    assert isinstance(luma, float)
+    # decode_image's fallback must accept the same payload unchanged
+    dw, dh, _ = decode_image(payload, fake=False)
+    assert (dw, dh) == (w, h)
+
+
+@FUZZ
+@given(gwh=grids, data=st.data(), progressive=st.booleans())
+def test_jpeg_truncation_contract(gwh, data, progressive):
+    grid, w, h = gwh
+    enc = (
+        encode_gray_blocks_jpeg_progressive(grid, w, h, al=1)
+        if progressive
+        else encode_gray_blocks_jpeg(grid, w, h)
+    )
+    cut = data.draw(st.integers(0, len(enc) - 1))
+    _assert_contract(enc[:cut])
+
+
+@FUZZ
+@given(gwh=grids, data=st.data(), progressive=st.booleans())
+def test_jpeg_byteflip_contract(gwh, data, progressive):
+    grid, w, h = gwh
+    enc = bytearray(
+        encode_gray_blocks_jpeg_progressive(grid, w, h, al=1)
+        if progressive
+        else encode_gray_blocks_jpeg(grid, w, h)
+    )
+    # flip past SOI so the JPEG dispatch in decode_image still fires
+    pos = data.draw(st.integers(2, len(enc) - 1))
+    enc[pos] ^= data.draw(st.integers(1, 255))
+    _assert_contract(bytes(enc))
+
+
+def test_zero_sampling_factor_is_value_error():
+    """Regression pin for the fuzz find this file shipped with: a
+    corrupt SOF sampling factor of 0 used to ZeroDivisionError out of
+    the MCU-grid math, escaping decode_image's fallback catch."""
+    j = bytearray(encode_solid_jpeg(16, 16, 100))
+    hv_off = j.find(b"\xff\xc0") + 2 + 8 + 1  # comp 1's h/v byte
+    assert j[hv_off] == 0x11
+    j[hv_off] = 0x00
+    with pytest.raises(ValueError):
+        decode_jpeg_luma(bytes(j))
+    assert decode_image(bytes(j), fake=False) == (16, 16, None)
+
+
+def _valid_wav() -> bytearray:
+    from bookextract_spark.operators.multimodal import encode_wav_pcm16
+
+    return bytearray(encode_wav_pcm16(8000, [100, -100, 50, -50]))
+
+
+def test_wav_zero_fmt_fields_are_value_error():
+    """Zero n_channels / sample_rate from a corrupt fmt chunk must be
+    ValueError, not ZeroDivisionError (same contract family as above)."""
+    for field_off in (2, 4):  # n_channels, sample_rate lo-byte in fmt body
+        wav = _valid_wav()
+        fmt_body = wav.find(b"fmt ") + 8
+        wav[fmt_body + field_off : fmt_body + field_off + 2] = b"\x00\x00"
+        if field_off == 4:
+            wav[fmt_body + 6 : fmt_body + 8] = b"\x00\x00"  # rate is 4 bytes
+        with pytest.raises(ValueError):
+            decode_wav(bytes(wav))
+
+
+@FUZZ
+@given(data=st.data())
+def test_wav_byteflip_contract(data):
+    wav = _valid_wav()
+    pos = data.draw(st.integers(12, len(wav) - 1))  # keep RIFF/WAVE magic
+    wav[pos] ^= data.draw(st.integers(1, 255))
+    try:
+        out = decode_wav(bytes(wav))
+    except (ValueError, NotImplementedError):
+        return
+    assert isinstance(out, tuple) and len(out) == 6
