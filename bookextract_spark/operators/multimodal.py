@@ -187,7 +187,28 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         # such would return silently-wrong luma; refuse loudly instead
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    pixels = _unfilter_scanlines(zlib.decompress(bytes(idat)), width, height, channels)
+    expected = (width * channels + 1) * height
+    if expected > 1 << 27:
+        # a corrupt width/height byte can claim multi-GB geometry; the
+        # unfilter pass pre-allocates stride*height, so bound it (128 MB
+        # covers any real image this decoder should see) before touching
+        # pixel data — ValueError -> decode_image's header-dims fallback
+        raise ValueError("PNG geometry exceeds the decoder's 128 MB pixel budget")
+    try:
+        # bounded decompress: an IDAT zlib bomb must not expand past the
+        # IHDR-implied size (+1 so oversize is detectable, not truncated)
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"damaged PNG pixel data: {exc}") from exc
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG pixel data size {len(raw)} does not match IHDR geometry {expected}"
+        )
+    try:
+        pixels = _unfilter_scanlines(raw, width, height, channels)
+    except IndexError as exc:
+        # keep the ValueError contract so the header-dims fallback fires
+        raise ValueError(f"damaged PNG pixel data: {type(exc).__name__}: {exc}") from exc
     n = width * height
     if n == 0:
         return width, height, 0.0
@@ -200,6 +221,20 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         for i in range(0, len(pixels), channels):
             total += 0.299 * pixels[i] + 0.587 * pixels[i + 1] + 0.114 * pixels[i + 2]
     return width, height, (total / n) / 255.0
+
+
+def decode_png_dims(payload: bytes) -> tuple[int, int, float | None]:
+    """PNG dimensions from IHDR (header parse only — luma is None).
+    The fallback target when the pixel data is damaged or the coding
+    variant (interlaced, 16-bit) has no pure-stdlib decoder; raises
+    ValueError only if the header itself is broken — the same contract
+    as :func:`decode_jpeg_dims`."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    if payload[12:16] != b"IHDR" or len(payload) < 24:
+        raise ValueError("PNG missing IHDR")
+    width, height = struct.unpack(">II", payload[16:24])
+    return width, height, None
 
 
 # --------------------------------------------------------------------------
@@ -881,12 +916,18 @@ def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float | None]:
     baseline-sequential AND progressive-huffman JPEG (full entropy
     decode of the DC plane — exact block-mean luminance; see
     :func:`decode_jpeg_luma` / :func:`_decode_jpeg_luma_progressive`);
-    arithmetic/12-bit JPEG — and streams with damaged entropy data —
-    fall back to header dims with luma None.  ``fake=True`` falls back to the deterministic
+    arithmetic/12-bit JPEG, interlaced/16-bit PNG — and streams with
+    damaged entropy/pixel data — fall back to header dims with luma
+    None.  ``fake=True`` falls back to the deterministic
     sha-derived fake for opaque non-image payloads so the distributed
     plumbing stays testable end-to-end."""
     if payload[:8] == _PNG_SIG:
-        return decode_png(payload)
+        try:
+            return decode_png(payload)
+        except (NotImplementedError, ValueError):
+            # unsupported variant (interlaced, 16-bit) OR damaged pixel
+            # data — same header-dims fallback as the JPEG branch
+            return decode_png_dims(payload)
     if payload[:2] == b"\xff\xd8":
         try:
             return decode_jpeg_luma(payload)

@@ -28,10 +28,12 @@ from bookextract_spark.operators.multimodal import (
     avi_frame_stats,
     decode_image,
     decode_jpeg_luma,
+    decode_png,
     decode_wav,
     encode_avi_mjpeg,
     encode_gray_blocks_jpeg,
     encode_gray_blocks_jpeg_progressive,
+    encode_png_gray,
     encode_solid_jpeg,
 )
 
@@ -157,6 +159,47 @@ def test_zero_sampling_factor_is_value_error():
     with pytest.raises(ValueError):
         decode_jpeg_luma(bytes(j))
     assert decode_image(bytes(j), fake=False) == (16, 16, None)
+
+
+@FUZZ
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_exact(w, h, seed):
+    vals = [(seed * 1103515245 + x * 257 + y * 8191) % 256 for y in range(h) for x in range(w)]
+    enc = encode_png_gray(w, h, lambda x, y: vals[y * w + x])
+    dw, dh, luma = decode_png(enc)
+    assert (dw, dh) == (w, h)
+    assert luma == (sum(vals) / len(vals)) / 255.0
+
+
+@FUZZ
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    gray=st.integers(0, 255),
+    data=st.data(),
+    mode=st.sampled_from(["truncate", "flip"]),
+)
+def test_png_corruption_contract(w, h, gray, data, mode):
+    """Any corruption of a valid PNG past its 8-byte signature must
+    yield a well-typed tuple or ValueError/NotImplementedError from
+    decode_image — never zlib.error / struct.error / IndexError
+    (regression pin: the PNG branch of decode_image used to be
+    unwrapped, so damaged pixel data killed the task)."""
+    enc = bytearray(encode_png_gray(w, h, lambda x, y: gray))
+    if mode == "truncate":
+        enc = enc[: data.draw(st.integers(8, len(enc) - 1))]
+    else:
+        pos = data.draw(st.integers(8, len(enc) - 1))
+        enc[pos] ^= data.draw(st.integers(1, 255))
+    try:
+        out = decode_image(bytes(enc), fake=False)
+    except (ValueError, NotImplementedError):
+        return
+    assert isinstance(out, tuple) and len(out) == 3
 
 
 def _valid_wav() -> bytearray:
