@@ -2419,6 +2419,86 @@ FROM base, unnest(range(1, 5)) AS u(n)
 """
 
 
+def q_s7_quarantine(spark, sf_dir):
+    """S7 robustness: the scraped-corpus QUARANTINE mode of the EPUB
+    source (``parse_epub_column(on_error="quarantine")`` — the S5
+    ``split_quarantine`` pattern over a parse ``from_json`` can't
+    express).  One payload per document: ``doc_id % 5 == 3`` is the
+    valid EPUB truncated to 60 bytes (``BadZipFile``), ``% 5 == 4`` a
+    genuine zip MISSING ``META-INF/container.xml`` (``KeyError``),
+    else the 3-chapter EPUB (parses to 4 rows incl. the nav TOC).  A
+    bad payload becomes ONE error row instead of killing the stage —
+    the contract a 10^12-row binary column needs.  One aggregation
+    over the widened frame (no split, so the parse executes once)
+    yields per-doc chapter/quarantine counts + the exception kind —
+    closed-form in doc_id for the oracle."""
+    import io as _io
+    import zipfile as _zf
+
+    import pandas as pd  # noqa: F811 — worker-side import pattern
+
+    from bookextract_spark.sources.epub import parse_epub_column
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from bookextract_spark.sources.epub import build_epub_bytes
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = build_epub_bytes(
+                    title=f"Book {d % 40}",
+                    author="Auth",
+                    identifier=f"id{d}",
+                    chapters=[
+                        (
+                            f"c{i}",
+                            f"ch{i}.xhtml",
+                            f"<html><body><h1>Ch {i}</h1><p>b {d} {i}</p></body></html>",
+                        )
+                        for i in (1, 2, 3)
+                    ],
+                    spine_ids=["c1", "c2", "c3"],
+                )
+                if d % 5 == 3:
+                    payload = payload[:60]
+                elif d % 5 == 4:
+                    src = _zf.ZipFile(_io.BytesIO(payload))
+                    buf = _io.BytesIO()
+                    with _zf.ZipFile(buf, "w", _zf.ZIP_STORED) as out:
+                        for name in src.namelist():
+                            if name != "META-INF/container.xml":
+                                out.writestr(name, src.read(name))
+                    payload = buf.getvalue()
+                rows.append((f"mem://{d}", payload))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    binary = docs.mapInPandas(gen, schema="path string, content binary")
+    parsed = parse_epub_column(binary, on_error="quarantine")
+    return (
+        parsed.groupBy(
+            F.regexp_extract("path", r"mem://(\d+)", 1).cast("long").alias("doc_id")
+        )
+        .agg(
+            F.sum(F.col("error").isNull().cast("int")).cast("int").alias("n_chapters"),
+            F.sum(F.col("error").isNotNull().cast("int")).cast("int").alias("n_quarantined"),
+            F.max(F.substring_index("error", ":", 1)).alias("error_kind"),
+        )
+    )
+
+
+SQL_S7_QUAR = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 0 ELSE 4 END AS INT) AS n_chapters,
+  CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 1 ELSE 0 END AS INT) AS n_quarantined,
+  CASE WHEN doc_id % 5 = 3 THEN 'BadZipFile'
+       WHEN doc_id % 5 = 4 THEN 'KeyError' END AS error_kind
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # O11 page_division sub-chapter split (epub_generator.py:186-196,253-264)
 # --------------------------------------------------------------------------
@@ -3566,6 +3646,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # proof, and this standalone construction stays oracle-checked in
     # the local replica.
     "s6_book_info": (q_s6_book_info, SQL_S6),
+    # late round 4, tail (S7's strict parse is head-proven by
+    # s7_epub_roundtrip; this adds the scraped-corpus quarantine mode —
+    # planted truncated-zip and missing-container payloads become error
+    # rows instead of killing the stage)
+    "s7_quarantine": (q_s7_quarantine, SQL_S7_QUAR),
 }
 
 # Cross-check twins: oracle-verified locally (test_oracle_parity runs

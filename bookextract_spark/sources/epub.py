@@ -25,6 +25,7 @@ from xml.etree import ElementTree as ET
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -173,24 +174,87 @@ def parse_epub_bytes(payload: bytes, path: str) -> list[dict]:
     return rows
 
 
-def parse_epub_column(binary: DataFrame, path_col: str = "path", payload_col: str = "content") -> DataFrame:
+EPUB_QUARANTINE_SCHEMA = StructType(
+    list(EPUB_CHAPTER_SCHEMA.fields)
+    + [
+        StructField("error", StringType(), True),
+        StructField("raw_payload", BinaryType(), True),
+    ]
+)
+
+
+def parse_epub_column(
+    binary: DataFrame,
+    path_col: str = "path",
+    payload_col: str = "content",
+    on_error: str = "fail",
+) -> DataFrame:
     """Parse a (path, zip-bytes) frame into chapter rows — the S7 parse
     stage over ANY binary source (binaryFile scan, an Iceberg binary
-    column, or engine-built payloads)."""
+    column, or engine-built payloads).
+
+    ``on_error="fail"`` (default) keeps the strict contract: one
+    malformed payload fails the stage loudly — right when the table is
+    engine-built.  ``on_error="quarantine"`` is the scraped-corpus
+    shape (the S5 ``split_quarantine`` pattern over a parse no
+    ``from_json`` can express): each bad payload becomes ONE row with
+    ``error`` = ``ExceptionType: message`` and ``raw_payload``
+    preserved for inspection/replay (chapter fields null, both null on
+    good rows), so a single corrupt zip in a 10^12-row binary column
+    costs one quarantine row instead of the job.  The catch is
+    deliberately broad — zip, XML, OPF, and text decoding each throw
+    their own family, and an untrusted payload must not kill the
+    executor whatever it throws.  Split the result with
+    :func:`split_epub_quarantine`, or aggregate over ``error`` in one
+    pass (two downstream consumers re-execute a ``mapInPandas`` stage;
+    persist or write first if you need both frames materialized)."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be 'fail' or 'quarantine', got {on_error!r}")
+    quarantine = on_error == "quarantine"
+    schema = EPUB_QUARANTINE_SCHEMA if quarantine else EPUB_CHAPTER_SCHEMA
+    cols = [f.name for f in schema.fields]
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in EPUB_CHAPTER_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for path, payload in zip(pdf[path_col], pdf[payload_col]):
-                rows.extend(parse_epub_bytes(bytes(payload), path))
+                data = bytes(payload) if payload is not None else b""
+                if not quarantine:
+                    rows.extend(parse_epub_bytes(data, path))
+                    continue
+                try:
+                    parsed = parse_epub_bytes(data, path)
+                except Exception as exc:  # noqa: BLE001 — see docstring
+                    rows.append(
+                        {
+                            "path": path,
+                            "error": f"{type(exc).__name__}: {exc}",
+                            "raw_payload": data,
+                        }
+                    )
+                    continue
+                for r in parsed:
+                    rows.append({**r, "error": None, "raw_payload": None})
             yield pd.DataFrame(
-                [[r[c] for c in cols] for r in rows], columns=cols
+                [[r.get(c) for c in cols] for r in rows], columns=cols
             )
 
-    return binary.select(path_col, payload_col).mapInPandas(
-        parse, schema=EPUB_CHAPTER_SCHEMA
+    return binary.select(path_col, payload_col).mapInPandas(parse, schema=schema)
+
+
+def split_epub_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split ``parse_epub_column(..., on_error="quarantine")`` output
+    into ``(chapters, quarantined)`` — chapters in the plain
+    ``EPUB_CHAPTER_SCHEMA`` shape, quarantined as (path, error,
+    raw_payload).  Each returned frame re-plans the parse stage; if
+    both will be consumed, persist or checkpoint ``parsed`` first."""
+    chapters = parsed.where(F.col("error").isNull()).select(
+        *[f.name for f in EPUB_CHAPTER_SCHEMA.fields]
     )
+    quarantined = parsed.where(F.col("error").isNotNull()).select(
+        "path", "error", "raw_payload"
+    )
+    return chapters, quarantined
 
 
 def read_epub_chapters(spark: SparkSession, glob_path: str) -> DataFrame:

@@ -192,3 +192,81 @@ def test_build_epub_bytes_zip_structure():
         "mem://bare",
     )
     assert len(bare) == 1 and bare[0]["chapter_title"] == "Chapter 1"
+
+
+def _bad_epub_variants():
+    """(label, payload, expected error-kind prefix) corruption zoo."""
+    from bookextract_spark.sources.epub import build_epub_bytes
+
+    valid = build_epub_bytes(
+        "T", "A", "id1",
+        [("c1", "ch1.xhtml", "<html><body><h1>One</h1><p>p1</p></body></html>")],
+        ["c1"],
+    )
+    import io
+
+    # genuine zip, container.xml removed
+    src = zipfile.ZipFile(io.BytesIO(valid))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in src.namelist():
+            if n != "META-INF/container.xml":
+                out.writestr(n, src.read(n))
+    no_container = buf.getvalue()
+    # genuine zip whose chapter bytes are not UTF-8
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as out:
+        for n in src.namelist():
+            out.writestr(n, b"\xff\xfe\x00bad" if n.endswith("ch1.xhtml") else src.read(n))
+    bad_utf8 = buf2.getvalue()
+    return valid, [
+        ("truncated", valid[:60], "BadZipFile"),
+        ("garbage", b"not a zip at all", "BadZipFile"),
+        ("no_container", no_container, "KeyError"),
+        ("bad_utf8", bad_utf8, "UnicodeDecodeError"),
+    ]
+
+
+def test_epub_quarantine_mode(spark):
+    """on_error='quarantine': every corrupt payload becomes one error
+    row with the raw payload preserved; valid payloads parse to rows
+    identical to the strict mode; the split helper separates them."""
+    from bookextract_spark.sources.epub import (
+        parse_epub_column,
+        split_epub_quarantine,
+    )
+
+    valid, bad = _bad_epub_variants()
+    rows = [("mem://ok", valid)] + [(f"mem://{label}", p) for label, p, _ in bad]
+    binary = spark.createDataFrame(rows, "path string, content binary")
+
+    parsed = parse_epub_column(binary, on_error="quarantine")
+    chapters, quarantined = split_epub_quarantine(parsed)
+
+    q = {r["path"]: r for r in quarantined.collect()}
+    assert set(q) == {f"mem://{label}" for label, _, _ in bad}
+    for label, payload, kind in bad:
+        row = q[f"mem://{label}"]
+        assert row["error"].startswith(kind + ":"), (label, row["error"])
+        assert bytes(row["raw_payload"]) == payload  # preserved for replay
+
+    got = chapters.collect()
+    strict = parse_epub_column(
+        spark.createDataFrame([("mem://ok", valid)], "path string, content binary")
+    ).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in strict]
+    assert all(r["path"] == "mem://ok" for r in got)
+
+
+def test_epub_strict_mode_still_fails_loudly(spark):
+    from pyspark.errors import PythonException
+
+    from bookextract_spark.sources.epub import parse_epub_column
+
+    binary = spark.createDataFrame(
+        [("mem://bad", b"not a zip")], "path string, content binary"
+    )
+    with pytest.raises(PythonException):
+        parse_epub_column(binary).collect()
+    with pytest.raises(ValueError):
+        parse_epub_column(binary, on_error="typo")

@@ -152,6 +152,11 @@ BUDGETS = {
     "o11_html_render": (1, 0, 0, 1),
     "o12_preview": (1, 0, 0, 1),
     "s7_epub_roundtrip": (0, 0, 2, 1),
+    # quarantine mode: same generate+parse Arrow pair, ONE aggregation
+    # over the widened (error-column) frame — no split, the parse
+    # stage plans and executes once; the groupBy(doc_id) is the only
+    # exchange.  Quarantined payloads become rows, not task failures.
+    "s7_quarantine": (1, 0, 2, 1),
     # j3_resume's callable executes the crash/resume scenario before
     # returning the manifest frame — the pinned plan is the final
     # manifest read (2 slim bucket exchanges, 1 scan of the run dir).
