@@ -329,30 +329,33 @@ class _Node:
     children: list = field(default_factory=list)  # _Node or str
     parent: "_Node | None" = None
 
+    # Both walks are ITERATIVE (explicit stack, children pushed
+    # reversed so the pop order is document pre-order): scraped markup
+    # can nest thousands of tags in one turn, and a recursive walk
+    # RecursionErrors past ~1000 — killing the classify/EPUB stage on
+    # one pathological payload (fuzz-found; pinned in
+    # tests/test_codec_fuzz.py).
+
     def get_text(self) -> str:
         parts: list[str] = []
-
-        def walk(n: "_Node"):
-            for c in n.children:
-                if isinstance(c, str):
-                    parts.append(c)
-                else:
-                    walk(c)
-
-        walk(self)
+        stack: list["_Node | str"] = [*reversed(self.children)]
+        while stack:
+            c = stack.pop()
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                stack.extend(reversed(c.children))
         return "".join(parts)
 
     def find_all(self, names: set[str]) -> list["_Node"]:
         out: list[_Node] = []
-
-        def walk(n: "_Node"):
-            for c in n.children:
-                if isinstance(c, _Node):
-                    if c.tag in names:
-                        out.append(c)
-                    walk(c)
-
-        walk(self)
+        stack: list["_Node | str"] = [*reversed(self.children)]
+        while stack:
+            c = stack.pop()
+            if isinstance(c, _Node):
+                if c.tag in names:
+                    out.append(c)
+                stack.extend(reversed(c.children))
         return out
 
 
@@ -512,16 +515,16 @@ def html_density_scores(html: str) -> dict:
     text_len = len(root.get_text())
     markup_len = max(len(html or "") - text_len, 0)
     link_len = sum(len(a.get_text()) for a in root.find_all({"a"}))
+    # iterative depth walk — same RecursionError rationale as _Node
     max_depth = 0
-
-    def walk(n: _Node, d: int):
-        nonlocal max_depth
-        max_depth = max(max_depth, d)
+    stack = [(root, 0)]
+    while stack:
+        n, d = stack.pop()
+        if d > max_depth:
+            max_depth = d
         for c in n.children:
             if isinstance(c, _Node):
-                walk(c, d + 1)
-
-    walk(root, 0)
+                stack.append((c, d + 1))
     denom = text_len + markup_len
     return {
         "text_density": (text_len / denom) if denom else 0.0,

@@ -16,7 +16,10 @@ Four invariant families:
   ZeroDivisionError a zero sampling factor used to produce) would
   kill a 100 TB task instead of yielding a null-luma row;
 * the same wrong-type-exception contract for ``decode_wav`` (zero
-  n_channels / sample_rate from a corrupt fmt chunk).
+  n_channels / sample_rate from a corrupt fmt chunk);
+* the HTML walker (C1 classify / C3 density / S7 EPUB hot path) is
+  TOTAL on arbitrary byte soup and survives pathological nesting
+  depth (the recursive walks used to RecursionError past ~1000).
 """
 from __future__ import annotations
 
@@ -219,6 +222,70 @@ def test_wav_zero_fmt_fields_are_value_error():
             wav[fmt_body + 6 : fmt_body + 8] = b"\x00\x00"  # rate is 4 bytes
         with pytest.raises(ValueError):
             decode_wav(bytes(wav))
+
+
+# -- HTML walker: untrusted markup must never kill the classify stage --
+
+
+def test_html_walkers_survive_deep_nesting():
+    """Regression pin (fuzz find): the recursive tree walks blew the
+    interpreter recursion limit past ~1000 nested tags — one
+    pathological turn killed the C1/C3/EPUB stage.  The walks are
+    iterative now; results must equal the shallow-equivalent ones."""
+    from bookextract_spark.reference_semantics import (
+        extract_sections_from_html,
+        html_density_scores,
+    )
+
+    deep = "<div>" * 3000 + "xyz" + "</div>" * 3000
+    secs = extract_sections_from_html(deep, "s")
+    # every nested div has the same text -> one paragraph per div level
+    assert len(secs) == 3000
+    assert {s["type"] for s in secs} == {"paragraph"}
+    assert secs[0]["content"] == "xyz"
+    d = html_density_scores(deep)
+    assert d["tag_depth"] == 3000
+    assert 0.0 <= d["text_density"] <= 1.0
+
+
+@FUZZ
+@given(
+    parts=st.lists(
+        st.one_of(
+            st.text(max_size=40),
+            st.sampled_from(
+                [
+                    "<div class=indent>", "</div>", "<h1>Chapter 5", "</h1>",
+                    "<p style='margin-left:2em'>", "</p>", "<b>", "</b>",
+                    "<img src=x alt='a'>", "<script>var x;</script>",
+                    "<blockquote>", "</blockquote>", "<a href=x>", "</a>",
+                    "<!-- c -->", "<![CDATA[z]]>", "&amp;", "&#x41;", "<",
+                    ">", "&", "</", "<p", "<h1 ", "\x00", "<?php ?>",
+                ]
+            ),
+        ),
+        max_size=30,
+    )
+)
+def test_html_walkers_total_on_arbitrary_input(parts):
+    """extract_sections_from_html / html_density_scores are TOTAL:
+    any byte soup a scraped turn can carry must yield typed sections
+    and in-range scores, never an exception."""
+    from bookextract_spark.reference_semantics import (
+        extract_sections_from_html,
+        html_density_scores,
+    )
+
+    html = "".join(parts)
+    for s in extract_sections_from_html(html, "src"):
+        assert s["type"] in (
+            "chapter_header", "header", "sub_header", "paragraph",
+            "bold", "block_indent", "image",
+        )
+    d = html_density_scores(html)
+    assert 0.0 <= d["text_density"] <= 1.0
+    assert d["link_density"] >= 0.0
+    assert d["tag_depth"] >= 0
 
 
 @FUZZ
