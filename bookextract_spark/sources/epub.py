@@ -80,6 +80,15 @@ def parse_epub_bytes(payload: bytes, path: str) -> list[dict]:
     )
 
     zf = zipfile.ZipFile(io.BytesIO(payload))
+    # zip-bomb budget: members are read fully into memory below, and a
+    # scraped EPUB can claim GBs from KBs.  zipfile enforces the
+    # recorded (central-directory) sizes on read, so bounding their sum
+    # bounds actual expansion; ValueError routes to quarantine mode.
+    total_decompressed = sum(i.file_size for i in zf.infolist())
+    if total_decompressed > 1 << 28:
+        raise ValueError(
+            f"EPUB decompressed size {total_decompressed} exceeds the 256 MB budget"
+        )
     container = ET.fromstring(zf.read("META-INF/container.xml"))
     rootfile = container.find(".//cnt:rootfile", _NS).get("full-path")
     opf = ET.fromstring(zf.read(rootfile))

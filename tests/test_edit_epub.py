@@ -270,3 +270,30 @@ def test_epub_strict_mode_still_fails_loudly(spark):
         parse_epub_column(binary).collect()
     with pytest.raises(ValueError):
         parse_epub_column(binary, on_error="typo")
+
+
+def test_epub_zip_bomb_budget(spark):
+    """A zip bomb (KBs of payload claiming >256 MB decompressed) must
+    raise ValueError in strict mode and become a quarantine row in
+    quarantine mode, never exhaust executor memory."""
+    import io
+
+    from bookextract_spark.sources.epub import parse_epub_bytes, parse_epub_column
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", CONTAINER)
+        zf.writestr("OEBPS/content.opf", OPF)
+        zf.writestr("OEBPS/bomb.bin", b"\x00" * (300 << 20))  # 300 MB of zeros
+    bomb = buf.getvalue()
+    assert len(bomb) < 1 << 20  # the payload itself is tiny
+
+    with pytest.raises(ValueError, match="256 MB budget"):
+        parse_epub_bytes(bomb, "mem://bomb")
+
+    binary = spark.createDataFrame(
+        [("mem://bomb", bomb)], "path string, content binary"
+    )
+    [row] = parse_epub_column(binary, on_error="quarantine").collect()
+    assert row["error"].startswith("ValueError:")
