@@ -592,19 +592,25 @@ def minhash_dedup(
     # candidate pair need shingles (measured 5.9% of the 857k-turn
     # fixture; the ratio shrinks as the corpus grows, since the
     # candidate set is bounded by real near-dups + band collisions).
-    # Broadcasting the id set (bounded by 2x pairs, ids only) pushes
-    # the filter below the shingle projection, so the verify-side
-    # Python pass AND the join exchange carry the candidate set's
-    # arrays, not the corpus's.  The candidate subtree feeds both this
-    # branch and the melt below; its shuffles dedupe via
-    # ReusedExchange, so the signature pipeline still EXECUTES once
-    # (same plan-audit-pinned trick as the band self-join itself).
+    # The id semi-join pushes the filter below the shingle projection,
+    # so the verify-side Python pass AND the join exchange carry the
+    # candidate set's arrays, not the corpus's.  No broadcast HINT on
+    # purpose: the id set grows with the corpus (5.9% of docs here,
+    # unbounded in principle), and a forced hint would bypass the
+    # planner's size check — at test scale AQE upgrades the shuffled
+    # semi-join to broadcast at runtime anyway (LocalTableScan stats),
+    # while at corpus scale the sort-merge shape shuffles (id, text),
+    # still far smaller than the unfiltered shingle frame it replaces.
+    # The candidate subtree feeds both this branch and the melt below;
+    # its shuffles dedupe via ReusedExchange, so the signature pipeline
+    # still EXECUTES once (same plan-audit-pinned trick as the band
+    # self-join itself).
     cand_ids = cands.select(
         F.explode(F.array("a_id", "b_id")).alias("_cand_id")
     ).distinct()
     sh = (
         df.join(
-            F.broadcast(cand_ids), F.col(id_col) == F.col("_cand_id"), "left_semi"
+            cand_ids, F.col(id_col) == F.col("_cand_id"), "left_semi"
         ).select(
             F.col(id_col).alias("id"), _shingle_col(text_col, n, arrow).alias("sh")
         )

@@ -228,13 +228,28 @@ def decode_png_dims(payload: bytes) -> tuple[int, int, float | None]:
     The fallback target when the pixel data is damaged or the coding
     variant (interlaced, 16-bit) has no pure-stdlib decoder; raises
     ValueError only if the header itself is broken — the same contract
-    as :func:`decode_jpeg_dims`."""
+    as :func:`decode_jpeg_dims`.  Scans the chunk stream for IHDR
+    (the same walk decode_png uses — a non-conforming leading chunk
+    must not diverge the two), and rejects dims a corrupt size byte
+    can inflate past int32 (the metadata schema is IntegerType; an
+    Arrow overflow would be the task kill this fallback exists to
+    avoid)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
-    if payload[12:16] != b"IHDR" or len(payload) < 24:
-        raise ValueError("PNG missing IHDR")
-    width, height = struct.unpack(">II", payload[16:24])
-    return width, height, None
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        if tag == b"IHDR":
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < 8:
+                raise ValueError("truncated IHDR")
+            width, height = struct.unpack(">II", data[:8])
+            if width > 0x7FFFFFFF or height > 0x7FFFFFFF:
+                raise ValueError("PNG IHDR dimensions exceed int32")
+            return width, height, None
+        pos += 12 + length
+    raise ValueError("PNG missing IHDR")
 
 
 # --------------------------------------------------------------------------
@@ -999,7 +1014,16 @@ def image_metadata(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                width, height, luma = decode_image(data, fake=fake_decode)
+                try:
+                    width, height, luma = decode_image(data, fake=fake_decode)
+                except (ValueError, NotImplementedError):
+                    # even the header is unusable (truncated signature,
+                    # broken IHDR/SOF, dims past int32, unsupported
+                    # format with fake=False): a scraped corpus carries
+                    # these, and one such payload must cost a null row,
+                    # not the stage — (n_bytes, sha256) keep the row
+                    # inspectable
+                    width = height = luma = None
                 rows.append(
                     (
                         int(media_id),

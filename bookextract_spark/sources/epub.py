@@ -80,18 +80,23 @@ def parse_epub_bytes(payload: bytes, path: str) -> list[dict]:
     )
 
     zf = zipfile.ZipFile(io.BytesIO(payload))
-    # zip-bomb budget: members are read fully into memory below, and a
-    # scraped EPUB can claim GBs from KBs.  zipfile enforces the
-    # recorded (central-directory) sizes on read, so bounding their sum
-    # bounds actual expansion; ValueError routes to quarantine mode.
-    total_decompressed = sum(i.file_size for i in zf.infolist())
-    if total_decompressed > 1 << 28:
-        raise ValueError(
-            f"EPUB decompressed size {total_decompressed} exceeds the 256 MB budget"
-        )
-    container = ET.fromstring(zf.read("META-INF/container.xml"))
+    # zip-bomb budget over the members this parse actually READS
+    # (container/OPF/cover/chapters — NOT unread assets, so a
+    # media-heavy but legitimate EPUB stays parseable): each read is
+    # charged its recorded decompressed size, which zipfile enforces
+    # on extraction, so the running bound is sound against lying
+    # headers.  ValueError routes to quarantine mode.
+    budget = [1 << 28]
+
+    def read_member(name: str) -> bytes:
+        budget[0] -= zf.getinfo(name).file_size
+        if budget[0] < 0:
+            raise ValueError("EPUB read budget (256 MB decompressed) exceeded")
+        return zf.read(name)
+
+    container = ET.fromstring(read_member("META-INF/container.xml"))
     rootfile = container.find(".//cnt:rootfile", _NS).get("full-path")
-    opf = ET.fromstring(zf.read(rootfile))
+    opf = ET.fromstring(read_member(rootfile))
     opf_dir = rootfile.rsplit("/", 1)[0] + "/" if "/" in rootfile else ""
 
     def dc(tag: str, default: str | None) -> str | None:
@@ -119,10 +124,10 @@ def parse_epub_bytes(payload: bytes, path: str) -> list[dict]:
         if mt.startswith("image/") and "cover" in href.lower():
             cover_name = href
             try:
-                cover_bytes = zf.read(opf_dir + href)
+                cover_bytes = read_member(opf_dir + href)
             except KeyError:
                 try:
-                    cover_bytes = zf.read(href)
+                    cover_bytes = read_member(href)
                 except KeyError:
                     cover_bytes = None
             break
@@ -141,9 +146,9 @@ def parse_epub_bytes(payload: bytes, path: str) -> list[dict]:
     chapter_number = 0
     for iid, href in html_items:
         try:
-            content = zf.read(opf_dir + href).decode("utf-8")
+            content = read_member(opf_dir + href).decode("utf-8")
         except KeyError:
-            content = zf.read(href).decode("utf-8")
+            content = read_member(href).decode("utf-8")
         sections = extract_sections_from_html(content, f"{path}:{href}")
         if not sections:
             continue

@@ -203,6 +203,57 @@ def test_png_corruption_contract(w, h, gray, data, mode):
     except (ValueError, NotImplementedError):
         return
     assert isinstance(out, tuple) and len(out) == 3
+    # the metadata schema is IntegerType: any dims that survive the
+    # fallback must fit int32, or the Arrow conversion kills the task
+    # the fallback exists to prevent (a flipped IHDR width high byte
+    # used to surface 2^31+ here)
+    assert 0 <= out[0] <= 0x7FFFFFFF and 0 <= out[1] <= 0x7FFFFFFF
+
+
+def test_decode_png_dims_bounds_and_chunk_scan():
+    from bookextract_spark.operators.multimodal import decode_png_dims
+
+    enc = bytearray(encode_png_gray(16, 16, lambda x, y: 100))
+    enc[16] = 0x80  # IHDR width high byte -> 0x80000010 (> int32 max)
+    with pytest.raises(ValueError):
+        decode_png_dims(bytes(enc))
+    with pytest.raises(ValueError):
+        decode_image(bytes(enc), fake=False)  # image_metadata nulls this
+
+    # IHDR located by chunk scan even behind a leading ancillary chunk
+    # (decode_png walks chunks; the dims fallback must not diverge)
+    import struct as _struct
+    import zlib as _zlib
+
+    base = encode_png_gray(5, 7, lambda x, y: 9)
+    junk_tag_and_data = b"tEXtk\x00v"
+    chunk = (
+        _struct.pack(">I", len(junk_tag_and_data) - 4)
+        + junk_tag_and_data
+        + _struct.pack(">I", _zlib.crc32(junk_tag_and_data) & 0xFFFFFFFF)
+    )
+    moved = base[:8] + chunk + base[8:]
+    assert decode_png_dims(moved) == (5, 7, None)
+
+
+def test_image_metadata_nulls_undecodable_payloads(spark):
+    """One hopeless payload (valid PNG signature, header claiming
+    dims past int32) must become a null-dims metadata row, not a
+    stage failure — pinned at the UDF layer where the catch lives."""
+    from bookextract_spark.operators.multimodal import image_metadata
+
+    bad = bytearray(encode_png_gray(16, 16, lambda x, y: 100))
+    bad[16] = 0x80
+    good = encode_png_gray(8, 8, lambda x, y: 50)
+    media = spark.createDataFrame(
+        [(1, "image", bytes(bad)), (2, "image", good)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_metadata(media, fake_decode=False).collect()}
+    assert rows[1]["width"] is None and rows[1]["height"] is None
+    assert rows[1]["mean_luma"] is None
+    assert rows[1]["n_bytes"] == len(bad)  # still inspectable
+    assert (rows[2]["width"], rows[2]["height"]) == (8, 8)
 
 
 def _valid_wav() -> bytearray:

@@ -272,24 +272,36 @@ def test_epub_strict_mode_still_fails_loudly(spark):
         parse_epub_column(binary, on_error="typo")
 
 
+BOMB_OPF = OPF.replace(
+    '<item id="ch2" href="ch2.xhtml" media-type="application/xhtml+xml"/>',
+    '<item id="ch2" href="bomb.xhtml" media-type="application/xhtml+xml"/>',
+)
+
+
 def test_epub_zip_bomb_budget(spark):
-    """A zip bomb (KBs of payload claiming >256 MB decompressed) must
-    raise ValueError in strict mode and become a quarantine row in
-    quarantine mode, never exhaust executor memory."""
+    """A zip bomb in a member the parse READS (a chapter claiming
+    >256 MB decompressed from KBs of payload) must raise ValueError in
+    strict mode and become a quarantine row in quarantine mode, never
+    exhaust executor memory.  A media-heavy but LEGITIMATE EPUB —
+    huge assets the parse never reads — must keep parsing (the budget
+    covers reads, not the whole archive)."""
     import io
 
     from bookextract_spark.sources.epub import parse_epub_bytes, parse_epub_column
 
+    bomb_chapter = b"<html><body><p>" + b"\x00" * (300 << 20) + b"</p></body></html>"
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("mimetype", "application/epub+zip")
         zf.writestr("META-INF/container.xml", CONTAINER)
-        zf.writestr("OEBPS/content.opf", OPF)
-        zf.writestr("OEBPS/bomb.bin", b"\x00" * (300 << 20))  # 300 MB of zeros
+        zf.writestr("OEBPS/content.opf", BOMB_OPF)
+        zf.writestr("OEBPS/ch1.xhtml", CH1)
+        zf.writestr("OEBPS/extra.xhtml", EXTRA)
+        zf.writestr("OEBPS/bomb.xhtml", bomb_chapter)
     bomb = buf.getvalue()
     assert len(bomb) < 1 << 20  # the payload itself is tiny
 
-    with pytest.raises(ValueError, match="256 MB budget"):
+    with pytest.raises(ValueError, match="read budget"):
         parse_epub_bytes(bomb, "mem://bomb")
 
     binary = spark.createDataFrame(
@@ -297,3 +309,18 @@ def test_epub_zip_bomb_budget(spark):
     )
     [row] = parse_epub_column(binary, on_error="quarantine").collect()
     assert row["error"].startswith("ValueError:")
+
+    # unread 300 MB asset: still parses (regression — an archive-total
+    # budget rejected legitimate media-heavy books)
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", CONTAINER)
+        zf.writestr("OEBPS/content.opf", OPF)
+        zf.writestr("OEBPS/ch1.xhtml", CH1)
+        zf.writestr("OEBPS/ch2.xhtml", CH2)
+        zf.writestr("OEBPS/extra.xhtml", EXTRA)
+        zf.writestr("OEBPS/images/cover.png", b"\x89PNGfake")
+        zf.writestr("OEBPS/audio/narration.bin", b"\x00" * (300 << 20))
+    rows = parse_epub_bytes(buf2.getvalue(), "mem://heavy")
+    assert [r["filename"] for r in rows] == ["ch1.xhtml", "ch2.xhtml", "extra.xhtml"]

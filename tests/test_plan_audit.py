@@ -73,11 +73,15 @@ BUDGETS = {
     # corpus): the broadcast cand-id semi-join filter sits below the
     # verify shingle stage, and its id branch statically re-plans the
     # whole candidate subtree (hence the doubled static counts).
-    # Runtime final plan verified: 6x ReusedExchange, every duplicated
-    # exchange deduped, signature pipeline executed once (probe
-    # recorded in PLANS.md round-4).  Broadcasts: melted candidates +
-    # the cand-id set.
-    "minhash_dedup": (7, 2, 5, 5),
+    # Runtime final plan verified: ReusedExchange dedupes every
+    # duplicated exchange, signature pipeline executed once (probe
+    # recorded in PLANS.md round-4).  The cand-id semi-join carries NO
+    # broadcast hint (the id set grows with the corpus; a forced hint
+    # would bypass the planner's size check) — statically it plans as
+    # a shuffled semi-join (the 8th exchange), which AQE upgrades to a
+    # broadcast join at runtime when the id set is actually small.
+    # Broadcast: melted candidates (planner stats, no hint).
+    "minhash_dedup": (8, 1, 5, 5),
     # ngram-jaccard (round-4 Arrow rewrite): one struct-returning Arrow
     # shingle stage per self-join side (statically planned twice, fed
     # by one repartition(s) exchange AQE-reused at runtime -> executes
