@@ -1145,36 +1145,53 @@ def _walk_avi(payload: bytes):
     bitcount = compression = None
     raw_frames: list[bytes] = []
 
-    def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal width, height, rate, scale, bitcount, compression
-        while pos + 8 <= end:
-            tag = buf[pos : pos + 4]
-            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-            body_start = pos + 8
-            body_end = min(body_start + size, end)
-            if tag == b"LIST":
-                list_type = buf[body_start : body_start + 4]
-                if list_type in (b"hdrl", b"strl", b"movi"):
-                    walk(buf, body_start + 4, body_end)
-            elif tag == b"avih":
-                vals = struct.unpack("<14I", buf[body_start : body_start + 56])
-                width, height = vals[8], vals[9]
-            elif tag == b"strh":
-                if buf[body_start : body_start + 4] == b"vids":
-                    # fccType(4) fccHandler(4) flags(4) prio(2) lang(2)
-                    # initialFrames(4) -> scale/rate at offsets 20/24
-                    scale, rate = struct.unpack(
-                        "<II", buf[body_start + 20 : body_start + 28]
-                    )
-            elif tag == b"strf":
-                (_sz, _w, _h, _pl, bitcount, compression) = struct.unpack(
-                    "<IiiHHI", buf[body_start : body_start + 20]
+    # ITERATIVE chunk walk (explicit continuation stack): a corrupt or
+    # hostile RIFF tree can nest LISTs arbitrarily deep, and recursion
+    # would RecursionError — the same fuzz family as the HTML walker.
+    # Short header bodies raise ValueError (not struct.error) so the
+    # quarantine-style callers keep their two-exception contract.
+    buf = payload
+    stack: list[tuple[int, int]] = []
+    pos, end = 12, len(payload)
+    while True:
+        if pos + 8 > end:
+            if not stack:
+                break
+            pos, end = stack.pop()
+            continue
+        tag = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body_start = pos + 8
+        body_end = min(body_start + size, end)
+        nxt = body_start + size + (size % 2)
+        if tag == b"LIST":
+            if buf[body_start : body_start + 4] in (b"hdrl", b"strl", b"movi"):
+                stack.append((nxt, end))  # resume after this LIST
+                pos, end = body_start + 4, body_end  # descend (document order)
+                continue
+        elif tag == b"avih":
+            if body_end - body_start < 56:
+                raise ValueError("truncated AVI avih header")
+            vals = struct.unpack("<14I", buf[body_start : body_start + 56])
+            width, height = vals[8], vals[9]
+        elif tag == b"strh":
+            if buf[body_start : body_start + 4] == b"vids":
+                # fccType(4) fccHandler(4) flags(4) prio(2) lang(2)
+                # initialFrames(4) -> scale/rate at offsets 20/24
+                if body_end - body_start < 28:
+                    raise ValueError("truncated AVI strh header")
+                scale, rate = struct.unpack(
+                    "<II", buf[body_start + 20 : body_start + 28]
                 )
-            elif len(tag) == 4 and tag[2:4] in (b"db", b"dc"):
-                raw_frames.append(buf[body_start:body_end])
-            pos = body_start + size + (size % 2)
-
-    walk(payload, 12, len(payload))
+        elif tag == b"strf":
+            if body_end - body_start < 20:
+                raise ValueError("truncated AVI strf header")
+            (_sz, _w, _h, _pl, bitcount, compression) = struct.unpack(
+                "<IiiHHI", buf[body_start : body_start + 20]
+            )
+        elif len(tag) == 4 and tag[2:4] in (b"db", b"dc"):
+            raw_frames.append(buf[body_start:body_end])
+        pos = nxt
     if width is None or height is None:
         raise ValueError("AVI missing avih header")
     fps = (rate // scale) if rate and scale else 0
@@ -1345,9 +1362,17 @@ def sample_frames(
                              hashlib.sha256(window).hexdigest()[:16])
                         )
                     continue
-                width, height, _fps, n_frames, stats = avi_frame_stats(
-                    data, every_n=every_n
-                )
+                try:
+                    width, height, _fps, n_frames, stats = avi_frame_stats(
+                        data, every_n=every_n
+                    )
+                except (ValueError, NotImplementedError):
+                    # damaged container/frames or an unsupported codec:
+                    # ONE null-stats marker row (frame_idx -1; the
+                    # schema's frame_idx is non-null) keeps the
+                    # media_id inspectable instead of killing the stage
+                    rows.append((int(media_id), -1, None, None, None, None, None))
+                    continue
                 for i, luma, sha in stats:
                     rows.append(
                         (int(media_id), i, width, height, n_frames,
@@ -1505,7 +1530,13 @@ def wav_metadata(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                sr, ch, n, ms, rms, peak = decode_wav(bytes(payload))
+                try:
+                    sr, ch, n, ms, rms, peak = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    # scraped-corpus contract (same as image_metadata):
+                    # one damaged/unsupported payload costs a null row,
+                    # not the stage
+                    sr = ch = n = ms = rms = peak = None
                 rows.append((int(media_id), sr, ch, n, ms, rms, peak))
             yield pd.DataFrame(
                 rows,

@@ -350,3 +350,83 @@ def test_wav_byteflip_contract(data):
     except (ValueError, NotImplementedError):
         return
     assert isinstance(out, tuple) and len(out) == 6
+
+
+# -- AVI walker: corrupt RIFF must keep the two-exception contract --
+
+
+@FUZZ
+@given(
+    gray=st.integers(0, 255),
+    n_frames=st.integers(1, 3),
+    data=st.data(),
+    mode=st.sampled_from(["truncate", "flip"]),
+)
+def test_avi_corruption_contract(gray, n_frames, data, mode):
+    """Truncating or byte-flipping a valid MJPEG AVI must yield a
+    well-typed stats tuple or ValueError/NotImplementedError from
+    avi_frame_stats — never struct.error (short avih/strh/strf bodies
+    used to escape unwrapped) or RecursionError."""
+    enc = bytearray(
+        encode_avi_mjpeg(16, 16, 10, [encode_solid_jpeg(16, 16, gray)] * n_frames)
+    )
+    if mode == "truncate":
+        enc = enc[: data.draw(st.integers(12, len(enc) - 1))]
+    else:
+        pos = data.draw(st.integers(12, len(enc) - 1))
+        enc[pos] ^= data.draw(st.integers(1, 255))
+    try:
+        out = avi_frame_stats(bytes(enc))
+    except (ValueError, NotImplementedError):
+        return
+    assert isinstance(out, tuple) and len(out) == 5
+
+
+def test_avi_walker_survives_deep_list_nesting():
+    """Regression pin: the RIFF chunk walk was recursive, so a payload
+    of thousands of nested LIST/hdrl chunks RecursionError'd the
+    stage.  The iterative walk must reject it with the normal missing-
+    header ValueError instead."""
+    import struct as _struct
+
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        body = b"hdrl" + inner
+        inner = b"LIST" + _struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + _struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError, match="avih"):
+        avi_frame_stats(payload)
+
+
+def test_av_metadata_udfs_null_corrupt_payloads(spark):
+    """wav_metadata nulls a damaged payload's stats; frame_sample
+    emits one frame_idx=-1 marker row — in both cases the media_id
+    stays inspectable and the stage survives (image_metadata's
+    contract, extended to the other two media UDFs)."""
+    from bookextract_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        sample_frames,
+        wav_metadata,
+    )
+
+    good_wav = encode_wav_pcm16(8000, [100, -100])
+    media = spark.createDataFrame(
+        [(1, "audio", b"RIFF\x00\x00\x00\x00WAVEjunk"), (2, "audio", good_wav)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in wav_metadata(media).collect()}
+    assert rows[1]["sample_rate"] is None and rows[1]["rms"] is None
+    assert rows[2]["sample_rate"] == 8000 and rows[2]["n_samples"] == 2
+
+    good_avi = encode_avi_mjpeg(8, 8, 10, [encode_solid_jpeg(8, 8, 50)])
+    vmedia = spark.createDataFrame(
+        [(1, "video", b"RIFF\x00\x00\x00\x00AVI junk"), (2, "video", good_avi)],
+        "media_id long, kind string, payload binary",
+    )
+    vrows = sample_frames(vmedia, every_n=1).collect()
+    marker = [r for r in vrows if r["media_id"] == 1]
+    assert len(marker) == 1 and marker[0]["frame_idx"] == -1
+    assert marker[0]["width"] is None and marker[0]["frame_sha"] is None
+    ok = [r for r in vrows if r["media_id"] == 2]
+    assert len(ok) == 1 and ok[0]["frame_idx"] == 0 and ok[0]["width"] == 8
