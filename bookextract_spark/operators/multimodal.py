@@ -330,6 +330,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)
         return bytes(self.buf)
 
+    def restart(self, n: int) -> None:
+        """Byte-align with 1-bits (stuffed if the pad byte is 0xFF, per
+        T.81 B.1.1.5) then emit RSTn RAW — restart markers are the one
+        0xFF pair in an entropy segment that is NOT stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes((0xFF, 0xD0 + (n % 8)))
+
 
 def _dc_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
@@ -348,7 +357,9 @@ def _validate_sof(w: int, h: int, comps: list) -> None:
         raise ValueError("invalid JPEG SOF: no components or zero sampling factor")
 
 
-def encode_gray_blocks_jpeg(block_grays: list[list[int]], width: int, height: int) -> bytes:
+def encode_gray_blocks_jpeg(
+    block_grays: list[list[int]], width: int, height: int, restart_interval: int = 0
+) -> bytes:
     """Grayscale baseline JPEG whose 8x8 blocks are solid tiles of
     ``block_grays[by][bx]`` (the coded grid must cover width x height).
     Quantizer is all-8s, so the DC of a solid tile of gray v quantizes
@@ -356,7 +367,11 @@ def encode_gray_blocks_jpeg(block_grays: list[list[int]], width: int, height: in
     decoder's DC-mean luma is exact, not approximate.  A nonzero AC
     coefficient (zigzag 1, value +1, zero spatial mean) is planted in
     every block so a decoder that mis-skips ACs desyncs and fails the
-    oracle."""
+    oracle.  ``restart_interval`` > 0 emits a DRI segment and RST0-7
+    markers every that-many MCUs with the DC prediction reset (T.81
+    B.2.4.4) — a decoder that fails to reset its predictor at a restart
+    decodes wrong luma, and one that huffman-reads through the marker
+    desyncs."""
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     out = bytearray(b"\xff\xd8")
@@ -377,11 +392,18 @@ def encode_gray_blocks_jpeg(block_grays: list[list[int]], width: int, height: in
         + bytes(_JPEG_AC_BITS)
         + bytes(_JPEG_AC_VALS)
     )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
     w = _BitWriter()
     pred = 0
+    m = 0  # MCU index (one block per MCU: single component, h=v=1)
     for row in block_grays:
         for gray in row:
+            if restart_interval and m and m % restart_interval == 0:
+                w.restart(m // restart_interval - 1)
+                pred = 0
+            m += 1
             dc = gray - 128  # quantized DC with the all-8s table
             diff = dc - pred
             pred = dc
@@ -401,15 +423,18 @@ def encode_gray_blocks_jpeg(block_grays: list[list[int]], width: int, height: in
     return bytes(out)
 
 
-def encode_solid_jpeg(width: int, height: int, gray: int) -> bytes:
+def encode_solid_jpeg(width: int, height: int, gray: int, restart_interval: int = 0) -> bytes:
     """Solid-gray grayscale baseline JPEG (exact DC-mean luma = gray)."""
     bw = (width + 7) // 8
     bh = (height + 7) // 8
-    return encode_gray_blocks_jpeg([[gray] * bw for _ in range(bh)], width, height)
+    return encode_gray_blocks_jpeg(
+        [[gray] * bw for _ in range(bh)], width, height, restart_interval=restart_interval
+    )
 
 
 def encode_gray_blocks_jpeg_progressive(
-    block_grays: list[list[int]], width: int, height: int, al: int = 1
+    block_grays: list[list[int]], width: int, height: int, al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """PROGRESSIVE grayscale JPEG twin of :func:`encode_gray_blocks_jpeg`
     (same all-8s quantizer, same exact solid-tile DC quantization),
@@ -425,7 +450,11 @@ def encode_gray_blocks_jpeg_progressive(
 
     ``(dc >> al) << al`` OR'd with the refinement bits reconstructs the
     DC exactly (two's complement), so the decoder's DC-mean luma is
-    exact at any ``al``."""
+    exact at any ``al``.  ``restart_interval`` > 0 emits a DRI segment
+    and RST markers inside EVERY scan — huffman DC first pass (with the
+    prediction reset), raw-bit refinement scans (byte re-align only),
+    and the AC scan (which the decoder must byte-skip THROUGH, since
+    RSTs are entropy data to :func:`_next_marker`)."""
     dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     out = bytearray(b"\xff\xd8")
@@ -447,10 +476,19 @@ def encode_gray_blocks_jpeg_progressive(
         + bytes(_JPEG_AC_VALS)
     )
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
     def sos(ss: int, se: int, ah: int, a_l: int, tdta: int) -> bytes:
         return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
             [1, tdta, ss, se, (ah << 4) | a_l]
         )
+
+    def maybe_restart(w: _BitWriter, m: int) -> None:
+        # restart boundary BEFORE unit m (single-component scan: the
+        # restart interval counts this component's blocks, T.81 B.2.4.4)
+        if restart_interval and m and m % restart_interval == 0:
+            w.restart(m // restart_interval - 1)
 
     dcs = [gray - 128 for row in block_grays for gray in row]
 
@@ -458,7 +496,10 @@ def encode_gray_blocks_jpeg_progressive(
     out += sos(0, 0, 0, al, 0x00)
     w = _BitWriter()
     pred = 0
-    for dc in dcs:
+    for m, dc in enumerate(dcs):
+        if restart_interval and m and m % restart_interval == 0:
+            w.restart(m // restart_interval - 1)
+            pred = 0
         vt = dc >> al
         diff = vt - pred
         pred = vt
@@ -470,10 +511,12 @@ def encode_gray_blocks_jpeg_progressive(
     out += w.flush()
 
     # DC refinement scans: one raw bit per block, high bits first
+    # (restart markers byte-align the raw-bit stream; no predictor)
     for a in range(al, 0, -1):
         out += sos(0, 0, a, a - 1, 0x00)
         w = _BitWriter()
-        for dc in dcs:
+        for m, dc in enumerate(dcs):
+            maybe_restart(w, m)
             w.write((dc >> (a - 1)) & 1, 1)
         out += w.flush()
 
@@ -482,7 +525,8 @@ def encode_gray_blocks_jpeg_progressive(
     # EOBRUN of length 1, bit-identical to the baseline per-block form
     out += sos(1, 63, 0, 0, 0x00)
     w = _BitWriter()
-    for _ in dcs:
+    for m in range(len(dcs)):
+        maybe_restart(w, m)
         code, length = ac_codes[0x01]
         w.write(code, length)
         w.write(1, 1)
@@ -493,12 +537,15 @@ def encode_gray_blocks_jpeg_progressive(
     return bytes(out)
 
 
-def encode_solid_jpeg_progressive(width: int, height: int, gray: int, al: int = 1) -> bytes:
+def encode_solid_jpeg_progressive(
+    width: int, height: int, gray: int, al: int = 1, restart_interval: int = 0
+) -> bytes:
     """Solid-gray PROGRESSIVE JPEG (exact DC-mean luma = gray)."""
     bw = (width + 7) // 8
     bh = (height + 7) // 8
     return encode_gray_blocks_jpeg_progressive(
-        [[gray] * bw for _ in range(bh)], width, height, al=al
+        [[gray] * bw for _ in range(bh)], width, height, al=al,
+        restart_interval=restart_interval,
     )
 
 
@@ -978,7 +1025,11 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
     so single-scan and refinement-scan DC paths are both driver-
     exercised), the rest grayscale PNG (pure-zlib encoder) — so one
     oracle row covers the format dispatch AND all three real
-    decoders."""
+    decoders.  Restart intervals cycle 0-3 (baseline) / 0-2
+    (progressive) by doc_id, so DRI/RST streams — predictor reset,
+    byte re-align, AC-scan byte-skip THROUGH restart markers — are
+    driver-exercised too (restart markers never change decoded values,
+    so the closed form is unchanged)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -987,10 +1038,18 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 w, h, g = 8 + d % 32, 8 + (d * 7) % 32, d % 256
                 if d % 3 == 1:
-                    rows.append((d, encode_solid_jpeg(w, h, g), "image/jpeg"))
+                    rows.append(
+                        (d, encode_solid_jpeg(w, h, g, restart_interval=(d // 3) % 4), "image/jpeg")
+                    )
                 elif d % 3 == 2:
                     rows.append(
-                        (d, encode_solid_jpeg_progressive(w, h, g, al=(d // 3) % 3), "image/jpeg")
+                        (
+                            d,
+                            encode_solid_jpeg_progressive(
+                                w, h, g, al=(d // 3) % 3, restart_interval=(d // 3) % 3
+                            ),
+                            "image/jpeg",
+                        )
                     )
                 else:
                     rows.append(

@@ -69,19 +69,23 @@ def _expected_mean(grid: list[list[int]]) -> float:
 
 
 @FUZZ
-@given(grids)
-def test_baseline_roundtrip_exact(gwh):
+@given(gwh=grids, ri=st.integers(0, 6))
+def test_baseline_roundtrip_exact(gwh, ri):
     grid, w, h = gwh
-    dec_w, dec_h, luma = decode_jpeg_luma(encode_gray_blocks_jpeg(grid, w, h))
+    dec_w, dec_h, luma = decode_jpeg_luma(
+        encode_gray_blocks_jpeg(grid, w, h, restart_interval=ri)
+    )
     assert (dec_w, dec_h) == (w, h)
     assert luma == _expected_mean(grid)
 
 
 @FUZZ
-@given(gwh=grids, al=st.integers(0, 3))
-def test_progressive_roundtrip_exact_and_equals_baseline(gwh, al):
+@given(gwh=grids, al=st.integers(0, 3), ri=st.integers(0, 6))
+def test_progressive_roundtrip_exact_and_equals_baseline(gwh, al, ri):
     grid, w, h = gwh
-    prog = decode_jpeg_luma(encode_gray_blocks_jpeg_progressive(grid, w, h, al=al))
+    prog = decode_jpeg_luma(
+        encode_gray_blocks_jpeg_progressive(grid, w, h, al=al, restart_interval=ri)
+    )
     assert prog == decode_jpeg_luma(encode_gray_blocks_jpeg(grid, w, h))
     assert prog == (w, h, _expected_mean(grid))
 
@@ -124,26 +128,26 @@ def _assert_contract(payload: bytes) -> None:
 
 
 @FUZZ
-@given(gwh=grids, data=st.data(), progressive=st.booleans())
-def test_jpeg_truncation_contract(gwh, data, progressive):
+@given(gwh=grids, data=st.data(), progressive=st.booleans(), ri=st.integers(0, 3))
+def test_jpeg_truncation_contract(gwh, data, progressive, ri):
     grid, w, h = gwh
     enc = (
-        encode_gray_blocks_jpeg_progressive(grid, w, h, al=1)
+        encode_gray_blocks_jpeg_progressive(grid, w, h, al=1, restart_interval=ri)
         if progressive
-        else encode_gray_blocks_jpeg(grid, w, h)
+        else encode_gray_blocks_jpeg(grid, w, h, restart_interval=ri)
     )
     cut = data.draw(st.integers(0, len(enc) - 1))
     _assert_contract(enc[:cut])
 
 
 @FUZZ
-@given(gwh=grids, data=st.data(), progressive=st.booleans())
-def test_jpeg_byteflip_contract(gwh, data, progressive):
+@given(gwh=grids, data=st.data(), progressive=st.booleans(), ri=st.integers(0, 3))
+def test_jpeg_byteflip_contract(gwh, data, progressive, ri):
     grid, w, h = gwh
     enc = bytearray(
-        encode_gray_blocks_jpeg_progressive(grid, w, h, al=1)
+        encode_gray_blocks_jpeg_progressive(grid, w, h, al=1, restart_interval=ri)
         if progressive
-        else encode_gray_blocks_jpeg(grid, w, h)
+        else encode_gray_blocks_jpeg(grid, w, h, restart_interval=ri)
     )
     # flip past SOI so the JPEG dispatch in decode_image still fires
     pos = data.draw(st.integers(2, len(enc) - 1))

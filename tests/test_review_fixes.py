@@ -410,6 +410,71 @@ def test_jpeg_progressive_luma_codec_round_trip():
         assert abs(L - (sum(map(sum, grid)) / 6) / 255.0) < 1e-12
 
 
+def test_jpeg_restart_interval_round_trip_and_contracts():
+    """DRI/RST streams (T.81 B.2.4.4) decode exactly in BOTH coding
+    processes — the decoder must reset its DC predictor at every
+    restart marker (the grid's large ± diffs make a missed reset show
+    up as wrong luma), re-align the bit reader (including the
+    stuffed-0xFF-pad-byte corner), and byte-skip progressive AC scans
+    THROUGH embedded RST markers — and malformed restart streams stay
+    on the ValueError contract so decode_image falls back to header
+    dims."""
+    import pytest as _pytest
+
+    from bookextract_spark.operators.multimodal import (
+        avi_frame_stats,
+        decode_image,
+        decode_jpeg_luma,
+        encode_avi_mjpeg,
+        encode_gray_blocks_jpeg,
+        encode_gray_blocks_jpeg_progressive,
+        encode_solid_jpeg,
+    )
+
+    grid = [[10, 200, 17, 255, 0], [128, 90, 222, 3, 250], [7, 7, 255, 128, 1]]
+    exp = (sum(map(sum, grid)) / 15) / 255.0
+    for ri in (1, 2, 3, 7, 14, 15, 100):  # incl. boundary-on-last-MCU and no-marker
+        W, H, L = decode_jpeg_luma(encode_gray_blocks_jpeg(grid, 40, 24, restart_interval=ri))
+        assert (W, H, abs(L - exp) < 1e-12) == (40, 24, True), ri
+        for al in (0, 2):
+            W, H, L = decode_jpeg_luma(
+                encode_gray_blocks_jpeg_progressive(grid, 40, 24, al=al, restart_interval=ri)
+            )
+            assert (W, H, abs(L - exp) < 1e-12) == (40, 24, True), (ri, al)
+
+    # >8 restart intervals: marker indices must wrap RST0-7 (m=17 blocks,
+    # ri=1 -> 16 markers, indices 0..7,0..7)
+    wide = [[(i * 37) % 256 for i in range(17)]]
+    W, H, L = decode_jpeg_luma(encode_gray_blocks_jpeg(wide, 8 * 17, 8, restart_interval=1))
+    assert abs(L - (sum(wide[0]) / 17) / 255.0) < 1e-12
+
+    # malformed restart streams: ValueError, and decode_image dims fallback
+    b = encode_gray_blocks_jpeg(grid, 40, 24, restart_interval=2)
+    i = b.find(b"\xff\xd0")
+    assert i > 0
+    for bad in (
+        b[:i],                              # truncated AT the boundary
+        b[:i + 1],                          # truncated mid-marker
+        b[:i] + b"\xff\xd3" + b[i + 2:],    # wrong restart index
+        b[:i] + b[i + 2:],                  # DRI declared, marker stripped
+    ):
+        with _pytest.raises(ValueError):
+            decode_jpeg_luma(bad)
+    assert decode_image(b[:i], fake=False) == (40, 24, None)
+
+    bp = encode_gray_blocks_jpeg_progressive(grid, 40, 24, al=1, restart_interval=2)
+    j = bp.find(b"\xff\xd0")
+    with _pytest.raises(ValueError):
+        decode_jpeg_luma(bp[:j])
+    with _pytest.raises(ValueError):
+        decode_jpeg_luma(bp[:j] + b"\xff\xd6" + bp[j + 2:])
+
+    # MJPEG frames with restart markers flow through the AVI stats path
+    frames = [encode_solid_jpeg(24, 16, g, restart_interval=2) for g in (0, 77, 255)]
+    _, _, _, _, stats = avi_frame_stats(encode_avi_mjpeg(24, 16, 10, frames))
+    assert [round(l * 255) for _, l, _ in stats] == [0, 77, 255]
+
+
 def test_jpeg_progressive_malformed_and_unsupported():
     """Malformed progressive streams stay on the documented contracts:
     a SOF2 stream with no DC scan is ValueError (decode_image falls
