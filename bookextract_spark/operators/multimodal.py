@@ -2,10 +2,13 @@
 columns with typed metadata.
 
 The IMAGE, AUDIO, and VIDEO kernels are all REAL, dependency-free
-codecs (stdlib ``zlib``/``struct``/``array``): the PNG encoder writes
-genuine 8-bit grayscale streams (mixing filter types so decoding must
-actually unfilter) and the decoder parses IHDR, inflates IDAT, undoes
-all five PNG filter types, and computes true mean luminance; JPEG
+codecs (stdlib ``zlib``/``struct``/``array``): the PNG encoders write
+genuine streams for every spec-legal depth/color/interlace combination
+(mixing filter types so decoding must actually unfilter) and the
+decoder covers the same full surface — IHDR/PLTE parse, IDAT inflate,
+all five filter types, Adam7 passes unfiltered as independent
+sub-images, 1/2/4/8/16-bit gray, RGB(A), palette — with true mean
+luminance; JPEG
 headers are parsed for dimensions (SOF scan); the WAV codec writes and
 parses RIFF/fmt/data PCM16 streams with real sample statistics (RMS,
 peak, duration); the AVI codec writes and decodes uncompressed 24-bit
@@ -84,20 +87,40 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) — PNG spec (RFC 2083 §2.6 / W3C §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_pass_dims(width: int, height: int, interlace: int) -> list[tuple[int, int]]:
+    """Sub-image dims per pass: 7 Adam7 passes, or the single
+    full-image pass for a non-interlaced stream.  Every image pixel
+    belongs to exactly one pass, so pass-wise luma sums add up to the
+    whole image's."""
+    if not interlace:
+        return [(width, height)]
+    return [
+        ((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+        for (x0, y0, dx, dy) in _ADAM7
+    ]
+
+
 def encode_png_gray(width: int, height: int, pixel) -> bytes:
     """Minimal REAL 8-bit grayscale PNG encoder (zlib + struct, no
     imaging library).  ``pixel(x, y) -> 0..255``.  Odd rows use filter
     type 1 (Sub) so a decoder that skips unfiltering produces wrong
     pixels — keeps the decode path honest."""
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8-bit
     raw = bytearray()
     for y in range(height):
@@ -110,17 +133,89 @@ def encode_png_gray(width: int, height: int, pixel) -> bytes:
             raw += b"\x00" + row
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 
-def _unfilter_scanlines(data: bytes, width: int, height: int, bpp: int) -> bytearray:
-    """Undo PNG filters 0-4 on 8-bit scanlines (PNG spec §9)."""
-    stride = width * bpp
+def encode_png_ex(
+    width: int,
+    height: int,
+    sample,
+    *,
+    bit_depth: int = 8,
+    color_type: int = 0,
+    palette: list[tuple[int, int, int]] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Generic REAL PNG encoder covering every spec-legal bit-depth /
+    color-type / interlace combination (the paired fixture generator
+    for :func:`decode_png`'s full surface).  ``sample(x, y)`` returns
+    one int (gray / palette index) or a channel tuple.  Odd rows of
+    every pass use filter 1 (Sub) over the FILTER bpp (whole bytes —
+    for packed sub-8-bit rows that is 1 byte, per spec), so decoding
+    must unfilter each Adam7 pass independently to get the pixels
+    right."""
+    allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if color_type not in allowed or bit_depth not in allowed[color_type]:
+        raise ValueError(f"illegal PNG combo: depth {bit_depth} color {color_type}")
+    if color_type == 3 and not palette:
+        raise ValueError("palette color type needs a palette")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bits_pp = channels * bit_depth
+    fbpp = max(1, bits_pp // 8)
+    raw = bytearray()
+    for p, (pw, ph) in enumerate(_png_pass_dims(width, height, int(interlace))):
+        if pw == 0 or ph == 0:
+            continue
+        x0, y0, dx, dy = _ADAM7[p] if interlace else (0, 0, 1, 1)
+        for j in range(ph):
+            row = bytearray()
+            acc = nbits = 0
+            for i in range(pw):
+                v = sample(x0 + i * dx, y0 + j * dy)
+                for s in v if isinstance(v, tuple) else (v,):
+                    if bit_depth == 16:
+                        row += struct.pack(">H", s & 0xFFFF)
+                    elif bit_depth == 8:
+                        row.append(s & 0xFF)
+                    else:  # pack big-endian within the byte
+                        acc = (acc << bit_depth) | (s & ((1 << bit_depth) - 1))
+                        nbits += bit_depth
+                        if nbits == 8:
+                            row.append(acc)
+                            acc = nbits = 0
+            if nbits:  # pad the final partial byte with low zero bits
+                row.append(acc << (8 - nbits))
+            if j % 2 == 1:
+                filt = bytes(
+                    (row[k] - (row[k - fbpp] if k >= fbpp else 0)) & 0xFF
+                    for k in range(len(row))
+                )
+                raw += b"\x01" + filt
+            else:
+                raw += b"\x00" + bytes(row)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, int(interlace)
+    )
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", bytes(c for rgb in palette for c in rgb))
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + _png_chunk(b"IEND", b"")
+    return out
+
+
+def _unfilter_scanlines(
+    data: bytes, stride: int, height: int, bpp: int, pos: int = 0
+) -> tuple[bytearray, int]:
+    """Undo PNG filters 0-4 on one (sub-)image's scanlines (PNG spec
+    §9), starting at ``pos`` in the inflated stream; returns the pixel
+    bytes and the end offset so Adam7 passes can be unfiltered
+    sequentially.  ``stride`` is the scanline byte width (which for
+    sub-8-bit depths is the PACKED width) and ``bpp`` the filter
+    left-neighbor distance in whole bytes."""
     out = bytearray(stride * height)
-    pos = 0
     for y in range(height):
         ftype = data[pos]
         pos += 1
@@ -148,21 +243,66 @@ def _unfilter_scanlines(data: bytes, width: int, height: int, bpp: int) -> bytea
                 raise ValueError(f"unknown PNG filter {ftype}")
             line[i] = x & 0xFF
         out[y * stride : (y + 1) * stride] = line
-    return out
+    return out, pos
+
+
+_PNG_ALLOWED = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_pass_luma_sum(
+    pixels: bytearray,
+    pw: int,
+    ph: int,
+    stride: int,
+    color_type: int,
+    bit_depth: int,
+    plte: np.ndarray | None,
+) -> float:
+    """Sum of per-pixel luminance over one unfiltered (sub-)image, in
+    RAW sample units (0..2^depth-1; palette luma is on the 0..255
+    scale its RGB entries live on) — the caller normalizes once."""
+    if bit_depth < 8:  # packed grayscale or palette indices
+        arr = np.frombuffer(bytes(pixels), np.uint8).reshape(ph, stride)
+        bits = np.unpackbits(arr, axis=1)
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        vals = (bits.reshape(ph, -1, bit_depth) * weights).sum(axis=2)[:, :pw]
+    elif bit_depth == 16:
+        vals = np.frombuffer(bytes(pixels), ">u2").reshape(ph, -1)
+    else:
+        vals = np.frombuffer(bytes(pixels), np.uint8).reshape(ph, -1)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        if vals.size and int(vals.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return float(plte[vals].sum())
+    if color_type == 0:
+        return float(vals.sum(dtype=np.int64))
+    if color_type == 4:  # gray + alpha: gray samples only
+        return float(vals[:, 0::2].sum(dtype=np.int64))
+    rgb = vals.reshape(ph, pw, _PNG_CHANNELS[color_type])[:, :, :3].astype(np.float64)
+    return float((rgb @ np.array([0.299, 0.587, 0.114])).sum())
 
 
 def decode_png(payload: bytes) -> tuple[int, int, float]:
     """REAL PNG decode -> (width, height, mean_luma in [0,1]).
 
-    Parses IHDR, concatenates+inflates IDAT, undoes the per-scanline
-    filters, and averages luminance (ITU-R BT.601 weights for RGB).
-    Supports 8-bit grayscale (0), RGB (2), gray+alpha (4), RGBA (6)."""
+    Parses IHDR/PLTE, concatenates+inflates IDAT, undoes the
+    per-scanline filters, and averages luminance (ITU-R BT.601 weights
+    for RGB).  Covers the FULL spec-legal surface: grayscale (0), RGB
+    (2), palette (3), gray+alpha (4), RGBA (6) at every legal bit
+    depth (1/2/4/8/16), interlaced or not — Adam7 passes are
+    unfiltered independently as the sub-images they are, and since
+    every image pixel belongs to exactly one pass, summing pass luma
+    needs no spatial de-interlacing."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     pos = 8
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -174,20 +314,28 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
+        elif tag == b"PLTE":
+            if len(data) % 3 or not data:
+                raise ValueError("malformed PLTE chunk")
+            rgb = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.float64)
+            plte = rgb @ np.array([0.299, 0.587, 0.114])
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in (0, 2, 4, 6):
-        raise NotImplementedError(f"PNG bit depth {bit_depth} / color type {color_type}")
-    if interlace:
-        # Adam7 passes are NOT straight scanlines — unfiltering them as
-        # such would return silently-wrong luma; refuse loudly instead
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    expected = (width * channels + 1) * height
+    if color_type not in _PNG_ALLOWED or bit_depth not in _PNG_ALLOWED[color_type]:
+        raise ValueError(f"illegal PNG bit depth {bit_depth} / color type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    bits_pp = _PNG_CHANNELS[color_type] * bit_depth
+    fbpp = max(1, bits_pp // 8)
+    passes = [
+        (pw, ph, (pw * bits_pp + 7) // 8)
+        for (pw, ph) in _png_pass_dims(width, height, interlace)
+    ]
+    expected = sum((1 + st) * ph for (pw, ph, st) in passes if pw)
     if expected > 1 << 27:
         # a corrupt width/height byte can claim multi-GB geometry; the
         # unfilter pass pre-allocates stride*height, so bound it (128 MB
@@ -204,29 +352,29 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         raise ValueError(
             f"PNG pixel data size {len(raw)} does not match IHDR geometry {expected}"
         )
-    try:
-        pixels = _unfilter_scanlines(raw, width, height, channels)
-    except IndexError as exc:
-        # keep the ValueError contract so the header-dims fallback fires
-        raise ValueError(f"damaged PNG pixel data: {type(exc).__name__}: {exc}") from exc
     n = width * height
     if n == 0:
         return width, height, 0.0
     total = 0.0
-    if channels == 1:
-        total = sum(pixels)
-    elif channels == 2:
-        total = sum(pixels[i] for i in range(0, len(pixels), 2))
-    else:
-        for i in range(0, len(pixels), channels):
-            total += 0.299 * pixels[i] + 0.587 * pixels[i + 1] + 0.114 * pixels[i + 2]
-    return width, height, (total / n) / 255.0
+    rpos = 0
+    try:
+        for pw, ph, st in passes:
+            if pw == 0 or ph == 0:
+                continue
+            pixels, rpos = _unfilter_scanlines(raw, st, ph, fbpp, rpos)
+            total += _png_pass_luma_sum(
+                pixels, pw, ph, st, color_type, bit_depth, plte
+            )
+    except IndexError as exc:
+        # keep the ValueError contract so the header-dims fallback fires
+        raise ValueError(f"damaged PNG pixel data: {type(exc).__name__}: {exc}") from exc
+    peak = 255.0 if color_type == 3 else float((1 << bit_depth) - 1)
+    return width, height, (total / n) / peak
 
 
 def decode_png_dims(payload: bytes) -> tuple[int, int, float | None]:
     """PNG dimensions from IHDR (header parse only — luma is None).
-    The fallback target when the pixel data is damaged or the coding
-    variant (interlaced, 16-bit) has no pure-stdlib decoder; raises
+    The fallback target when the pixel data is damaged; raises
     ValueError only if the header itself is broken — the same contract
     as :func:`decode_jpeg_dims`.  Scans the chunk stream for IHDR
     (the same walk decode_png uses — a non-conforming leading chunk
@@ -974,21 +1122,21 @@ def decode_jpeg_dims(payload: bytes) -> tuple[int, int, float | None]:
 def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float | None]:
     """Image decode -> (width, height, mean_luma).
 
-    REAL for PNG (full decode: dims + true mean luminance) and for
-    baseline-sequential AND progressive-huffman JPEG (full entropy
-    decode of the DC plane — exact block-mean luminance; see
-    :func:`decode_jpeg_luma` / :func:`_decode_jpeg_luma_progressive`);
-    arithmetic/12-bit JPEG, interlaced/16-bit PNG — and streams with
-    damaged entropy/pixel data — fall back to header dims with luma
-    None.  ``fake=True`` falls back to the deterministic
+    REAL for PNG (full decode at every spec-legal depth/color/interlace
+    combination: dims + true mean luminance) and for baseline-sequential
+    AND progressive-huffman JPEG (full entropy decode of the DC plane —
+    exact block-mean luminance; see :func:`decode_jpeg_luma` /
+    :func:`_decode_jpeg_luma_progressive`); arithmetic/12-bit JPEG —
+    and streams with damaged entropy/pixel data — fall back to header
+    dims with luma None.  ``fake=True`` falls back to the deterministic
     sha-derived fake for opaque non-image payloads so the distributed
     plumbing stays testable end-to-end."""
     if payload[:8] == _PNG_SIG:
         try:
             return decode_png(payload)
         except (NotImplementedError, ValueError):
-            # unsupported variant (interlaced, 16-bit) OR damaged pixel
-            # data — same header-dims fallback as the JPEG branch
+            # damaged pixel data or a spec-illegal combo — same
+            # header-dims fallback as the JPEG branch
             return decode_png_dims(payload)
     if payload[:2] == b"\xff\xd8":
         try:
@@ -1028,7 +1176,10 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
     decoders.  Restart intervals cycle 0-3 (baseline) / 0-2
     (progressive) by doc_id, so DRI/RST streams — predictor reset,
     byte re-align, AC-scan byte-skip THROUGH restart markers — are
-    driver-exercised too (restart markers never change decoded values,
+    driver-exercised too, and the PNG rows cycle plain 8-bit /
+    interlaced (Adam7) / 16-bit (gray*257 — exactly g/255) / palette
+    (both entries (g,g,g), checkerboard indices), so the full decoder
+    surface is driver-exercised (none of these change decoded values,
     so the closed form is unchanged)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1052,9 +1203,24 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
                         )
                     )
                 else:
-                    rows.append(
-                        (d, encode_png_gray(w, h, lambda x, y, g=g: g), "image/png")
-                    )
+                    variant = (d // 3) % 4
+                    if variant == 1:
+                        png = encode_png_ex(
+                            w, h, lambda x, y, g=g: g, interlace=True
+                        )
+                    elif variant == 2:
+                        png = encode_png_ex(
+                            w, h, lambda x, y, g=g: g * 257, bit_depth=16
+                        )
+                    elif variant == 3:
+                        png = encode_png_ex(
+                            w, h, lambda x, y: (x + y) % 2,
+                            bit_depth=8, color_type=3,
+                            palette=[(g, g, g), (g, g, g)],
+                        )
+                    else:
+                        png = encode_png_gray(w, h, lambda x, y, g=g: g)
+                    rows.append((d, png, "image/png"))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
 
     out = docs.select("doc_id").mapInPandas(

@@ -182,6 +182,74 @@ def test_png_roundtrip_exact(w, h, seed):
     assert luma == (sum(vals) / len(vals)) / 255.0
 
 
+# (bit_depth, color_type) across the legal matrix; palette combos get
+# a fixed 4-entry PLTE
+_PNG_COMBOS = (
+    [(d, 0) for d in (1, 2, 4, 8, 16)]
+    + [(8, 2), (16, 2), (8, 4), (16, 4), (8, 6), (16, 6)]
+    + [(1, 3), (2, 3), (4, 3), (8, 3)]
+)
+_PAL = [(10, 200, 30), (255, 255, 255), (0, 0, 0), (77, 77, 77)]
+
+
+def _png_case(w, h, seed, combo, interlace):
+    """Deterministic pixels for one combo + the directly-computed mean
+    luma the decoder must reproduce."""
+    from bookextract_spark.operators.multimodal import encode_png_ex
+
+    depth, ct = combo
+    peak = (1 << depth) - 1
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    hi = min(1 << depth, len(_PAL)) - 1 if ct == 3 else peak
+
+    def val(x, y, c=0):
+        return (seed * 1103515245 + x * 257 + y * 8191 + c * 131) % (hi + 1)
+
+    if nch == 1:
+        sample = val
+    else:
+        def sample(x, y):
+            return tuple(val(x, y, c) for c in range(nch))
+
+    lut = [0.299 * r + 0.587 * g + 0.114 * b for r, g, b in _PAL]
+    total = 0.0
+    for y in range(h):
+        for x in range(w):
+            if ct == 3:
+                total += lut[val(x, y)] / 255.0
+            elif ct == 0:
+                total += val(x, y) / peak
+            elif ct == 4:
+                total += val(x, y, 0) / peak
+            else:
+                total += (
+                    0.299 * val(x, y, 0) + 0.587 * val(x, y, 1) + 0.114 * val(x, y, 2)
+                ) / peak
+    enc = encode_png_ex(
+        w, h, sample, bit_depth=depth, color_type=ct,
+        palette=_PAL if ct == 3 else None, interlace=interlace,
+    )
+    return enc, total / (w * h)
+
+
+@FUZZ
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+    combo=st.sampled_from(_PNG_COMBOS),
+    interlace=st.booleans(),
+)
+def test_png_ex_roundtrip_exact(w, h, seed, combo, interlace):
+    """The generic encoder/decoder pair round-trips EXACTLY over the
+    whole legal depth/color/interlace matrix (Adam7 sub-image
+    unfiltering, packed-bit rows, big-endian 16-bit, PLTE mapping)."""
+    enc, exp = _png_case(w, h, seed, combo, interlace)
+    dw, dh, luma = decode_png(enc)
+    assert (dw, dh) == (w, h)
+    assert abs(luma - exp) < 1e-9
+
+
 @FUZZ
 @given(
     w=st.integers(1, 24),
@@ -189,14 +257,19 @@ def test_png_roundtrip_exact(w, h, seed):
     gray=st.integers(0, 255),
     data=st.data(),
     mode=st.sampled_from(["truncate", "flip"]),
+    combo=st.sampled_from([None, ((8, 0), True), ((16, 0), False), ((4, 3), True), ((8, 6), True)]),
 )
-def test_png_corruption_contract(w, h, gray, data, mode):
+def test_png_corruption_contract(w, h, gray, data, mode, combo):
     """Any corruption of a valid PNG past its 8-byte signature must
     yield a well-typed tuple or ValueError/NotImplementedError from
     decode_image — never zlib.error / struct.error / IndexError
     (regression pin: the PNG branch of decode_image used to be
-    unwrapped, so damaged pixel data killed the task)."""
-    enc = bytearray(encode_png_gray(w, h, lambda x, y: gray))
+    unwrapped, so damaged pixel data killed the task).  Applies across
+    the depth/color/interlace matrix, not just plain 8-bit gray."""
+    if combo is None:
+        enc = bytearray(encode_png_gray(w, h, lambda x, y: gray))
+    else:
+        enc = bytearray(_png_case(w, h, gray, combo[0], combo[1])[0])
     if mode == "truncate":
         enc = enc[: data.draw(st.integers(8, len(enc) - 1))]
     else:

@@ -86,23 +86,131 @@ def test_jpeg_fill_bytes_and_eoi():
         decode_jpeg_dims(b"\xff\xd8" + app0 + b"\xff\xd9")
 
 
-def test_interlaced_png_refused_loudly():
+def test_png_full_surface_round_trips():
+    """The PNG decoder covers EVERY spec-legal depth/color/interlace
+    combination (it used to refuse interlaced and non-8-bit streams):
+    Adam7 passes are unfiltered as independent sub-images, sub-8-bit
+    rows unpacked with their padding bits dropped, 16-bit samples read
+    big-endian, palette indices mapped through PLTE.  Decoded mean
+    luma must equal the directly-computed mean on the paired generic
+    encoder's output (odd rows Sub-filtered, so unfiltering each pass
+    is load-bearing)."""
+    import itertools
+    import random
+
+    from bookextract_spark.operators.multimodal import decode_png, encode_png_ex
+
+    rng = random.Random(7)
+    pal = [(10, 200, 30), (255, 255, 255), (0, 0, 0), (77, 77, 77)]
+    lut = [0.299 * r + 0.587 * g + 0.114 * b for r, g, b in pal]
+    # dims straddle the Adam7 grid: several passes empty at 1x1/1x17,
+    # partial everywhere at 9x10/31x29
+    dims = [(1, 1), (7, 5), (8, 8), (9, 10), (17, 2), (1, 17), (31, 29)]
+    combos = [(d, 0, False) for d in (1, 2, 4, 8, 16)]
+    combos += [(d, ct, False) for d, ct in itertools.product((8, 16), (2, 4, 6))]
+    combos += [(d, 3, True) for d in (1, 2, 4, 8)]
+    for (w, h), (depth, ct, use_pal) in itertools.product(dims, combos):
+        peak = (1 << depth) - 1
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+        if ct == 3:
+            hi = min(1 << depth, len(pal)) - 1
+            pix = {(x, y): rng.randint(0, hi) for y in range(h) for x in range(w)}
+            exp = sum(lut[v] for v in pix.values()) / (w * h) / 255.0
+        elif nch == 1:
+            pix = {(x, y): rng.randint(0, peak) for y in range(h) for x in range(w)}
+            exp = sum(pix.values()) / (w * h) / peak
+        else:
+            pix = {
+                (x, y): tuple(rng.randint(0, peak) for _ in range(nch))
+                for y in range(h)
+                for x in range(w)
+            }
+            if ct == 4:
+                exp = sum(v[0] for v in pix.values()) / (w * h) / peak
+            else:
+                exp = sum(
+                    0.299 * v[0] + 0.587 * v[1] + 0.114 * v[2] for v in pix.values()
+                ) / (w * h) / peak
+        for interlace in (False, True):
+            enc = encode_png_ex(
+                w, h, lambda x, y: pix[(x, y)], bit_depth=depth, color_type=ct,
+                palette=pal if use_pal else None, interlace=interlace,
+            )
+            W, H, L = decode_png(enc)
+            assert (W, H) == (w, h), (w, h, depth, ct, interlace)
+            assert abs(L - exp) < 1e-9, (w, h, depth, ct, interlace, L, exp)
+
+
+def test_png_malformed_contracts():
+    """Spec-illegal or damaged PNG streams keep the ValueError contract
+    (decode_image falls back to header dims): out-of-range palette
+    index, missing PLTE, an interlaced header over non-interlaced
+    pixel layout (the Adam7 expected size differs), and the 128 MB
+    geometry budget applied to the INTERLACED layout."""
     import struct
     import zlib
 
-    from bookextract_spark.operators.multimodal import _PNG_SIG, decode_png
+    from bookextract_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_image,
+        decode_png,
+        encode_png_ex,
+    )
 
-    def chunk(tag, data):
-        return struct.pack(">I", len(data)) + tag + data + struct.pack(
-            ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
-        )
+    pal = [(10, 200, 30), (255, 255, 255)]
+    ok = encode_png_ex(
+        8, 8, lambda x, y: (x + y) % 2, bit_depth=8, color_type=3,
+        palette=pal, interlace=True,
+    )
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
-    stream = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+    def rebuild(p, drop=None, replace_plte=None):
+        out = bytearray(p[:8])
+        pos = 8
+        while pos + 8 <= len(p):
+            (ln,) = struct.unpack(">I", p[pos : pos + 4])
+            tag = p[pos + 4 : pos + 8]
+            raw = p[pos : pos + 12 + ln]
+            pos += 12 + ln
+            if tag == drop:
+                continue
+            if tag == b"PLTE" and replace_plte is not None:
+                out += _png_chunk(b"PLTE", bytes(c for rgb in replace_plte for c in rgb))
+            else:
+                out += raw
+        return bytes(out)
+
+    # palette index 5 against a 2-entry PLTE
+    bad_idx = rebuild(
+        encode_png_ex(4, 4, lambda x, y: 5, bit_depth=8, color_type=3,
+                      palette=pal + [(0, 0, 0)] * 4),
+        replace_plte=pal,
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad_idx)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(rebuild(ok, drop=b"PLTE"))
+
+    # interlace=1 header over straight-scanline pixel bytes: Adam7's
+    # expected size (7 for 2x2 gray) differs from the flat layout's 6
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    flat = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
         b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04")
-    ) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_png(stream)
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="does not match IHDR geometry"):
+        decode_png(flat)
+
+    # geometry budget on the widest combo (16-bit RGBA interlaced)
+    huge = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 16, 6, 0, 0, 1)
+    ) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="budget"):
+        decode_png(huge)
+
+    # damaged interlaced pixel data still lands on the dims fallback
+    dmg = bytearray(ok)
+    dmg[-20] ^= 0xFF
+    assert decode_image(bytes(dmg), fake=False) == (8, 8, None)
 
 
 def test_pack_sequences_handles_string_ids(spark):
