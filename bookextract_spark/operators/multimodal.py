@@ -10,8 +10,10 @@ all five filter types, Adam7 passes unfiltered as independent
 sub-images, 1/2/4/8/16-bit gray, RGB(A), palette — with true mean
 luminance; JPEG
 headers are parsed for dimensions (SOF scan); the WAV codec writes and
-parses RIFF/fmt/data PCM16 streams with real sample statistics (RMS,
-peak, duration); the AVI codec writes and decodes uncompressed 24-bit
+parses RIFF/fmt/data streams — PCM at 8/16/24/32 bits and IEEE float
+at 32/64, plain or WAVE_FORMAT_EXTENSIBLE-wrapped — with real sample
+statistics normalized to the format's full scale (RMS, peak on the
+16-bit scale, duration); the AVI codec writes and decodes uncompressed 24-bit
 RIFF/BI_RGB video (bottom-up padded BGR frames, hdrl/movi/idx1) with
 true per-frame luminance, plus ENTROPY-CODED Motion-JPEG AVI ('MJPG'
 fourcc: each movi chunk is an independent baseline JPEG, decoded by
@@ -1666,6 +1668,62 @@ def encode_wav_pcm16(sample_rate: int, samples) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", n) + data
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID suffix (the first two bytes of
+# the GUID are the wrapped format code, little-endian)
+_WAV_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def encode_wav_ex(
+    sample_rate: int,
+    samples,
+    *,
+    bits: int = 16,
+    fmt: int = 1,
+    n_channels: int = 1,
+    extensible: bool = False,
+) -> bytes:
+    """Generic REAL WAV encoder: PCM (fmt 1) at 8 (unsigned) / 16 / 24
+    / 32 bits or IEEE float (fmt 3) at 32/64 bits, mono or interleaved
+    multi-channel, optionally wrapped in WAVE_FORMAT_EXTENSIBLE (fmt
+    0xFFFE with the real code in the SubFormat GUID).  ``samples`` are
+    NATIVE units (0..255 for PCM8, two's-complement ints for wider
+    PCM, floats for fmt 3).  Float streams get the spec's fact
+    chunk."""
+    if (fmt, bits) not in {(1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64)}:
+        raise ValueError(f"unsupported WAV encode combo fmt={fmt} bits={bits}")
+    if fmt == 3:
+        data = np.asarray(list(samples), "<f4" if bits == 32 else "<f8").tobytes()
+    elif bits == 8:
+        data = np.asarray(list(samples), np.int64).astype(np.uint8).tobytes()
+    elif bits == 24:
+        # little-endian i4 then drop the sign-extension byte
+        i4 = np.asarray(list(samples), np.int64).astype("<i4")
+        data = i4.view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    else:
+        data = (
+            np.asarray(list(samples), np.int64)
+            .astype("<i2" if bits == 16 else "<i4")
+            .tobytes()
+        )
+    width = bits // 8
+    block = n_channels * width
+    if extensible:
+        fmt_body = struct.pack(
+            "<HHIIHHHHI",
+            0xFFFE, n_channels, sample_rate, sample_rate * block, block, bits,
+            22, bits, 0,
+        ) + struct.pack("<H", fmt) + _WAV_GUID_TAIL
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH", fmt, n_channels, sample_rate, sample_rate * block, block, bits
+        )
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if fmt == 3:
+        chunks += b"fact" + struct.pack("<II", 4, len(data) // block)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 WAV_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -1681,15 +1739,21 @@ WAV_META_SCHEMA = StructType(
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
     """REAL WAV decode -> (sample_rate, n_channels, n_samples,
-    duration_ms, rms in [0,1], peak amplitude).  Parses the RIFF chunk
-    stream (fmt + data; other chunks skipped), supports 16-bit PCM."""
-    import array
+    duration_ms, rms in [0,1], peak on the 16-bit scale).  Parses the
+    RIFF chunk stream (fmt + data; other chunks skipped) and decodes
+    PCM at 8 (unsigned) / 16 / 24 / 32 bits and IEEE float at 32/64,
+    plain or wrapped in WAVE_FORMAT_EXTENSIBLE.  Samples are
+    normalized by the format's full scale before the stats, so ``rms``
+    is format-independent and ``peak`` is the normalized amplitude on
+    the 16-bit scale — for 16-bit PCM that IS the raw peak, bit-equal
+    to the old PCM16-only decoder.  Compressed codecs (mu-law/a-law/
+    ADPCM/MP3-in-WAV) refuse with NotImplementedError."""
     import math
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
-    sample_rate = n_channels = bits = None
+    sample_rate = n_channels = bits = fmt_code = None
     data = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
@@ -1704,8 +1768,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
             fmt_code, n_channels, sample_rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if fmt_code != 1 or bits != 16:
-                raise NotImplementedError("only 16-bit PCM WAV supported")
+            if fmt_code == 0xFFFE:  # extensible: real code leads the GUID
+                if len(body) < 40:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+                (fmt_code,) = struct.unpack("<H", body[24:26])
+            if (fmt_code, bits) not in {
+                (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64),
+            }:
+                raise NotImplementedError(
+                    f"WAV format code {fmt_code} at {bits} bits needs an audio library"
+                )
         elif tag == b"data":
             data = body
     if sample_rate is None or data is None:
@@ -1714,22 +1786,42 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
         # corrupt fmt chunk: the frame/duration math below would
         # ZeroDivisionError — keep the documented ValueError contract
         raise ValueError("invalid WAV fmt: zero channels or sample rate")
-    samples = array.array("h")
-    samples.frombytes(data[: len(data) - len(data) % 2])
-    n_frames = len(samples) // n_channels
-    if len(samples) == 0:
+    width = bits // 8
+    usable = len(data) - len(data) % width
+    buf = bytes(data[:usable])
+    if fmt_code == 3:
+        x = np.frombuffer(buf, "<f4" if bits == 32 else "<f8").astype(np.float64)
+    elif bits == 8:
+        x = (np.frombuffer(buf, np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 16:
+        x = np.frombuffer(buf, "<i2").astype(np.float64) / 32768.0
+    elif bits == 24:
+        b3 = np.frombuffer(buf, np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        x = ((v ^ 0x800000) - 0x800000).astype(np.float64) / 8388608.0
+    else:
+        x = np.frombuffer(buf, "<i4").astype(np.float64) / 2147483648.0
+    n_samples = len(x)
+    n_frames = n_samples // n_channels
+    if n_samples == 0:
         return sample_rate, n_channels, 0, 0, 0.0, 0
-    rms = math.sqrt(sum(s * s for s in samples) / len(samples)) / 32768.0
-    peak = max(max(samples), -min(samples))
+    rms = math.sqrt(float(np.mean(x * x)))
+    peak = int(round(float(np.max(np.abs(x))) * 32768.0))
     duration_ms = n_frames * 1000 // sample_rate
     return sample_rate, n_channels, n_frames, duration_ms, rms, peak
 
 
 def wav_media_from_documents(docs: DataFrame) -> DataFrame:
-    """REAL audio media table: one genuine PCM16 WAV per document with
-    SQL-predictable stats — a constant-amplitude square wave
-    (amplitude ``256 + (doc_id % 64) * 64``, so RMS == amplitude/32768
-    exactly) of ``1000 + doc_id % 500`` samples at 8 kHz."""
+    """REAL audio media table: one genuine WAV per document with
+    SQL-predictable stats — a constant-amplitude square wave of
+    ``1000 + doc_id % 500`` samples at 8 kHz.  The sample FORMAT
+    cycles by ``doc_id % 7`` through the decoder's full surface (PCM16
+    / PCM8 / PCM24 / PCM32 / float32 / float64 / PCM16-in-EXTENSIBLE),
+    each encoding the amplitude in its native units such that the
+    NORMALIZED peak on the 16-bit scale is ``256 + (doc_id % 64) * 64``
+    — except PCM8, whose coarser grid (1/128 steps) gets its own exact
+    law ``256 * (1 + doc_id % 16)`` — so RMS == peak/32768 exactly in
+    every format and one closed-form oracle covers all seven paths."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1737,9 +1829,33 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 n = 1000 + d % 500
-                amp = 256 + (d % 64) * 64
-                samples = [amp if i % 2 == 0 else -amp for i in range(n)]
-                rows.append((d, encode_wav_pcm16(8000, samples), "audio/wav"))
+                variant = d % 7
+                if variant == 1:  # PCM8: native unsigned, offset 128
+                    a8 = 1 + d % 16
+                    sm = [128 + a8 if i % 2 == 0 else 128 - a8 for i in range(n)]
+                    wav = encode_wav_ex(8000, sm, bits=8)
+                else:
+                    amp = 256 + (d % 64) * 64
+                    sq = [1 if i % 2 == 0 else -1 for i in range(n)]
+                    if variant == 2:
+                        wav = encode_wav_ex(8000, [s * amp * 256 for s in sq], bits=24)
+                    elif variant == 3:
+                        wav = encode_wav_ex(8000, [s * amp * 65536 for s in sq], bits=32)
+                    elif variant == 4:
+                        wav = encode_wav_ex(
+                            8000, [s * amp / 32768.0 for s in sq], bits=32, fmt=3
+                        )
+                    elif variant == 5:
+                        wav = encode_wav_ex(
+                            8000, [s * amp / 32768.0 for s in sq], bits=64, fmt=3
+                        )
+                    elif variant == 6:
+                        wav = encode_wav_ex(
+                            8000, [s * amp for s in sq], bits=16, extensible=True
+                        )
+                    else:
+                        wav = encode_wav_pcm16(8000, [s * amp for s in sq])
+                rows.append((d, wav, "audio/wav"))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
 
     out = docs.select("doc_id").mapInPandas(

@@ -1600,12 +1600,16 @@ FROM h
 
 
 def q_wav_metadata(spark, sf_dir):
-    """REAL audio decode end-to-end: genuine PCM16 WAV payloads
+    """REAL audio decode end-to-end: genuine WAV payloads
     (constant-amplitude square waves) generated distributed, parsed for
-    real — RIFF chunk walk, fmt/data extraction, sample statistics.
-    Amplitude/length follow a closed form of doc_id, so the oracle
-    predicts the DECODED stats without touching the bytes (square-wave
-    RMS == amplitude/32768 exactly, all values binary fractions)."""
+    real — RIFF chunk walk, fmt/data extraction, sample statistics —
+    over the decoder's FULL format surface: the fixture cycles PCM16 /
+    PCM8 / PCM24 / PCM32 / float32 / float64 / PCM16-in-EXTENSIBLE by
+    doc_id % 7, each encoding the same normalized amplitude in native
+    units.  Amplitude/length follow a closed form of doc_id, so the
+    oracle predicts the DECODED stats without touching the bytes
+    (square-wave RMS == normalized peak / 32768 exactly in every
+    format, all values binary fractions)."""
     from bookextract_spark.operators.multimodal import (
         wav_media_from_documents,
         wav_metadata,
@@ -1621,8 +1625,10 @@ SELECT doc_id AS media_id,
   1 AS n_channels,
   (1000 + doc_id % 500)::BIGINT AS n_samples,
   (((1000 + doc_id % 500) * 1000) // 8000)::BIGINT AS duration_ms,
-  (256 + (doc_id % 64) * 64) / 32768.0 AS rms,
-  CAST(256 + (doc_id % 64) * 64 AS INT) AS peak
+  (CASE WHEN doc_id % 7 = 1 THEN 256 * (1 + doc_id % 16)
+        ELSE 256 + (doc_id % 64) * 64 END) / 32768.0 AS rms,
+  CAST(CASE WHEN doc_id % 7 = 1 THEN 256 * (1 + doc_id % 16)
+            ELSE 256 + (doc_id % 64) * 64 END AS INT) AS peak
 FROM documents
 """
 

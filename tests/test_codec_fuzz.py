@@ -416,10 +416,61 @@ def test_html_walkers_total_on_arbitrary_input(parts):
     assert d["tag_depth"] >= 0
 
 
+# (fmt, bits) across the decoder's full surface
+_WAV_COMBOS = [(1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64)]
+
+
+def _wav_native(samples, fmt, bits):
+    """Map small signed samples (-128..127) to the format's native
+    units so the NORMALIZED values — and hence rms/peak — are
+    identical across every format."""
+    if fmt == 3:
+        return [s / 128.0 for s in samples]
+    if bits == 8:
+        return [128 + s for s in samples]
+    return [s << (bits - 8) for s in samples]
+
+
 @FUZZ
-@given(data=st.data())
-def test_wav_byteflip_contract(data):
-    wav = _valid_wav()
+@given(
+    samples=st.lists(st.integers(-128, 127), min_size=1, max_size=64),
+    combo=st.sampled_from(_WAV_COMBOS),
+    ext=st.booleans(),
+    rate=st.sampled_from([8000, 44100]),
+)
+def test_wav_ex_roundtrip_exact_across_formats(samples, combo, ext, rate):
+    """Every (fmt, bits) combo — plain or EXTENSIBLE-wrapped — decodes
+    the same normalized stats: rms on [0,1] and peak on the 16-bit
+    scale, both exactly format-independent for same-valued streams."""
+    import math
+
+    from bookextract_spark.operators.multimodal import encode_wav_ex
+
+    fmt, bits = combo
+    wav = encode_wav_ex(rate, _wav_native(samples, fmt, bits), bits=bits, fmt=fmt, extensible=ext)
+    sr, ch, n, ms, rms, peak = decode_wav(wav)
+    assert (sr, ch, n) == (rate, 1, len(samples))
+    assert ms == len(samples) * 1000 // rate
+    exp_rms = math.sqrt(sum((s / 128.0) ** 2 for s in samples) / len(samples))
+    assert abs(rms - exp_rms) < 1e-12
+    assert peak == max(abs(s) for s in samples) * 256
+
+
+@FUZZ
+@given(data=st.data(), combo=st.sampled_from([None] + _WAV_COMBOS), ext=st.booleans())
+def test_wav_byteflip_contract(data, combo, ext):
+    if combo is None:
+        wav = _valid_wav()
+    else:
+        from bookextract_spark.operators.multimodal import encode_wav_ex
+
+        fmt, bits = combo
+        wav = bytearray(
+            encode_wav_ex(
+                8000, _wav_native([100, -100, 50, -50], fmt, bits),
+                bits=bits, fmt=fmt, extensible=ext,
+            )
+        )
     pos = data.draw(st.integers(12, len(wav) - 1))  # keep RIFF/WAVE magic
     wav[pos] ^= data.draw(st.integers(1, 255))
     try:

@@ -518,6 +518,51 @@ def test_jpeg_progressive_luma_codec_round_trip():
         assert abs(L - (sum(map(sum, grid)) / 6) / 255.0) < 1e-12
 
 
+def test_wav_full_format_surface():
+    """decode_wav covers PCM 8/16/24/32 and IEEE float 32/64, plain or
+    WAVE_FORMAT_EXTENSIBLE-wrapped, with stats NORMALIZED to the
+    format's full scale (peak on the 16-bit scale — bit-equal to the
+    old PCM16-only decoder on PCM16 streams).  Compressed codecs
+    (mu-law etc.) keep refusing with NotImplementedError, and a
+    truncated EXTENSIBLE fmt chunk is a loud ValueError."""
+    import struct
+
+    from bookextract_spark.operators.multimodal import decode_wav, encode_wav_ex
+
+    # same normalized signal in every format: square wave +-0.25
+    cases = [
+        ((1, 8), [160, 96, 160, 96]),            # 128 +- 32
+        ((1, 16), [8192, -8192, 8192, -8192]),
+        ((1, 24), [1 << 21, -(1 << 21), 1 << 21, -(1 << 21)]),
+        ((1, 32), [1 << 29, -(1 << 29), 1 << 29, -(1 << 29)]),
+        ((3, 32), [0.25, -0.25, 0.25, -0.25]),
+        ((3, 64), [0.25, -0.25, 0.25, -0.25]),
+    ]
+    for (fmt, bits), native in cases:
+        for ext in (False, True):
+            wav = encode_wav_ex(8000, native, bits=bits, fmt=fmt, extensible=ext)
+            sr, ch, n, ms, rms, peak = decode_wav(wav)
+            assert (sr, ch, n, ms) == (8000, 1, 4, 0), (fmt, bits, ext)
+            assert rms == 0.25 and peak == 8192, (fmt, bits, ext, rms, peak)
+
+    # stereo frames: n_samples is FRAMES, stats over all channels
+    sr, ch, n, ms, rms, peak = decode_wav(
+        encode_wav_ex(8000, [0.5, -0.25, 0.5, -0.25], bits=32, fmt=3, n_channels=2)
+    )
+    assert (ch, n, peak) == (2, 2, 16384)
+
+    mu = bytearray(encode_wav_ex(8000, [128] * 4, bits=8))
+    mu[20:22] = struct.pack("<H", 7)  # mu-law format code
+    with pytest.raises(NotImplementedError, match="format code 7"):
+        decode_wav(bytes(mu))
+
+    good = encode_wav_ex(8000, [100], bits=16, extensible=True)
+    # shrink the declared fmt size to 20: extensible needs >= 40
+    broken = good[:12] + b"fmt " + struct.pack("<I", 20) + good[20:40] + good[12 + 8 + 40:]
+    with pytest.raises(ValueError, match="EXTENSIBLE"):
+        decode_wav(broken)
+
+
 def test_jpeg_restart_interval_round_trip_and_contracts():
     """DRI/RST streams (T.81 B.2.4.4) decode exactly in BOTH coding
     processes — the decoder must reset its DC predictor at every
