@@ -98,6 +98,15 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
+# packed-row unpack chunk (bytes): np.unpackbits inflates 8x, so
+# sub-8-bit luma sums stream through bounded row chunks
+_PNG_UNPACK_CHUNK_BYTES = 1 << 22
+
+# spec-legal bit depths per color type, and samples per pixel — the ONE
+# definition shared by the paired encoder and decoder
+_PNG_ALLOWED = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
 # Adam7 pass grid: (x0, y0, dx, dy) — PNG spec (RFC 2083 §2.6 / W3C §8.2)
 _ADAM7 = (
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -159,12 +168,11 @@ def encode_png_ex(
     for packed sub-8-bit rows that is 1 byte, per spec), so decoding
     must unfilter each Adam7 pass independently to get the pixels
     right."""
-    allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
-    if color_type not in allowed or bit_depth not in allowed[color_type]:
+    if color_type not in _PNG_ALLOWED or bit_depth not in _PNG_ALLOWED[color_type]:
         raise ValueError(f"illegal PNG combo: depth {bit_depth} color {color_type}")
     if color_type == 3 and not palette:
         raise ValueError("palette color type needs a palette")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    channels = _PNG_CHANNELS[color_type]
     bits_pp = channels * bit_depth
     fbpp = max(1, bits_pp // 8)
     raw = bytearray()
@@ -248,10 +256,6 @@ def _unfilter_scanlines(
     return out, pos
 
 
-_PNG_ALLOWED = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
-_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-
-
 def _png_pass_luma_sum(
     pixels: bytearray,
     pw: int,
@@ -264,23 +268,38 @@ def _png_pass_luma_sum(
     """Sum of per-pixel luminance over one unfiltered (sub-)image, in
     RAW sample units (0..2^depth-1; palette luma is on the 0..255
     scale its RGB entries live on) — the caller normalizes once."""
-    if bit_depth < 8:  # packed grayscale or palette indices
+
+    def _lum(vals: np.ndarray) -> float:
+        if color_type == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            if vals.size and int(vals.max()) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            return float(plte[vals].sum())
+        return float(vals.sum(dtype=np.int64))
+
+    if bit_depth < 8:  # packed grayscale or palette indices: unpack in
+        # bounded row chunks — np.unpackbits inflates 8x (and widening
+        # to int64 64x), which would defeat the 128 MB pixel budget on
+        # a hostile low-depth header whose all-zero IDAT is tiny
         arr = np.frombuffer(bytes(pixels), np.uint8).reshape(ph, stride)
-        bits = np.unpackbits(arr, axis=1)
-        weights = 1 << np.arange(bit_depth - 1, -1, -1)
-        vals = (bits.reshape(ph, -1, bit_depth) * weights).sum(axis=2)[:, :pw]
-    elif bit_depth == 16:
+        # bit*weight <= 8 summed over <= 4 sub-byte samples: fits uint8
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        rows_per_chunk = max(1, _PNG_UNPACK_CHUNK_BYTES // max(stride, 1))
+        total = 0.0
+        for r0 in range(0, ph, rows_per_chunk):
+            bits = np.unpackbits(arr[r0 : r0 + rows_per_chunk], axis=1)
+            vals = (bits.reshape(bits.shape[0], -1, bit_depth) * weights).sum(
+                axis=2, dtype=np.uint8
+            )[:, :pw]
+            total += _lum(vals)
+        return total
+    if bit_depth == 16:
         vals = np.frombuffer(bytes(pixels), ">u2").reshape(ph, -1)
     else:
         vals = np.frombuffer(bytes(pixels), np.uint8).reshape(ph, -1)
-    if color_type == 3:
-        if plte is None:
-            raise ValueError("palette PNG missing PLTE chunk")
-        if vals.size and int(vals.max()) >= len(plte):
-            raise ValueError("PNG palette index out of range")
-        return float(plte[vals].sum())
-    if color_type == 0:
-        return float(vals.sum(dtype=np.int64))
+    if color_type in (0, 3):
+        return _lum(vals)
     if color_type == 4:  # gray + alpha: gray samples only
         return float(vals[:, 0::2].sum(dtype=np.int64))
     rgb = vals.reshape(ph, pw, _PNG_CHANNELS[color_type])[:, :, :3].astype(np.float64)
@@ -494,6 +513,18 @@ def _dc_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+def _emit_restart(w: _BitWriter, restart_interval: int, m: int) -> bool:
+    """Emit RSTn before coding unit ``m`` when it starts a new restart
+    interval (marker index wraps RST0-7, T.81 B.2.4.4); returns True so
+    callers coding DC diffs can reset their predictor.  The ONE
+    boundary/index rule shared by the baseline and progressive
+    encoders."""
+    if restart_interval and m and m % restart_interval == 0:
+        w.restart(m // restart_interval - 1)
+        return True
+    return False
+
+
 def _validate_sof(w: int, h: int, comps: list) -> None:
     """Reject spec-illegal SOF values that a corrupt byte can produce.
     T.81 requires sampling factors in 1-4 and nonzero dimensions; a
@@ -550,8 +581,7 @@ def encode_gray_blocks_jpeg(
     m = 0  # MCU index (one block per MCU: single component, h=v=1)
     for row in block_grays:
         for gray in row:
-            if restart_interval and m and m % restart_interval == 0:
-                w.restart(m // restart_interval - 1)
+            if _emit_restart(w, restart_interval, m):
                 pred = 0
             m += 1
             dc = gray - 128  # quantized DC with the all-8s table
@@ -634,21 +664,16 @@ def encode_gray_blocks_jpeg_progressive(
             [1, tdta, ss, se, (ah << 4) | a_l]
         )
 
-    def maybe_restart(w: _BitWriter, m: int) -> None:
-        # restart boundary BEFORE unit m (single-component scan: the
-        # restart interval counts this component's blocks, T.81 B.2.4.4)
-        if restart_interval and m and m % restart_interval == 0:
-            w.restart(m // restart_interval - 1)
-
     dcs = [gray - 128 for row in block_grays for gray in row]
 
-    # scan 1: DC first pass on the point-transformed values
+    # scan 1: DC first pass on the point-transformed values (in a
+    # single-component scan the restart interval counts this
+    # component's blocks)
     out += sos(0, 0, 0, al, 0x00)
     w = _BitWriter()
     pred = 0
     for m, dc in enumerate(dcs):
-        if restart_interval and m and m % restart_interval == 0:
-            w.restart(m // restart_interval - 1)
+        if _emit_restart(w, restart_interval, m):
             pred = 0
         vt = dc >> al
         diff = vt - pred
@@ -666,7 +691,7 @@ def encode_gray_blocks_jpeg_progressive(
         out += sos(0, 0, a, a - 1, 0x00)
         w = _BitWriter()
         for m, dc in enumerate(dcs):
-            maybe_restart(w, m)
+            _emit_restart(w, restart_interval, m)
             w.write((dc >> (a - 1)) & 1, 1)
         out += w.flush()
 
@@ -676,7 +701,7 @@ def encode_gray_blocks_jpeg_progressive(
     out += sos(1, 63, 0, 0, 0x00)
     w = _BitWriter()
     for m in range(len(dcs)):
-        maybe_restart(w, m)
+        _emit_restart(w, restart_interval, m)
         code, length = ac_codes[0x01]
         w.write(code, length)
         w.write(1, 1)
@@ -1791,6 +1816,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
     buf = bytes(data[:usable])
     if fmt_code == 3:
         x = np.frombuffer(buf, "<f4" if bits == 32 else "<f8").astype(np.float64)
+        if x.size and not np.isfinite(x).all():
+            # NaN/inf samples: damaged or hostile float data — rms/peak
+            # would poison downstream (int(round(inf)) even raises
+            # OverflowError, escaping the documented contract)
+            raise ValueError("WAV float samples are not finite")
     elif bits == 8:
         x = (np.frombuffer(buf, np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bits == 16:
@@ -1806,7 +1836,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
     if n_samples == 0:
         return sample_rate, n_channels, 0, 0, 0.0, 0
     rms = math.sqrt(float(np.mean(x * x)))
-    peak = int(round(float(np.max(np.abs(x))) * 32768.0))
+    # clamp: a conforming float WAV lives in [-1, 1], but a finite
+    # out-of-range sample must not produce a peak past the IntegerType
+    # metadata column (Arrow overflow would kill the task)
+    peak = int(min(round(float(np.max(np.abs(x))) * 32768.0), 2**31 - 1))
     duration_ms = n_frames * 1000 // sample_rate
     return sample_rate, n_channels, n_frames, duration_ms, rms, peak
 

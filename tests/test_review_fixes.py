@@ -562,6 +562,41 @@ def test_wav_full_format_surface():
     with pytest.raises(ValueError, match="EXTENSIBLE"):
         decode_wav(broken)
 
+    # non-finite float samples: ValueError, never the OverflowError
+    # that int(round(inf)) raises (wav_metadata only catches the
+    # documented two); finite out-of-range floats clamp peak to int32
+    # so the IntegerType metadata column can't Arrow-overflow
+    for hostile in (float("inf"), float("nan")):
+        with pytest.raises(ValueError, match="not finite"):
+            decode_wav(encode_wav_ex(8000, [0.5, hostile], bits=32, fmt=3))
+    *_, peak = decode_wav(encode_wav_ex(8000, [1e38, -1e38], bits=32, fmt=3))
+    assert peak == 2**31 - 1
+
+
+def test_png_packed_unpack_is_chunked(monkeypatch):
+    """Sub-8-bit luma sums must stream through bounded row chunks
+    (np.unpackbits inflates 8x — a hostile low-depth header with a
+    tiny all-zero IDAT would otherwise balloon past the 128 MB pixel
+    budget).  Shrinking the chunk size must not change the decoded
+    value, proving the chunk boundary math."""
+    from bookextract_spark.operators import multimodal as mm
+
+    pix = {(x, y): (x * 3 + y * 5) % 16 for y in range(40) for x in range(33)}
+    enc = mm.encode_png_ex(33, 40, lambda x, y: pix[(x, y)], bit_depth=4)
+    full = mm.decode_png(enc)
+    monkeypatch.setattr(mm, "_PNG_UNPACK_CHUNK_BYTES", 16)  # ~1 row/chunk
+    assert mm.decode_png(enc) == full
+    assert abs(full[2] - sum(pix.values()) / len(pix) / 15.0) < 1e-12
+    # palette path chunks too (index-range check per chunk)
+    pal = [(i * 16, i * 16, i * 16) for i in range(16)]
+    encp = mm.encode_png_ex(
+        33, 40, lambda x, y: pix[(x, y)], bit_depth=4, color_type=3, palette=pal
+    )
+    monkeypatch.setattr(mm, "_PNG_UNPACK_CHUNK_BYTES", 1 << 22)
+    fullp = mm.decode_png(encp)
+    monkeypatch.setattr(mm, "_PNG_UNPACK_CHUNK_BYTES", 16)
+    assert mm.decode_png(encp) == fullp
+
 
 def test_jpeg_restart_interval_round_trip_and_contracts():
     """DRI/RST streams (T.81 B.2.4.4) decode exactly in BOTH coding
