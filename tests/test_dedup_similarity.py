@@ -488,7 +488,9 @@ def test_wav_media_decode_end_to_end(spark):
     out = {r.media_id: r for r in wav_metadata(wav_media_from_documents(docs)).collect()}
     assert len(out) == 30
     for d, r in out.items():
-        amp = 256 + (d % 64) * 64
+        # the fixture cycles 7 sample formats by doc_id; PCM8's coarser
+        # grid has its own exact amplitude law (normalized 16-bit scale)
+        amp = 256 * (1 + d % 16) if d % 7 == 1 else 256 + (d % 64) * 64
         assert r.peak == amp and r.n_samples == 1000 + d % 500
         assert abs(r.rms - amp / 32768.0) < 1e-15
         assert r.sample_rate == 8000 and r.n_channels == 1
