@@ -1327,24 +1327,58 @@ def _riff_list(list_type: bytes, body: bytes) -> bytes:
     return _riff_chunk(b"LIST", list_type + body)
 
 
-def encode_avi_rgb24(width: int, height: int, fps: int, frames: list[bytes]) -> bytes:
-    """Minimal REAL uncompressed AVI encoder.  ``frames`` are top-down
-    row-major RGB byte strings (3 bytes/pixel); the encoder converts to
-    the on-disk bottom-up padded BGR layout and writes RIFF 'AVI ' with
-    hdrl (avih + strl[strh 'vids'/'DIB ' + strf BITMAPINFOHEADER]),
-    movi ('00db' keyframes) and a spec-complete idx1 index."""
-    stride = (width * 3 + 3) & ~3
+def _dib_stride(width: int, bits: int) -> int:
+    """BI_RGB rows are padded to 4-byte boundaries."""
+    return (width * (bits // 8) + 3) & ~3
+
+
+def encode_avi_dib(
+    width: int,
+    height: int,
+    fps: int,
+    frames: list[bytes],
+    *,
+    bits: int = 24,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    """Minimal REAL uncompressed AVI encoder at 8 (palettized), 24, or
+    32 (BGRX) bits.  ``frames`` are top-down row-major: RGB byte
+    strings (3 bytes/pixel) for 24/32-bit, palette-index bytes (1
+    byte/pixel) for 8-bit.  The encoder converts to the on-disk
+    bottom-up padded BGR(X)/index layout and writes RIFF 'AVI ' with
+    hdrl (avih + strl[strh 'vids'/'DIB ' + strf BITMAPINFOHEADER,
+    including the RGBQUAD palette for 8-bit]), movi ('00db' keyframes)
+    and a spec-complete idx1 index."""
+    if bits not in (8, 24, 32):
+        raise ValueError(f"unsupported BI_RGB bit depth {bits}")
+    if bits == 8 and not palette:
+        raise ValueError("8-bit BI_RGB needs a palette")
+    stride = _dib_stride(width, bits)
     frame_size = stride * height
     enc_frames = []
-    for rgb in frames:
-        if len(rgb) != width * height * 3:
-            raise ValueError("frame byte length != width*height*3")
-        # vectorized layout transform: flip rows (bottom-up), reverse
-        # the channel axis (RGB -> BGR), zero-pad each row to stride
-        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
-        bgr = arr[::-1, :, ::-1].reshape(height, width * 3)
+    for frame in frames:
+        if bits == 8:
+            if len(frame) != width * height:
+                raise ValueError("frame byte length != width*height")
+            arr = np.frombuffer(frame, dtype=np.uint8).reshape(height, width)
+            if arr.size and int(arr.max()) >= len(palette):
+                raise ValueError("palette index out of range")
+            rows = arr[::-1, :]  # flip rows (bottom-up); indices stay bytes
+        else:
+            if len(frame) != width * height * 3:
+                raise ValueError("frame byte length != width*height*3")
+            # vectorized layout transform: flip rows (bottom-up), reverse
+            # the channel axis (RGB -> BGR), zero-pad each row to stride
+            arr = np.frombuffer(frame, dtype=np.uint8).reshape(height, width, 3)
+            bgr = arr[::-1, :, ::-1]
+            if bits == 32:  # BGRX: append the unused X byte
+                bgrx = np.zeros((height, width, 4), dtype=np.uint8)
+                bgrx[:, :, :3] = bgr
+                rows = bgrx.reshape(height, width * 4)
+            else:
+                rows = bgr.reshape(height, width * 3)
         padded = np.zeros((height, stride), dtype=np.uint8)
-        padded[:, : width * 3] = bgr
+        padded[:, : rows.shape[1]] = rows
         enc_frames.append(padded.tobytes())
 
     avih = struct.pack(
@@ -1362,9 +1396,12 @@ def encode_avi_rgb24(width: int, height: int, fps: int, frames: list[bytes]) -> 
             0, 0, width, height,  # rcFrame
         )
     )
+    n_pal = len(palette) if bits == 8 else 0
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, width, height, 1, bits, 0, frame_size, 0, 0, n_pal, 0
     )
+    if bits == 8:
+        strf += bytes(b for (r, g, bl) in palette for b in (bl, g, r, 0))  # RGBQUADs
     hdrl = _riff_list(
         b"hdrl",
         _riff_chunk(b"avih", avih)
@@ -1381,20 +1418,28 @@ def encode_avi_rgb24(width: int, height: int, fps: int, frames: list[bytes]) -> 
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_avi_rgb24(width: int, height: int, fps: int, frames: list[bytes]) -> bytes:
+    """24-bit convenience wrapper over :func:`encode_avi_dib`."""
+    return encode_avi_dib(width, height, fps, frames, bits=24)
+
+
 # 'MJPG' fourcc as the little-endian DWORD biCompression carries it
 _MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
 
 def _walk_avi(payload: bytes):
     """Shared RIFF walk -> (width, height, fps, bitcount, compression,
-    raw movi chunk payloads).  Format validation (which biCompression
-    values are decodable) is the CALLER's job — ``decode_avi`` and
+    raw movi chunk payloads, palette bytes).  ``palette`` is the raw
+    RGBQUAD array following the 40-byte BITMAPINFOHEADER (empty when
+    absent).  Format validation (which biCompression values are
+    decodable) is the CALLER's job — ``decode_avi`` and
     ``avi_frame_stats`` accept different sets."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     width = height = None
     rate = scale = None
     bitcount = compression = None
+    palette = b""
     raw_frames: list[bytes] = []
 
     # ITERATIVE chunk walk (explicit continuation stack): a corrupt or
@@ -1441,46 +1486,68 @@ def _walk_avi(payload: bytes):
             (_sz, _w, _h, _pl, bitcount, compression) = struct.unpack(
                 "<IiiHHI", buf[body_start : body_start + 20]
             )
+            palette = buf[body_start + 40 : body_end]  # RGBQUADs (8-bit)
         elif len(tag) == 4 and tag[2:4] in (b"db", b"dc"):
             raw_frames.append(buf[body_start:body_end])
         pos = nxt
     if width is None or height is None:
         raise ValueError("AVI missing avih header")
     fps = (rate // scale) if rate and scale else 0
-    return width, height, fps, bitcount, compression, raw_frames
+    return width, height, fps, bitcount, compression, raw_frames, palette
 
 
-def _dib_frame_to_rgb(data: bytes, width: int, height: int) -> bytes:
+def _dib_frame_to_rgb(
+    data: bytes, width: int, height: int, bitcount: int = 24, palette: bytes = b""
+) -> bytes:
     """Undo the BI_RGB on-disk layout of ONE frame chunk: drop the row
     padding, flip rows (stored bottom-up), reverse the channel axis
-    (BGR -> RGB) — vectorized inverse of the encoder transform."""
-    stride = (width * 3 + 3) & ~3
+    (BGR(X) -> RGB) or map 8-bit indices through the RGBQUAD palette —
+    vectorized inverse of the encoder transform."""
+    stride = _dib_stride(width, bitcount)
     if len(data) < stride * height:
         raise ValueError("truncated AVI frame chunk")
     rows = np.frombuffer(data[: stride * height], dtype=np.uint8).reshape(
         height, stride
-    )[:, : width * 3]
-    return rows.reshape(height, width, 3)[::-1, :, ::-1].tobytes()
+    )
+    if bitcount == 8:
+        idx = rows[:, :width][::-1, :]
+        lut = np.frombuffer(palette[: len(palette) - len(palette) % 4], np.uint8)
+        lut = lut.reshape(-1, 4)[:, 2::-1]  # RGBQUAD is B,G,R,reserved
+        if idx.size and int(idx.max()) >= len(lut):
+            raise ValueError("AVI palette index out of range")
+        return lut[idx].tobytes()
+    bpp = bitcount // 8
+    px = rows[:, : width * bpp].reshape(height, width, bpp)
+    return px[::-1, :, 2::-1].tobytes()  # BGR(X) -> RGB, X dropped
+
+
+_DIB_BITCOUNTS = (8, 24, 32)
 
 
 def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     """REAL AVI decode -> (width, height, fps, frames as top-down RGB).
 
     Walks the RIFF chunk tree (avih for geometry, strh for rate/scale,
-    strf for pixel format, movi for frame data), validates BI_RGB
-    24-bit, and undoes the bottom-up padded BGR storage.  Compressed
-    streams raise ``NotImplementedError`` — there is no RGB pixel
-    plane to return (for 'MJPG' streams use :func:`avi_frame_stats`,
-    which decodes per-frame luma without one; other codecs need a real
-    media library)."""
-    width, height, fps, bitcount, compression, raw_frames = _walk_avi(payload)
-    if compression not in (0, None) or (bitcount is not None and bitcount != 24):
+    strf for pixel format + RGBQUAD palette, movi for frame data),
+    validates BI_RGB at 8 (palettized) / 24 / 32 (BGRX) bits, and
+    undoes the bottom-up padded storage.  Compressed streams raise
+    ``NotImplementedError`` — there is no RGB pixel plane to return
+    (for 'MJPG' streams use :func:`avi_frame_stats`, which decodes
+    per-frame luma without one; other codecs — and 16-bit 5-5-5
+    BI_RGB — need a real media library)."""
+    width, height, fps, bitcount, compression, raw_frames, palette = _walk_avi(payload)
+    if compression not in (0, None) or (
+        bitcount is not None and bitcount not in _DIB_BITCOUNTS
+    ):
         raise NotImplementedError(
-            f"only uncompressed 24-bit AVI supported (biCompression={compression}, "
-            f"biBitCount={bitcount}); MJPG streams decode via avi_frame_stats, "
-            "other codecs need a media library"
+            f"only uncompressed 8/24/32-bit AVI supported (biCompression="
+            f"{compression}, biBitCount={bitcount}); MJPG streams decode via "
+            "avi_frame_stats, other codecs need a media library"
         )
-    return width, height, fps, [_dib_frame_to_rgb(d, width, height) for d in raw_frames]
+    bc = 24 if bitcount is None else bitcount
+    return width, height, fps, [
+        _dib_frame_to_rgb(d, width, height, bc, palette) for d in raw_frames
+    ]
 
 
 def encode_avi_mjpeg(width: int, height: int, fps: int, jpeg_frames: list[bytes]) -> bytes:
@@ -1532,17 +1599,19 @@ def avi_frame_stats(
     ``(frame_idx, mean_luma, sha16)`` without materializing the whole
     pixel plane list -> (width, height, fps, n_frames, stats).
 
-    Two REAL paths: BI_RGB (layout undo + exact channel-sum luma; sha
-    over the reconstructed RGB buffer) and 'MJPG' (each chunk is an
-    independent baseline JPEG — DC-plane luma via
-    :func:`decode_jpeg_luma`, the identical kernel the still-image
+    Two REAL paths: BI_RGB at 8/24/32 bits (layout undo + exact
+    channel-sum luma; sha over the reconstructed RGB buffer, so the
+    SAME content encoded at different depths hashes identically) and
+    'MJPG' (each chunk is an independent baseline JPEG — DC-plane luma
+    via :func:`decode_jpeg_luma`, the identical kernel the still-image
     table uses; sha over the frame's JPEG bytes, the decoded identity
     MJPEG actually stores).  Other codecs refuse loudly."""
-    width, height, fps, bitcount, compression, raw_frames = _walk_avi(payload)
+    width, height, fps, bitcount, compression, raw_frames, palette = _walk_avi(payload)
     stats: list[tuple[int, float, str]] = []
-    if compression in (0, None) and (bitcount is None or bitcount == 24):
+    if compression in (0, None) and (bitcount is None or bitcount in _DIB_BITCOUNTS):
+        bc = 24 if bitcount is None else bitcount
         for i in range(0, len(raw_frames), every_n):
-            rgb = _dib_frame_to_rgb(raw_frames[i], width, height)
+            rgb = _dib_frame_to_rgb(raw_frames[i], width, height, bc, palette)
             stats.append(
                 (i, frame_mean_luma(rgb), hashlib.sha256(rgb).hexdigest()[:16])
             )
@@ -1558,7 +1627,7 @@ def avi_frame_stats(
     else:
         raise NotImplementedError(
             f"unsupported AVI codec (biCompression={compression}, "
-            f"biBitCount={bitcount}); only BI_RGB 24-bit and MJPG decode"
+            f"biBitCount={bitcount}); only BI_RGB 8/24/32-bit and MJPG decode"
         )
     return width, height, fps, len(raw_frames), stats
 
@@ -1647,11 +1716,12 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
     value ``(doc_id * 7 + frame_idx * 11) % 256`` at 10 fps.  Every
     third document (``doc_id % 3 == 1``, mirroring the image table's
     PNG/JPEG split) is Motion-JPEG — each frame an independent baseline
-    JPEG with exact DC-mean luma — the rest uncompressed BI_RGB; a
-    solid JPEG frame of gray v and a solid RGB frame of gray v decode
-    to the SAME ``v/255`` luma, so one closed form covers the codec
-    dispatch AND both real decode paths without the oracle touching
-    the bytes."""
+    JPEG with exact DC-mean luma — the rest uncompressed BI_RGB with
+    the bit depth cycling 24 / 32 (BGRX) / 8 (palettized, one RGBQUAD
+    entry per distinct frame gray); a solid JPEG frame of gray v and a
+    solid RGB frame of gray v at ANY depth decode to the SAME ``v/255``
+    luma, so one closed form covers the codec dispatch AND every real
+    decode path without the oracle touching the bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1665,9 +1735,20 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
                         w, h, 10, [encode_solid_jpeg(w, h, g) for g in grays]
                     )
                 else:
-                    payload = encode_avi_rgb24(
-                        w, h, 10, [bytes([g]) * (w * h * 3) for g in grays]
-                    )
+                    depth = (24, 32, 8)[(d // 3) % 3]
+                    if depth == 8:
+                        pal = sorted(set(grays))
+                        payload = encode_avi_dib(
+                            w, h, 10,
+                            [bytes([pal.index(g)]) * (w * h) for g in grays],
+                            bits=8, palette=[(g, g, g) for g in pal],
+                        )
+                    else:
+                        payload = encode_avi_dib(
+                            w, h, 10,
+                            [bytes([g]) * (w * h * 3) for g in grays],
+                            bits=depth,
+                        )
                 rows.append((d, payload, "video/x-msvideo"))
             yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
 

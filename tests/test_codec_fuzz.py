@@ -489,15 +489,33 @@ def test_wav_byteflip_contract(data, combo, ext):
     n_frames=st.integers(1, 3),
     data=st.data(),
     mode=st.sampled_from(["truncate", "flip"]),
+    codec=st.sampled_from(["mjpg", "dib8", "dib24", "dib32"]),
 )
-def test_avi_corruption_contract(gray, n_frames, data, mode):
-    """Truncating or byte-flipping a valid MJPEG AVI must yield a
-    well-typed stats tuple or ValueError/NotImplementedError from
-    avi_frame_stats — never struct.error (short avih/strh/strf bodies
-    used to escape unwrapped) or RecursionError."""
-    enc = bytearray(
-        encode_avi_mjpeg(16, 16, 10, [encode_solid_jpeg(16, 16, gray)] * n_frames)
-    )
+def test_avi_corruption_contract(gray, n_frames, data, mode, codec):
+    """Truncating or byte-flipping a valid AVI (any codec/depth) must
+    yield a well-typed stats tuple or ValueError/NotImplementedError
+    from avi_frame_stats — never struct.error (short avih/strh/strf
+    bodies used to escape unwrapped) or RecursionError."""
+    from bookextract_spark.operators.multimodal import encode_avi_dib
+
+    if codec == "mjpg":
+        enc = bytearray(
+            encode_avi_mjpeg(16, 16, 10, [encode_solid_jpeg(16, 16, gray)] * n_frames)
+        )
+    elif codec == "dib8":
+        enc = bytearray(
+            encode_avi_dib(
+                16, 16, 10, [bytes([0]) * 256] * n_frames,
+                bits=8, palette=[(gray, gray, gray)],
+            )
+        )
+    else:
+        enc = bytearray(
+            encode_avi_dib(
+                16, 16, 10, [bytes([gray]) * 768] * n_frames,
+                bits=int(codec[3:]),
+            )
+        )
     if mode == "truncate":
         enc = enc[: data.draw(st.integers(12, len(enc) - 1))]
     else:

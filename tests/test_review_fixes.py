@@ -598,6 +598,59 @@ def test_png_packed_unpack_is_chunked(monkeypatch):
     assert mm.decode_png(encp) == fullp
 
 
+def test_avi_dib_depth_surface():
+    """Uncompressed AVI decodes at 8 (palettized) / 24 / 32 (BGRX)
+    bits: identical content encoded at 24 and 32 bits must decode to
+    byte-identical RGB AND identical stats (sha is over the
+    reconstructed RGB, not the on-disk layout); 8-bit indices map
+    through the strf RGBQUAD palette.  16-bit 5-5-5 refuses loudly;
+    an index past the palette is a ValueError."""
+    import random
+    import struct
+
+    from bookextract_spark.operators.multimodal import (
+        avi_frame_stats,
+        decode_avi,
+        encode_avi_dib,
+    )
+
+    rng = random.Random(3)
+    w, h, nf = 13, 7, 3
+    frames = [bytes(rng.randrange(256) for _ in range(w * h * 3)) for _ in range(nf)]
+    a24 = encode_avi_dib(w, h, 10, frames, bits=24)
+    a32 = encode_avi_dib(w, h, 10, frames, bits=32)
+    assert decode_avi(a24)[3] == frames
+    assert decode_avi(a32)[3] == frames
+    assert avi_frame_stats(a24) == avi_frame_stats(a32)
+
+    pal = [(rng.randrange(256), rng.randrange(256), rng.randrange(256)) for _ in range(7)]
+    idx_frames = [bytes(rng.randrange(7) for _ in range(w * h)) for _ in range(nf)]
+    a8 = encode_avi_dib(w, h, 10, idx_frames, bits=8, palette=pal)
+    assert decode_avi(a8)[3] == [
+        bytes(c for i in f for c in pal[i]) for f in idx_frames
+    ]
+
+    # 16-bit BI_RGB: flip the strf biBitCount field
+    hacked = bytearray(a24)
+    off = a24.find(b"strf") + 8 + 14
+    assert hacked[off] == 24
+    hacked[off] = 16
+    with pytest.raises(NotImplementedError, match="biBitCount=16"):
+        decode_avi(bytes(hacked))
+
+    # palette index out of range: shrink the declared strf palette
+    bad = encode_avi_dib(4, 4, 10, [bytes([5]) * 16], bits=8, palette=[(0, 0, 0)] * 6)
+    p = bad.find(b"strf")
+    (sz,) = struct.unpack("<I", bad[p + 4 : p + 8])
+    new_sz = 40 + 12  # three RGBQUADs
+    shrunk = (
+        bad[:p + 4] + struct.pack("<I", new_sz)
+        + bad[p + 8 : p + 8 + new_sz] + bad[p + 8 + sz :]
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_avi(shrunk)
+
+
 def test_jpeg_restart_interval_round_trip_and_contracts():
     """DRI/RST streams (T.81 B.2.4.4) decode exactly in BOTH coding
     processes — the decoder must reset its DC predictor at every
