@@ -13,8 +13,9 @@ headers are parsed for dimensions (SOF scan); the WAV codec writes and
 parses RIFF/fmt/data streams — PCM at 8/16/24/32 bits and IEEE float
 at 32/64, plain or WAVE_FORMAT_EXTENSIBLE-wrapped — with real sample
 statistics normalized to the format's full scale (RMS, peak on the
-16-bit scale, duration); the AVI codec writes and decodes uncompressed 24-bit
-RIFF/BI_RGB video (bottom-up padded BGR frames, hdrl/movi/idx1) with
+16-bit scale, duration); the AVI codec writes and decodes uncompressed
+RIFF/BI_RGB video at 8 (palettized) / 24 / 32 (BGRX) bits (bottom-up
+padded BGR(X)/index frames, hdrl/movi/idx1) with
 true per-frame luminance, plus ENTROPY-CODED Motion-JPEG AVI ('MJPG'
 fourcc: each movi chunk is an independent baseline JPEG, decoded by
 the same huffman/DCT-DC machinery as still images).  PROGRESSIVE
@@ -1309,12 +1310,13 @@ FRAME_SCHEMA = StructType(
 
 
 # ------------------------------------------------------------------
-# REAL video kernel: uncompressed 24-bit AVI (RIFF / BI_RGB 'DIB ')
-# encode + decode, stdlib only.  Format per the public RIFF/AVI and
-# BITMAPINFOHEADER specs: frames are stored bottom-up, BGR byte
-# order, rows padded to 4-byte boundaries — the decoder must undo
-# all three or pixel comparisons fail (kept honest by tests with
-# asymmetric frames).
+# REAL video kernel: uncompressed AVI (RIFF / BI_RGB 'DIB ') encode +
+# decode at 8 (palettized) / 24 / 32 (BGRX) bits, stdlib only.  Format
+# per the public RIFF/AVI and BITMAPINFOHEADER specs: frames are
+# stored bottom-up, BGR(X) byte order (or palette indices), rows
+# padded to 4-byte boundaries — the decoder must undo all of it or
+# pixel comparisons fail (kept honest by tests with asymmetric
+# frames).
 # ------------------------------------------------------------------
 
 
