@@ -1918,11 +1918,21 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
     n_frames = n_samples // n_channels
     if n_samples == 0:
         return sample_rate, n_channels, 0, 0, 0.0, 0
-    rms = math.sqrt(float(np.mean(x * x)))
+    m = float(np.max(np.abs(x)))
+    if m > 1e150:
+        # finite but absurd float samples (hostile data): x*x would
+        # overflow float64 to inf and report rms=inf where the true
+        # rms IS representable — square on the peak-rescaled values.
+        # Only taken far outside the conforming [-1, 1] range, so the
+        # ordinary path stays bit-identical to the fixture oracles.
+        y = x / m
+        rms = math.sqrt(float(np.mean(y * y))) * m
+    else:
+        rms = math.sqrt(float(np.mean(x * x)))
     # clamp: a conforming float WAV lives in [-1, 1], but a finite
     # out-of-range sample must not produce a peak past the IntegerType
     # metadata column (Arrow overflow would kill the task)
-    peak = int(min(round(float(np.max(np.abs(x))) * 32768.0), 2**31 - 1))
+    peak = int(min(round(m * 32768.0), 2**31 - 1))
     duration_ms = n_frames * 1000 // sample_rate
     return sample_rate, n_channels, n_frames, duration_ms, rms, peak
 

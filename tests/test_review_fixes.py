@@ -572,6 +572,18 @@ def test_wav_full_format_surface():
     *_, peak = decode_wav(encode_wav_ex(8000, [1e38, -1e38], bits=32, fmt=3))
     assert peak == 2**31 - 1
 
+    # finite-but-huge float64 samples: x*x overflows float64 to inf,
+    # which used to report rms=inf where the true rms is perfectly
+    # representable — the peak-rescaled square keeps it finite+exact
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any numpy overflow warning fails
+        *_, rms, peak = decode_wav(
+            encode_wav_ex(8000, [1e200, -1e200, 1e200, -1e200], bits=64, fmt=3)
+        )
+    assert rms == pytest.approx(1e200, rel=1e-12) and peak == 2**31 - 1
+
 
 def test_png_packed_unpack_is_chunked(monkeypatch):
     """Sub-8-bit luma sums must stream through bounded row chunks
