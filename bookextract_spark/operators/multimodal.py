@@ -1343,15 +1343,19 @@ def encode_avi_dib(
     bits: int = 24,
     palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
-    """Minimal REAL uncompressed AVI encoder at 8 (palettized), 24, or
-    32 (BGRX) bits.  ``frames`` are top-down row-major: RGB byte
-    strings (3 bytes/pixel) for 24/32-bit, palette-index bytes (1
-    byte/pixel) for 8-bit.  The encoder converts to the on-disk
-    bottom-up padded BGR(X)/index layout and writes RIFF 'AVI ' with
-    hdrl (avih + strl[strh 'vids'/'DIB ' + strf BITMAPINFOHEADER,
-    including the RGBQUAD palette for 8-bit]), movi ('00db' keyframes)
-    and a spec-complete idx1 index."""
-    if bits not in (8, 24, 32):
+    """Minimal REAL uncompressed AVI encoder at 8 (palettized), 16
+    (XRGB555), 24, or 32 (BGRX) bits.  ``frames`` are top-down
+    row-major: RGB byte strings (3 bytes/pixel) for 16/24/32-bit,
+    palette-index bytes (1 byte/pixel) for 8-bit.  16-bit channels are
+    quantized to 5 bits (``v >> 3``); the round trip is exact when the
+    input channels sit on the bit-replication grid
+    ``(q << 3) | (q >> 2)`` — how the fixtures keep their closed-form
+    oracle.  The encoder converts to the on-disk bottom-up padded
+    BGR(X)/555/index layout and writes RIFF 'AVI ' with hdrl (avih +
+    strl[strh 'vids'/'DIB ' + strf BITMAPINFOHEADER, including the
+    RGBQUAD palette for 8-bit]), movi ('00db' keyframes) and a
+    spec-complete idx1 index."""
+    if bits not in (8, 16, 24, 32):
         raise ValueError(f"unsupported BI_RGB bit depth {bits}")
     if bits == 8 and not palette:
         raise ValueError("8-bit BI_RGB needs a palette")
@@ -1373,7 +1377,13 @@ def encode_avi_dib(
             # the channel axis (RGB -> BGR), zero-pad each row to stride
             arr = np.frombuffer(frame, dtype=np.uint8).reshape(height, width, 3)
             bgr = arr[::-1, :, ::-1]
-            if bits == 32:  # BGRX: append the unused X byte
+            if bits == 16:  # XRGB555: pack 5-bit channels little-endian
+                r5 = (bgr[:, :, 2].astype(np.uint16) >> 3)
+                g5 = (bgr[:, :, 1].astype(np.uint16) >> 3)
+                b5 = (bgr[:, :, 0].astype(np.uint16) >> 3)
+                px = (r5 << 10) | (g5 << 5) | b5
+                rows = px.astype("<u2").view(np.uint8).reshape(height, width * 2)
+            elif bits == 32:  # BGRX: append the unused X byte
                 bgrx = np.zeros((height, width, 4), dtype=np.uint8)
                 bgrx[:, :, :3] = bgr
                 rows = bgrx.reshape(height, width * 4)
@@ -1503,8 +1513,9 @@ def _dib_frame_to_rgb(
 ) -> bytes:
     """Undo the BI_RGB on-disk layout of ONE frame chunk: drop the row
     padding, flip rows (stored bottom-up), reverse the channel axis
-    (BGR(X) -> RGB) or map 8-bit indices through the RGBQUAD palette —
-    vectorized inverse of the encoder transform."""
+    (BGR(X) -> RGB), unpack 16-bit XRGB555 words, or map 8-bit indices
+    through the RGBQUAD palette — vectorized inverse of the encoder
+    transform."""
     stride = _dib_stride(width, bitcount)
     if len(data) < stride * height:
         raise ValueError("truncated AVI frame chunk")
@@ -1518,12 +1529,23 @@ def _dib_frame_to_rgb(
         if idx.size and int(idx.max()) >= len(lut):
             raise ValueError("AVI palette index out of range")
         return lut[idx].tobytes()
+    if bitcount == 16:
+        # XRGB555, little-endian words: bits 14-10 R, 9-5 G, 4-0 B;
+        # 5->8 bits by bit replication (q<<3)|(q>>2) == round(q*255/31)
+        px = rows[:, : width * 2].reshape(height, width, 2)
+        words = px[::-1, :, :].astype(np.uint16)
+        w = words[:, :, 0] | (words[:, :, 1] << 8)
+        out = np.empty((height, width, 3), dtype=np.uint16)
+        out[:, :, 0] = (w >> 10) & 0x1F
+        out[:, :, 1] = (w >> 5) & 0x1F
+        out[:, :, 2] = w & 0x1F
+        return ((out << 3) | (out >> 2)).astype(np.uint8).tobytes()
     bpp = bitcount // 8
     px = rows[:, : width * bpp].reshape(height, width, bpp)
     return px[::-1, :, 2::-1].tobytes()  # BGR(X) -> RGB, X dropped
 
 
-_DIB_BITCOUNTS = (8, 24, 32)
+_DIB_BITCOUNTS = (8, 16, 24, 32)
 
 
 def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
@@ -1531,18 +1553,18 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
 
     Walks the RIFF chunk tree (avih for geometry, strh for rate/scale,
     strf for pixel format + RGBQUAD palette, movi for frame data),
-    validates BI_RGB at 8 (palettized) / 24 / 32 (BGRX) bits, and
-    undoes the bottom-up padded storage.  Compressed streams raise
-    ``NotImplementedError`` — there is no RGB pixel plane to return
-    (for 'MJPG' streams use :func:`avi_frame_stats`, which decodes
-    per-frame luma without one; other codecs — and 16-bit 5-5-5
-    BI_RGB — need a real media library)."""
+    validates BI_RGB at 8 (palettized) / 16 (XRGB555) / 24 / 32 (BGRX)
+    bits, and undoes the bottom-up padded storage.  Compressed streams
+    raise ``NotImplementedError`` — there is no RGB pixel plane to
+    return (for 'MJPG' streams use :func:`avi_frame_stats`, which
+    decodes per-frame luma without one; other codecs need a real media
+    library)."""
     width, height, fps, bitcount, compression, raw_frames, palette = _walk_avi(payload)
     if compression not in (0, None) or (
         bitcount is not None and bitcount not in _DIB_BITCOUNTS
     ):
         raise NotImplementedError(
-            f"only uncompressed 8/24/32-bit AVI supported (biCompression="
+            f"only uncompressed 8/16/24/32-bit AVI supported (biCompression="
             f"{compression}, biBitCount={bitcount}); MJPG streams decode via "
             "avi_frame_stats, other codecs need a media library"
         )
@@ -1601,7 +1623,7 @@ def avi_frame_stats(
     ``(frame_idx, mean_luma, sha16)`` without materializing the whole
     pixel plane list -> (width, height, fps, n_frames, stats).
 
-    Two REAL paths: BI_RGB at 8/24/32 bits (layout undo + exact
+    Two REAL paths: BI_RGB at 8/16/24/32 bits (layout undo + exact
     channel-sum luma; sha over the reconstructed RGB buffer, so the
     SAME content encoded at different depths hashes identically) and
     'MJPG' (each chunk is an independent baseline JPEG — DC-plane luma
@@ -1629,7 +1651,7 @@ def avi_frame_stats(
     else:
         raise NotImplementedError(
             f"unsupported AVI codec (biCompression={compression}, "
-            f"biBitCount={bitcount}); only BI_RGB 8/24/32-bit and MJPG decode"
+            f"biBitCount={bitcount}); only BI_RGB 8/16/24/32-bit and MJPG decode"
         )
     return width, height, fps, len(raw_frames), stats
 
@@ -1720,10 +1742,12 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
     PNG/JPEG split) is Motion-JPEG — each frame an independent baseline
     JPEG with exact DC-mean luma — the rest uncompressed BI_RGB with
     the bit depth cycling 24 / 32 (BGRX) / 8 (palettized, one RGBQUAD
-    entry per distinct frame gray); a solid JPEG frame of gray v and a
-    solid RGB frame of gray v at ANY depth decode to the SAME ``v/255``
-    luma, so one closed form covers the codec dispatch AND every real
-    decode path without the oracle touching the bytes."""
+    entry per distinct frame gray) / 16 (XRGB555); a solid JPEG frame
+    of gray v and a solid RGB frame of gray v decode to the SAME
+    ``v/255`` luma at 8/24/32 bits, while the 16-bit rows land on the
+    5-bit replication grid ``q = v // 8 -> q*8 + q//4`` — still a
+    closed form of doc_id, so the oracle covers the codec dispatch AND
+    every real decode path without touching the bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1737,7 +1761,7 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
                         w, h, 10, [encode_solid_jpeg(w, h, g) for g in grays]
                     )
                 else:
-                    depth = (24, 32, 8)[(d // 3) % 3]
+                    depth = (24, 32, 8, 16)[(d // 3) % 4]
                     if depth == 8:
                         pal = sorted(set(grays))
                         payload = encode_avi_dib(

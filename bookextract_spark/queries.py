@@ -1642,10 +1642,12 @@ def q_frame_sample(spark, sf_dir):
     ``doc_id % 3 == 1`` — then every 2nd frame is decoded for real.
     Geometry, frame count, and gray level follow ONE closed form of
     doc_id on both codecs (solid JPEG and solid RGB frames of gray v
-    both decode to v/255), so the oracle predicts the DECODED values
-    without touching the bytes; a decoder that misread the stride
-    padding, skipped the bottom-up flip, or desynced the MJPEG huffman
-    stream would mismatch.  (frame_sha is pytest-asserted, not part of
+    both decode to v/255; the 16-bit XRGB555 rows quantize to the
+    5-bit replication grid, still a closed form), so the oracle
+    predicts the DECODED values without touching the bytes; a decoder
+    that misread the stride padding, skipped the bottom-up flip,
+    expanded 555 words wrongly, or desynced the MJPEG huffman stream
+    would mismatch.  (frame_sha is pytest-asserted, not part of
     the driver surface; the opaque sha-window plumbing twin remains
     ``frame_sample_fake`` in the local registry.)"""
     from bookextract_spark.operators.multimodal import (
@@ -1664,11 +1666,19 @@ WITH vid AS (
   SELECT doc_id AS media_id,
     8 + doc_id % 16 AS w, 8 + (doc_id * 3) % 16 AS h, 3 + doc_id % 5 AS n
   FROM documents
+),
+g AS (
+  SELECT media_id, w, h, n, i, (media_id * 7 + i * 11) % 256 AS v
+  FROM vid, unnest(range(0, n, 2)) AS u(i)
 )
 SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(w AS INT) AS width,
   CAST(h AS INT) AS height, CAST(n AS INT) AS n_frames,
-  round(((media_id * 7 + i * 11) % 256) / 255.0, 6) AS mean_luma
-FROM vid, unnest(range(0, n, 2)) AS u(i)
+  -- 16-bit XRGB555 rows ((media_id // 3) % 4 = 3, non-MJPEG) decode on
+  -- the 5-bit replication grid q*8 + q//4, q = v // 8; others exactly v
+  round(CASE WHEN media_id % 3 <> 1 AND (media_id // 3) % 4 = 3
+             THEN ((v // 8) * 8 + (v // 8) // 4)
+             ELSE v END / 255.0, 6) AS mean_luma
+FROM g
 """
 
 

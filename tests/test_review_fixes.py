@@ -611,12 +611,13 @@ def test_png_packed_unpack_is_chunked(monkeypatch):
 
 
 def test_avi_dib_depth_surface():
-    """Uncompressed AVI decodes at 8 (palettized) / 24 / 32 (BGRX)
-    bits: identical content encoded at 24 and 32 bits must decode to
-    byte-identical RGB AND identical stats (sha is over the
-    reconstructed RGB, not the on-disk layout); 8-bit indices map
-    through the strf RGBQUAD palette.  16-bit 5-5-5 refuses loudly;
-    an index past the palette is a ValueError."""
+    """Uncompressed AVI decodes at 8 (palettized) / 16 (XRGB555) / 24
+    / 32 (BGRX) bits: identical content encoded at 24 and 32 bits must
+    decode to byte-identical RGB AND identical stats (sha is over the
+    reconstructed RGB, not the on-disk layout) — and so must 16-bit
+    when the channels sit on the 5-bit replication grid; 8-bit indices
+    map through the strf RGBQUAD palette.  Sub-byte depths refuse
+    loudly; an index past the palette is a ValueError."""
     import random
     import struct
 
@@ -642,12 +643,29 @@ def test_avi_dib_depth_surface():
         bytes(c for i in f for c in pal[i]) for f in idx_frames
     ]
 
-    # 16-bit BI_RGB: flip the strf biBitCount field
+    # 16-bit XRGB555: exact round trip on the bit-replication grid
+    # (q<<3)|(q>>2), and cross-depth sha/stats identity with 24-bit
+    rep = [(q << 3) | (q >> 2) for q in range(32)]
+    grid_frames = [
+        bytes(rep[(x * 7 + y * 11 + c * 3 + f) % 32] for y in range(h)
+              for x in range(w) for c in range(3))
+        for f in range(nf)
+    ]
+    a16 = encode_avi_dib(w, h, 10, grid_frames, bits=16)
+    assert decode_avi(a16)[3] == grid_frames
+    assert avi_frame_stats(a16) == avi_frame_stats(
+        encode_avi_dib(w, h, 10, grid_frames, bits=24)
+    )
+    # off-grid channels quantize deterministically: 100 -> (12<<3)|3 = 99
+    a16q = encode_avi_dib(2, 2, 10, [bytes([100]) * 12], bits=16)
+    assert decode_avi(a16q)[3] == [bytes([99]) * 12]
+
+    # sub-byte BI_RGB depth: flip the strf biBitCount field
     hacked = bytearray(a24)
     off = a24.find(b"strf") + 8 + 14
     assert hacked[off] == 24
-    hacked[off] = 16
-    with pytest.raises(NotImplementedError, match="biBitCount=16"):
+    hacked[off] = 4
+    with pytest.raises(NotImplementedError, match="biBitCount=4"):
         decode_avi(bytes(hacked))
 
     # palette index out of range: shrink the declared strf palette
