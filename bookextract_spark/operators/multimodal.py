@@ -1805,6 +1805,37 @@ def encode_wav_pcm16(sample_rate: int, samples) -> bytes:
 _WAV_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 
 
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """(mu-law, A-law) 256-entry expansion tables to 16-bit-range
+    linear PCM, from the public ITU-T G.711 piecewise-linear formulas
+    (the classic table-free g711.c form).  Pure arithmetic — these
+    codecs need no audio library.  mu-law: invert, then
+    ``((mant<<3)+0x84)<<exp - 0x84`` with the sign from bit 7 (range
+    ±32124); A-law: XOR 0x55, segment 0/1 are linear, higher segments
+    shift — range ±32256."""
+    mu = np.empty(256, np.int32)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        mu[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    al = np.empty(256, np.int32)
+    for code in range(256):
+        a = code ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al[code] = t if (a & 0x80) else -t
+    return mu, al
+
+
+_G711_ULAW, _G711_ALAW = _g711_luts()
+
+
 def encode_wav_ex(
     sample_rate: int,
     samples,
@@ -1815,13 +1846,16 @@ def encode_wav_ex(
     extensible: bool = False,
 ) -> bytes:
     """Generic REAL WAV encoder: PCM (fmt 1) at 8 (unsigned) / 16 / 24
-    / 32 bits or IEEE float (fmt 3) at 32/64 bits, mono or interleaved
-    multi-channel, optionally wrapped in WAVE_FORMAT_EXTENSIBLE (fmt
-    0xFFFE with the real code in the SubFormat GUID).  ``samples`` are
-    NATIVE units (0..255 for PCM8, two's-complement ints for wider
-    PCM, floats for fmt 3).  Float streams get the spec's fact
+    / 32 bits, IEEE float (fmt 3) at 32/64 bits, or G.711 A-law/mu-law
+    (fmt 6/7) at 8 bits, mono or interleaved multi-channel, optionally
+    wrapped in WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE with the real code
+    in the SubFormat GUID).  ``samples`` are NATIVE units (0..255 for
+    PCM8, two's-complement ints for wider PCM, floats for fmt 3, raw
+    0..255 codewords for G.711).  Non-PCM streams get the spec's fact
     chunk."""
-    if (fmt, bits) not in {(1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64)}:
+    if (fmt, bits) not in {
+        (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64), (6, 8), (7, 8),
+    }:
         raise ValueError(f"unsupported WAV encode combo fmt={fmt} bits={bits}")
     if fmt == 3:
         data = np.asarray(list(samples), "<f4" if bits == 32 else "<f8").tobytes()
@@ -1850,7 +1884,7 @@ def encode_wav_ex(
             "<HHIIHH", fmt, n_channels, sample_rate, sample_rate * block, block, bits
         )
     chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
-    if fmt == 3:
+    if fmt != 1:  # the spec requires a fact chunk for non-PCM formats
         chunks += b"fact" + struct.pack("<II", 4, len(data) // block)
     chunks += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
@@ -1878,8 +1912,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
     normalized by the format's full scale before the stats, so ``rms``
     is format-independent and ``peak`` is the normalized amplitude on
     the 16-bit scale — for 16-bit PCM that IS the raw peak, bit-equal
-    to the old PCM16-only decoder.  Compressed codecs (mu-law/a-law/
-    ADPCM/MP3-in-WAV) refuse with NotImplementedError."""
+    to the old PCM16-only decoder.  G.711 mu-law (fmt 7) and A-law
+    (fmt 6) expand through the spec's piecewise-linear formula to the
+    16-bit range.  Prediction-based codecs (ADPCM/MP3-in-WAV) refuse
+    with NotImplementedError."""
     import math
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -1906,6 +1942,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
                 (fmt_code,) = struct.unpack("<H", body[24:26])
             if (fmt_code, bits) not in {
                 (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64),
+                (6, 8), (7, 8),  # G.711 A-law / mu-law: pure formula
             }:
                 raise NotImplementedError(
                     f"WAV format code {fmt_code} at {bits} bits needs an audio library"
@@ -1928,6 +1965,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
             # would poison downstream (int(round(inf)) even raises
             # OverflowError, escaping the documented contract)
             raise ValueError("WAV float samples are not finite")
+    elif fmt_code in (6, 7):  # G.711: expand to 16-bit-range linear
+        lut = _G711_ULAW if fmt_code == 7 else _G711_ALAW
+        x = lut[np.frombuffer(buf, np.uint8)].astype(np.float64) / 32768.0
     elif bits == 8:
         x = (np.frombuffer(buf, np.uint8).astype(np.float64) - 128.0) / 128.0
     elif bits == 16:
@@ -1965,13 +2005,18 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
     """REAL audio media table: one genuine WAV per document with
     SQL-predictable stats — a constant-amplitude square wave of
     ``1000 + doc_id % 500`` samples at 8 kHz.  The sample FORMAT
-    cycles by ``doc_id % 7`` through the decoder's full surface (PCM16
-    / PCM8 / PCM24 / PCM32 / float32 / float64 / PCM16-in-EXTENSIBLE),
-    each encoding the amplitude in its native units such that the
-    NORMALIZED peak on the 16-bit scale is ``256 + (doc_id % 64) * 64``
-    — except PCM8, whose coarser grid (1/128 steps) gets its own exact
-    law ``256 * (1 + doc_id % 16)`` — so RMS == peak/32768 exactly in
-    every format and one closed-form oracle covers all seven paths."""
+    cycles by ``doc_id % 9`` through the decoder's full surface (PCM16
+    / PCM8 / PCM24 / PCM32 / float32 / float64 / PCM16-in-EXTENSIBLE /
+    G.711 mu-law / G.711 A-law), each encoding the amplitude in its
+    native units such that the NORMALIZED peak on the 16-bit scale is
+    ``256 + (doc_id % 64) * 64`` — except the quantized-grid formats,
+    which get their own exact laws: PCM8 (1/128 steps)
+    ``256 * (1 + doc_id % 16)``; mu-law, built from codeword
+    (exp ``e = doc_id % 8``, mantissa ``m = (doc_id // 8) % 16``)
+    ``(m*8 + 132) * 2^e - 132``; A-law (seg ``s = 2 + doc_id % 6``,
+    same m) ``(m*16 + 264) * 2^(s-1)`` — so RMS == peak/32768 exactly
+    in every format and one closed-form oracle covers all nine
+    paths."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1979,11 +2024,20 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 n = 1000 + d % 500
-                variant = d % 7
+                variant = d % 9
                 if variant == 1:  # PCM8: native unsigned, offset 128
                     a8 = 1 + d % 16
                     sm = [128 + a8 if i % 2 == 0 else 128 - a8 for i in range(n)]
                     wav = encode_wav_ex(8000, sm, bits=8)
+                elif variant in (7, 8):  # G.711 codewords, ± via bit 7
+                    e_or_s, m = d % 8, (d // 8) % 16
+                    if variant == 7:  # mu-law: u_val inverted on disk
+                        pos = 0xFF ^ ((e_or_s << 4) | m)
+                    else:  # A-law: seg 2..7 keeps the law shift-only
+                        s = 2 + d % 6
+                        pos = (0x80 | (s << 4) | m) ^ 0x55
+                    sm = [pos if i % 2 == 0 else pos ^ 0x80 for i in range(n)]
+                    wav = encode_wav_ex(8000, sm, bits=8, fmt=7 if variant == 7 else 6)
                 else:
                     amp = 256 + (d % 64) * 64
                     sq = [1 if i % 2 == 0 else -1 for i in range(n)]

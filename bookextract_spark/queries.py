@@ -1604,12 +1604,14 @@ def q_wav_metadata(spark, sf_dir):
     (constant-amplitude square waves) generated distributed, parsed for
     real — RIFF chunk walk, fmt/data extraction, sample statistics —
     over the decoder's FULL format surface: the fixture cycles PCM16 /
-    PCM8 / PCM24 / PCM32 / float32 / float64 / PCM16-in-EXTENSIBLE by
-    doc_id % 7, each encoding the same normalized amplitude in native
-    units.  Amplitude/length follow a closed form of doc_id, so the
-    oracle predicts the DECODED stats without touching the bytes
-    (square-wave RMS == normalized peak / 32768 exactly in every
-    format, all values binary fractions)."""
+    PCM8 / PCM24 / PCM32 / float32 / float64 / PCM16-in-EXTENSIBLE /
+    G.711 mu-law / G.711 A-law by doc_id % 9, each encoding the same
+    normalized amplitude in native units (the quantized-grid formats —
+    PCM8 and the two G.711 laws — carry their own exact codeword-
+    derived amplitude laws).  Amplitude/length follow a closed form of
+    doc_id, so the oracle predicts the DECODED stats without touching
+    the bytes (square-wave RMS == normalized peak / 32768 exactly in
+    every format)."""
     from bookextract_spark.operators.multimodal import (
         wav_media_from_documents,
         wav_metadata,
@@ -1620,16 +1622,27 @@ def q_wav_metadata(spark, sf_dir):
 
 
 SQL_WAV_META = """
+WITH amp AS (
+  SELECT doc_id,
+    -- per-format normalized peak on the 16-bit scale: PCM8 and the
+    -- two G.711 laws are quantized grids with their own exact
+    -- codeword-derived laws; the wide formats share one law
+    CASE WHEN doc_id % 9 = 1 THEN 256 * (1 + doc_id % 16)
+         WHEN doc_id % 9 = 7
+           THEN (((doc_id // 8) % 16) * 8 + 132) * (1 << (doc_id % 8)) - 132
+         WHEN doc_id % 9 = 8
+           THEN (((doc_id // 8) % 16) * 16 + 264) * (1 << (1 + doc_id % 6))
+         ELSE 256 + (doc_id % 64) * 64 END AS a
+  FROM documents
+)
 SELECT doc_id AS media_id,
   8000 AS sample_rate,
   1 AS n_channels,
   (1000 + doc_id % 500)::BIGINT AS n_samples,
   (((1000 + doc_id % 500) * 1000) // 8000)::BIGINT AS duration_ms,
-  (CASE WHEN doc_id % 7 = 1 THEN 256 * (1 + doc_id % 16)
-        ELSE 256 + (doc_id % 64) * 64 END) / 32768.0 AS rms,
-  CAST(CASE WHEN doc_id % 7 = 1 THEN 256 * (1 + doc_id % 16)
-            ELSE 256 + (doc_id % 64) * 64 END AS INT) AS peak
-FROM documents
+  a / 32768.0 AS rms,
+  CAST(a AS INT) AS peak
+FROM amp
 """
 
 

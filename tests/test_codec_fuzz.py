@@ -416,14 +416,20 @@ def test_html_walkers_total_on_arbitrary_input(parts):
     assert d["tag_depth"] >= 0
 
 
-# (fmt, bits) across the decoder's full surface
+# (fmt, bits) across the decoder's exactly-representable surface; the
+# G.711 laws are quantized grids, so they join the byte-flip contract
+# draw but not the cross-format exact-stats property
 _WAV_COMBOS = [(1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64)]
+_WAV_COMBOS_ALL = _WAV_COMBOS + [(6, 8), (7, 8)]
 
 
 def _wav_native(samples, fmt, bits):
     """Map small signed samples (-128..127) to the format's native
     units so the NORMALIZED values — and hence rms/peak — are
-    identical across every format."""
+    identical across every format (G.711 gets raw codewords; its
+    stats differ, which only the byte-flip contract draw uses)."""
+    if fmt in (6, 7):
+        return [(s + 128) & 0xFF for s in samples]
     if fmt == 3:
         return [s / 128.0 for s in samples]
     if bits == 8:
@@ -457,7 +463,7 @@ def test_wav_ex_roundtrip_exact_across_formats(samples, combo, ext, rate):
 
 
 @FUZZ
-@given(data=st.data(), combo=st.sampled_from([None] + _WAV_COMBOS), ext=st.booleans())
+@given(data=st.data(), combo=st.sampled_from([None] + _WAV_COMBOS_ALL), ext=st.booleans())
 def test_wav_byteflip_contract(data, combo, ext):
     if combo is None:
         wav = _valid_wav()

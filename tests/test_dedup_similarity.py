@@ -488,11 +488,19 @@ def test_wav_media_decode_end_to_end(spark):
     out = {r.media_id: r for r in wav_metadata(wav_media_from_documents(docs)).collect()}
     assert len(out) == 30
     for d, r in out.items():
-        # the fixture cycles 7 sample formats by doc_id; PCM8's coarser
-        # grid has its own exact amplitude law (normalized 16-bit scale)
-        amp = 256 * (1 + d % 16) if d % 7 == 1 else 256 + (d % 64) * 64
-        assert r.peak == amp and r.n_samples == 1000 + d % 500
-        assert abs(r.rms - amp / 32768.0) < 1e-15
+        # the fixture cycles 9 sample formats by doc_id; the
+        # quantized-grid formats (PCM8, G.711 mu-law/A-law) carry
+        # their own exact amplitude laws (normalized 16-bit scale)
+        if d % 9 == 1:
+            amp = 256 * (1 + d % 16)
+        elif d % 9 == 7:
+            amp = (((d // 8) % 16) * 8 + 132) * (1 << (d % 8)) - 132
+        elif d % 9 == 8:
+            amp = (((d // 8) % 16) * 16 + 264) * (1 << (1 + d % 6))
+        else:
+            amp = 256 + (d % 64) * 64
+        assert r.peak == amp and r.n_samples == 1000 + d % 500, d
+        assert abs(r.rms - amp / 32768.0) < 1e-15, d
         assert r.sample_rate == 8000 and r.n_channels == 1
 
 

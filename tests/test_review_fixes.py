@@ -551,10 +551,42 @@ def test_wav_full_format_surface():
     )
     assert (ch, n, peak) == (2, 2, 16384)
 
-    mu = bytearray(encode_wav_ex(8000, [128] * 4, bits=8))
-    mu[20:22] = struct.pack("<H", 7)  # mu-law format code
-    with pytest.raises(NotImplementedError, match="format code 7"):
-        decode_wav(bytes(mu))
+    ad = bytearray(encode_wav_ex(8000, [128] * 4, bits=8))
+    ad[20:22] = struct.pack("<H", 2)  # MS-ADPCM format code
+    with pytest.raises(NotImplementedError, match="format code 2"):
+        decode_wav(bytes(ad))
+
+    # G.711 decodes now: every codeword of both laws, bit-equal to the
+    # ITU formula tables (cross-checked against stdlib audioop where
+    # this Python still ships it)
+    from bookextract_spark.operators.multimodal import _G711_ALAW, _G711_ULAW
+
+    assert int(_G711_ULAW.max()) == 32124 and int(_G711_ALAW.max()) == 32256
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop  # removed in Python 3.13
+
+        for code in range(256):
+            assert audioop.ulaw2lin(bytes([code]), 2) == int(
+                _G711_ULAW[code]
+            ).to_bytes(2, "little", signed=True)
+            assert audioop.alaw2lin(bytes([code]), 2) == int(
+                _G711_ALAW[code]
+            ).to_bytes(2, "little", signed=True)
+    except ImportError:
+        pass
+    for fmt, lut in ((7, _G711_ULAW), (6, _G711_ALAW)):
+        pos = 0xFF ^ 0x52 if fmt == 7 else (0x80 | 0x25) ^ 0x55
+        codes = [pos, pos ^ 0x80] * 50
+        for ext in (False, True):
+            *_, rms, peak = decode_wav(
+                encode_wav_ex(8000, codes, bits=8, fmt=fmt, extensible=ext)
+            )
+            mag = abs(int(lut[pos]))
+            assert peak == mag and rms == mag / 32768.0, (fmt, ext)
 
     good = encode_wav_ex(8000, [100], bits=16, extensible=True)
     # shrink the declared fmt size to 20: extensible needs >= 40
