@@ -3573,14 +3573,15 @@ FROM agg, tot
 #         late round 4 likewise swapped the new dedup_clusters into the
 #         head in place of s6_book_info (S6's parse keeps a head proof
 #         via s11_book_info's sink->source round trip).
-#   51-58: redundant-coverage queries (ops also proven earlier: T1/T13
+#   51-59: redundant-coverage queries (ops also proven earlier: T1/T13
 #          are stages of pipeline_extract's oracle, o8_merge_decisions'
 #          predicates drive o8_merge_extract, conv_dedup composes
 #          proven pieces, q1/q3 are generic warehouse demos,
 #          o15_chapter_titles' edge is green in r03, s6_book_info's
-#          source parse is driven by s11_book_info) — if the driver
-#          truncates, ONLY these lose rows and no operator loses its
-#          proof.
+#          source parse is driven by s11_book_info, s5_quarantine is
+#          green in r02+r03 and the quarantine pattern stays
+#          head-proven by s7_quarantine) — if the driver truncates,
+#          ONLY these lose rows and no operator loses its proof.
 # Twin variants whose only job is cross-checking a default-hash path
 # (md5 twins of minhash/simhash, the sha-fake image plumbing twin, the
 # O(n^2) near-dup verifier) live in _LOCAL_REGISTRY: still oracle-checked
@@ -3645,7 +3646,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mixture_sample": (q_mixture_sample, _sql_mixture()),
     "pii_scrub": (q_pii_scrub, _sql_pii()),
     "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
-    "s5_quarantine": (q_s5_quarantine, SQL_S5_QUAR),
+    # s7_quarantine promoted into the head (fourth round-4 session) so
+    # the newest registry operator gets a driver row in the round it
+    # shipped — the same policy as the simhash_near/dedup_clusters
+    # swaps.  It displaces s5_quarantine, whose JSON quarantine op has
+    # green driver rows in BOTH r02 and r03; this is the strictly more
+    # interesting variant (quarantine over a REAL zip/OPF/XHTML parser:
+    # truncated-zip and missing-container payloads become error rows).
+    "s7_quarantine": (q_s7_quarantine, SQL_S7_QUAR),
     # dedup_clusters swapped into the head in (late) round 4 so the new
     # operator gets a driver row: near-dup pairs -> connected components
     # (iterative min-label propagation) -> canonical-per-cluster keep
@@ -3675,11 +3683,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # proof, and this standalone construction stays oracle-checked in
     # the local replica.
     "s6_book_info": (q_s6_book_info, SQL_S6),
-    # late round 4, tail (S7's strict parse is head-proven by
-    # s7_epub_roundtrip; this adds the scraped-corpus quarantine mode —
-    # planted truncated-zip and missing-container payloads become error
-    # rows instead of killing the stage)
-    "s7_quarantine": (q_s7_quarantine, SQL_S7_QUAR),
+    # s5_quarantine demoted here in the fourth round-4 session (swap
+    # with s7_quarantine): the S5 malformed-JSON quarantine op has
+    # green driver rows in r02 AND r03, and the quarantine row pattern
+    # itself stays head-proven by s7_quarantine.
+    "s5_quarantine": (q_s5_quarantine, SQL_S5_QUAR),
 }
 
 # Cross-check twins: oracle-verified locally (test_oracle_parity runs
