@@ -21,10 +21,11 @@ fourcc: each movi chunk is an independent baseline JPEG, decoded by
 the same huffman/DCT-DC machinery as still images).  PROGRESSIVE
 huffman JPEG (SOF2) decodes for real too: DC scans — first pass and
 successive-approximation refinements — are entropy-decoded, AC scans
-skipped at the byte level (zero spatial mean).  The remaining
-entropy-coded formats (arithmetic-coded JPEG, inter-frame video
-codecs) refuse loudly with ``NotImplementedError`` — they need a real
-media library; deterministic sha-derived ``fake`` modes keep the
+skipped at the byte level (zero spatial mean).  WAV audio decodes
+the full uncompressed surface plus G.711 and IMA/MS ADPCM through
+public formula/block algorithms.  The remaining formats
+(arithmetic-coded JPEG, inter-frame video codecs, MP3-in-WAV) refuse
+loudly with ``NotImplementedError`` — they need a real media library; deterministic sha-derived ``fake`` modes keep the
 distributed plumbing (schemas, Arrow batch shapes, ``mapInPandas``
 contracts, 1->N expansion) testable for opaque payloads either way.
 """
@@ -1890,6 +1891,257 @@ def encode_wav_ex(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+# -- ADPCM (IMA/DVI fmt 0x11 and Microsoft fmt 0x02): prediction-based
+# but fully specified by public tables and integer arithmetic (the
+# classic IMA reference algorithm / the MS WAV spec) — no audio
+# library needed.  Both are block codecs: every block header re-seeds
+# the predictor state, so blocks decode independently and a damaged
+# block cannot poison the rest of the stream.
+
+# fmt: off
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+# fmt: on
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+# MS ADPCM delta-adaptation table (indexed by the unsigned nibble) and
+# the spec's seven standard predictor coefficient pairs (Q8 fixed point)
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64),
+             (240, 0), (460, -208), (392, -232)]
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (predictor, step index) + a
+    4-bit code -> next state.  The canonical reference arithmetic
+    (delta = step>>3 plus step-weighted magnitude bits, sign from bit
+    3), shared by the encoder and decoder so they cannot drift, and
+    cross-checked codeword-for-codeword against stdlib ``audioop``
+    where this Python still ships it."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    if pred > 32767:
+        pred = 32767
+    elif pred < -32768:
+        pred = -32768
+    idx += _IMA_INDEX[nib & 7]
+    if idx < 0:
+        idx = 0
+    elif idx > 88:
+        idx = 88
+    return pred, idx
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int, n_ch: int) -> np.ndarray:
+    """IMA ADPCM data chunk -> (frames, n_ch) int32 on the 16-bit
+    scale.  Block layout per channel: 4-byte header (int16 seed
+    sample, step index, reserved) then 4-byte nibble groups
+    round-robin across channels, LOW nibble first."""
+    if n_ch < 1:
+        raise ValueError("IMA ADPCM: zero channels")
+    if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
+        raise ValueError(f"IMA ADPCM block_align {block_align} invalid for {n_ch}ch")
+    blocks = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        preds, idxs, chans = [], [], []
+        for c in range(n_ch):
+            pred, idx, _res = struct.unpack_from("<hBB", data, off + 4 * c)
+            if idx > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        body = data[off + 4 * n_ch : off + block_align]
+        for g in range(0, len(body), 4 * n_ch):
+            for c in range(n_ch):
+                pred, idx = preds[c], idxs[c]
+                app = chans[c].append
+                for byte in body[g + 4 * c : g + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        pred, idx = _ima_step(pred, idx, nib)
+                        app(pred)
+                preds[c], idxs[c] = pred, idx
+        blocks.append(np.array(chans, np.int32).T)
+    if not blocks:
+        raise ValueError("IMA ADPCM stream has no complete block")
+    return np.concatenate(blocks)
+
+
+def _decode_ms_adpcm(
+    data: bytes, block_align: int, n_ch: int, coefs: list[tuple[int, int]]
+) -> np.ndarray:
+    """MS ADPCM data chunk -> (frames, n_ch) int32 on the 16-bit
+    scale.  Block header (fields channel-interleaved): predictor
+    index byte, int16 iDelta, int16 iSamp1, int16 iSamp2 — iSamp2 is
+    the OLDER sample and is emitted first; nibbles follow HIGH nibble
+    first, alternating channels per nibble."""
+    if n_ch < 1:
+        raise ValueError("MS ADPCM: zero channels")
+    hdr = 7 * n_ch
+    if block_align <= hdr:
+        raise ValueError(f"MS ADPCM block_align {block_align} invalid for {n_ch}ch")
+    blocks = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        blk = data[off : off + block_align]
+        bpred = list(blk[:n_ch])
+        for p in bpred:
+            if p >= len(coefs):
+                raise ValueError("MS ADPCM predictor index out of range")
+        ideltas = list(struct.unpack_from(f"<{n_ch}h", blk, n_ch))
+        s1 = list(struct.unpack_from(f"<{n_ch}h", blk, 3 * n_ch))
+        s2 = list(struct.unpack_from(f"<{n_ch}h", blk, 5 * n_ch))
+        c1 = [coefs[p][0] for p in bpred]
+        c2 = [coefs[p][1] for p in bpred]
+        chans = [[s2[c], s1[c]] for c in range(n_ch)]
+        c = 0
+        for byte in blk[hdr:]:
+            for nib in (byte >> 4, byte & 0x0F):
+                snib = nib - 16 if nib >= 8 else nib
+                pred = (s1[c] * c1[c] + s2[c] * c2[c]) >> 8
+                samp = pred + snib * ideltas[c]
+                if samp > 32767:
+                    samp = 32767
+                elif samp < -32768:
+                    samp = -32768
+                chans[c].append(samp)
+                s2[c], s1[c] = s1[c], samp
+                d = (_MS_ADAPT[nib] * ideltas[c]) >> 8
+                ideltas[c] = 16 if d < 16 else d
+                c = (c + 1) % n_ch
+        blocks.append(np.array(chans, np.int32).T)
+    if not blocks:
+        raise ValueError("MS ADPCM stream has no complete block")
+    return np.concatenate(blocks)
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def encode_wav_ima_adpcm(sample_rate: int, samples, block_align: int = 256) -> bytes:
+    """REAL mono IMA ADPCM WAV encoder (fmt 0x11).  The standard
+    quantizer: greedy magnitude bits against the current step, state
+    resynced through the DECODER transition (:func:`_ima_step`) after
+    every nibble so encoder and decoder can never drift.  The final
+    partial block is padded by repeating the last sample; the fact
+    chunk carries the true sample count for the decoder to trim."""
+    sm = [_clamp16(int(s)) for s in samples]
+    if not sm:
+        raise ValueError("empty sample stream")
+    if block_align < 8 or (block_align - 4) % 4:
+        raise ValueError(f"invalid mono IMA block_align {block_align}")
+    spb = (block_align - 4) * 2 + 1
+    n = len(sm)
+    n_blocks = -(-n // spb)
+    sm += [sm[-1]] * (n_blocks * spb - n)
+    idx = 0
+    out = bytearray()
+    for b in range(n_blocks):
+        chunk = sm[b * spb : (b + 1) * spb]
+        pred = chunk[0]
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[idx]
+            diff = s - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(pred, idx, nib)
+            nibs.append(nib)
+        for i in range(0, len(nibs), 2):
+            out.append(nibs[i] | (nibs[i + 1] << 4))
+    byte_rate = max(1, sample_rate * block_align // spb)
+    fmt_body = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, spb
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_ms_adpcm(sample_rate: int, samples, block_align: int = 256) -> bytes:
+    """REAL mono MS ADPCM WAV encoder (fmt 0x02).  Per block, all
+    seven standard coefficient sets are trial-encoded and the one with
+    the least total reconstruction error wins (the spec's intended
+    selection); iDelta starts at the floor (16) — any seed is a
+    conforming stream since the decoder follows the header.  Padding
+    and fact-chunk trimming as in :func:`encode_wav_ima_adpcm`."""
+    sm = [_clamp16(int(s)) for s in samples]
+    if not sm:
+        raise ValueError("empty sample stream")
+    if block_align < 8:
+        raise ValueError(f"invalid mono MS block_align {block_align}")
+    spb = (block_align - 7) * 2 + 2
+    n = len(sm)
+    n_blocks = -(-n // spb)
+    sm += [sm[-1]] * (n_blocks * spb - n)
+    out = bytearray()
+    for b in range(n_blocks):
+        chunk = sm[b * spb : (b + 1) * spb]
+        best = None
+        for p, (c1, c2) in enumerate(_MS_COEFS):
+            idelta = 16
+            s2, s1 = chunk[0], chunk[1]
+            err_total = 0
+            nibs = []
+            for s in chunk[2:]:
+                pred = (s1 * c1 + s2 * c2) >> 8
+                err = s - pred
+                q = err // idelta if err >= 0 else -((-err) // idelta)
+                q = -8 if q < -8 else (7 if q > 7 else q)
+                recon = _clamp16(pred + q * idelta)
+                err_total += abs(s - recon)
+                nibs.append(q & 0xF)
+                s2, s1 = s1, recon
+                d = (_MS_ADAPT[q & 0xF] * idelta) >> 8
+                idelta = 16 if d < 16 else d
+            if best is None or err_total < best[0]:
+                best = (err_total, p, nibs)
+        _, p, nibs = best
+        out += struct.pack("<Bhhh", p, 16, chunk[1], chunk[0])
+        for i in range(0, len(nibs), 2):
+            out.append((nibs[i] << 4) | nibs[i + 1])
+    byte_rate = max(1, sample_rate * block_align // spb)
+    fmt_body = struct.pack(
+        "<HHIIHHHHH", 2, 1, sample_rate, byte_rate, block_align, 4, 32, spb, 7
+    ) + b"".join(struct.pack("<hh", c1, c2) for c1, c2 in _MS_COEFS)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 WAV_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -1914,14 +2166,16 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
     the 16-bit scale — for 16-bit PCM that IS the raw peak, bit-equal
     to the old PCM16-only decoder.  G.711 mu-law (fmt 7) and A-law
     (fmt 6) expand through the spec's piecewise-linear formula to the
-    16-bit range.  Prediction-based codecs (ADPCM/MP3-in-WAV) refuse
-    with NotImplementedError."""
-    import math
-
+    16-bit range; IMA/DVI ADPCM (fmt 0x11) and MS ADPCM (fmt 0x02)
+    decode through the public block algorithms.  True codec-library
+    formats (MP3-in-WAV etc.) refuse with NotImplementedError."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
     sample_rate = n_channels = bits = fmt_code = None
+    block_align = 0
+    fmt_extra = b""
+    fact_count = None
     data = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
@@ -1933,20 +2187,25 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
                 # corrupt/truncated size field: struct.error is the
                 # wrong exception type for the ValueError contract
                 raise ValueError("truncated WAV fmt chunk")
-            fmt_code, n_channels, sample_rate, _br, _ba, bits = struct.unpack(
+            fmt_code, n_channels, sample_rate, _br, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if fmt_code == 0xFFFE:  # extensible: real code leads the GUID
+            fmt_extra = body[16:]
+            was_extensible = fmt_code == 0xFFFE
+            if was_extensible:  # extensible: real code leads the GUID
                 if len(body) < 40:
                     raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
                 (fmt_code,) = struct.unpack("<H", body[24:26])
             if (fmt_code, bits) not in {
                 (1, 8), (1, 16), (1, 24), (1, 32), (3, 32), (3, 64),
                 (6, 8), (7, 8),  # G.711 A-law / mu-law: pure formula
+                (0x11, 4), (2, 4),  # IMA / MS ADPCM: public block algos
             }:
                 raise NotImplementedError(
                     f"WAV format code {fmt_code} at {bits} bits needs an audio library"
                 )
+        elif tag == b"fact" and len(body) >= 4:
+            (fact_count,) = struct.unpack("<I", body[:4])
         elif tag == b"data":
             data = body
     if sample_rate is None or data is None:
@@ -1955,6 +2214,27 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
         # corrupt fmt chunk: the frame/duration math below would
         # ZeroDivisionError — keep the documented ValueError contract
         raise ValueError("invalid WAV fmt: zero channels or sample rate")
+    if fmt_code in (2, 0x11):
+        # block codecs: no fixed sample width; the fact chunk trims the
+        # final padded block to the true per-channel sample count
+        if fmt_code == 0x11:
+            frames = _decode_ima_adpcm(bytes(data), block_align, n_channels)
+        else:
+            coefs = _MS_COEFS
+            if not was_extensible and len(fmt_extra) >= 6:
+                # plain MS fmt extra: cbSize, wSamplesPerBlock,
+                # wNumCoef, then the coefficient pairs
+                (n_coef,) = struct.unpack("<H", fmt_extra[4:6])
+                if 1 <= n_coef <= 256 and len(fmt_extra) >= 6 + 4 * n_coef:
+                    coefs = [
+                        struct.unpack_from("<hh", fmt_extra, 6 + 4 * i)
+                        for i in range(n_coef)
+                    ]
+            frames = _decode_ms_adpcm(bytes(data), block_align, n_channels, coefs)
+        if fact_count is not None and fact_count < len(frames):
+            frames = frames[:fact_count]
+        x = frames.reshape(-1).astype(np.float64) / 32768.0
+        return _wav_stats(x, sample_rate, n_channels)
     width = bits // 8
     usable = len(data) - len(data) % width
     buf = bytes(data[:usable])
@@ -1978,6 +2258,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, float, int]:
         x = ((v ^ 0x800000) - 0x800000).astype(np.float64) / 8388608.0
     else:
         x = np.frombuffer(buf, "<i4").astype(np.float64) / 2147483648.0
+    return _wav_stats(x, sample_rate, n_channels)
+
+
+def _wav_stats(
+    x: np.ndarray, sample_rate: int, n_channels: int
+) -> tuple[int, int, int, int, float, int]:
+    """Normalized sample array -> the decode_wav stats tuple."""
+    import math
+
     n_samples = len(x)
     n_frames = n_samples // n_channels
     if n_samples == 0:
@@ -2005,18 +2294,23 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
     """REAL audio media table: one genuine WAV per document with
     SQL-predictable stats — a constant-amplitude square wave of
     ``1000 + doc_id % 500`` samples at 8 kHz.  The sample FORMAT
-    cycles by ``doc_id % 9`` through the decoder's full surface (PCM16
-    / PCM8 / PCM24 / PCM32 / float32 / float64 / PCM16-in-EXTENSIBLE /
-    G.711 mu-law / G.711 A-law), each encoding the amplitude in its
-    native units such that the NORMALIZED peak on the 16-bit scale is
+    cycles by ``doc_id % 11`` through the decoder's full surface
+    (PCM16 / PCM8 / PCM24 / PCM32 / float32 / float64 /
+    PCM16-in-EXTENSIBLE / G.711 mu-law / G.711 A-law / IMA ADPCM /
+    MS ADPCM), each encoding the amplitude in its native units such
+    that the NORMALIZED peak on the 16-bit scale is
     ``256 + (doc_id % 64) * 64`` — except the quantized-grid formats,
     which get their own exact laws: PCM8 (1/128 steps)
     ``256 * (1 + doc_id % 16)``; mu-law, built from codeword
     (exp ``e = doc_id % 8``, mantissa ``m = (doc_id // 8) % 16``)
     ``(m*8 + 132) * 2^e - 132``; A-law (seg ``s = 2 + doc_id % 6``,
     same m) ``(m*16 + 264) * 2^(s-1)`` — so RMS == peak/32768 exactly
-    in every format and one closed-form oracle covers all nine
-    paths."""
+    in every format and one closed-form oracle covers all eleven
+    paths.  The ADPCM rows flip sign only at block boundaries (the
+    block header re-seeds the predictor with the exact sample and a
+    zero diff quantizes to the exact hold nibble), so the lossy codecs
+    reproduce the square wave bit-exactly and SHARE the wide formats'
+    amplitude law."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2024,7 +2318,7 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 n = 1000 + d % 500
-                variant = d % 9
+                variant = d % 11
                 if variant == 1:  # PCM8: native unsigned, offset 128
                     a8 = 1 + d % 16
                     sm = [128 + a8 if i % 2 == 0 else 128 - a8 for i in range(n)]
@@ -2038,6 +2332,12 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
                         pos = (0x80 | (s << 4) | m) ^ 0x55
                     sm = [pos if i % 2 == 0 else pos ^ 0x80 for i in range(n)]
                     wav = encode_wav_ex(8000, sm, bits=8, fmt=7 if variant == 7 else 6)
+                elif variant in (9, 10):  # ADPCM: block-aligned square
+                    amp = 256 + (d % 64) * 64
+                    spb = 57 if variant == 9 else 52  # block_align 32
+                    sm = [amp if (i // spb) % 2 == 0 else -amp for i in range(n)]
+                    enc = encode_wav_ima_adpcm if variant == 9 else encode_wav_ms_adpcm
+                    wav = enc(8000, sm, block_align=32)
                 else:
                     amp = 256 + (d % 64) * 64
                     sq = [1 if i % 2 == 0 else -1 for i in range(n)]

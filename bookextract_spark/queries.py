@@ -1605,7 +1605,8 @@ def q_wav_metadata(spark, sf_dir):
     real — RIFF chunk walk, fmt/data extraction, sample statistics —
     over the decoder's FULL format surface: the fixture cycles PCM16 /
     PCM8 / PCM24 / PCM32 / float32 / float64 / PCM16-in-EXTENSIBLE /
-    G.711 mu-law / G.711 A-law by doc_id % 9, each encoding the same
+    G.711 mu-law / G.711 A-law / IMA ADPCM / MS ADPCM by doc_id % 11,
+    each encoding the same
     normalized amplitude in native units (the quantized-grid formats —
     PCM8 and the two G.711 laws — carry their own exact codeword-
     derived amplitude laws).  Amplitude/length follow a closed form of
@@ -1627,10 +1628,10 @@ WITH amp AS (
     -- per-format normalized peak on the 16-bit scale: PCM8 and the
     -- two G.711 laws are quantized grids with their own exact
     -- codeword-derived laws; the wide formats share one law
-    CASE WHEN doc_id % 9 = 1 THEN 256 * (1 + doc_id % 16)
-         WHEN doc_id % 9 = 7
+    CASE WHEN doc_id % 11 = 1 THEN 256 * (1 + doc_id % 16)
+         WHEN doc_id % 11 = 7
            THEN (((doc_id // 8) % 16) * 8 + 132) * (1 << (doc_id % 8)) - 132
-         WHEN doc_id % 9 = 8
+         WHEN doc_id % 11 = 8
            THEN (((doc_id // 8) % 16) * 16 + 264) * (1 << (1 + doc_id % 6))
          ELSE 256 + (doc_id % 64) * 64 END AS a
   FROM documents

@@ -463,10 +463,22 @@ def test_wav_ex_roundtrip_exact_across_formats(samples, combo, ext, rate):
 
 
 @FUZZ
-@given(data=st.data(), combo=st.sampled_from([None] + _WAV_COMBOS_ALL), ext=st.booleans())
+@given(
+    data=st.data(),
+    combo=st.sampled_from([None, "ima", "ms"] + _WAV_COMBOS_ALL),
+    ext=st.booleans(),
+)
 def test_wav_byteflip_contract(data, combo, ext):
     if combo is None:
         wav = _valid_wav()
+    elif combo in ("ima", "ms"):
+        from bookextract_spark.operators.multimodal import (
+            encode_wav_ima_adpcm,
+            encode_wav_ms_adpcm,
+        )
+
+        enc = encode_wav_ima_adpcm if combo == "ima" else encode_wav_ms_adpcm
+        wav = bytearray(enc(8000, [100, -100, 50, -50] * 20, block_align=16))
     else:
         from bookextract_spark.operators.multimodal import encode_wav_ex
 
@@ -481,6 +493,58 @@ def test_wav_byteflip_contract(data, combo, ext):
     wav[pos] ^= data.draw(st.integers(1, 255))
     try:
         out = decode_wav(bytes(wav))
+    except (ValueError, NotImplementedError):
+        return
+    assert isinstance(out, tuple) and len(out) == 6
+
+
+@FUZZ
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+    codec=st.sampled_from(["ima", "ms"]),
+    block_align=st.sampled_from([8, 16, 32, 64]),
+    cut=st.data(),
+)
+def test_adpcm_encode_decode_total_and_header_seeded(samples, codec, block_align, cut):
+    """ADPCM is lossy, but three things are exact by construction:
+    the fact chunk trims the padded final block back to the true
+    sample count; each block header re-seeds the predictor with a
+    true sample (IMA: the block's first sample; MS: the first TWO),
+    so those positions decode bit-exactly; and truncating the stream
+    anywhere keeps the ValueError/NotImplementedError contract."""
+    from bookextract_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_adpcm,
+        encode_wav_ms_adpcm,
+    )
+
+    if codec == "ms" and block_align == 8:
+        block_align = 16  # spb 4: fine, but keep draw shapes varied
+    enc = encode_wav_ima_adpcm if codec == "ima" else encode_wav_ms_adpcm
+    wav = enc(8000, samples, block_align=block_align)
+    sr, ch, n, ms, rms, peak = decode_wav(wav)
+    assert (sr, ch, n) == (8000, 1, len(samples))
+    assert 0.0 <= rms <= 1.0 and 0 <= peak <= 32768
+
+    # header-seeded positions decode exactly (whole-stream re-decode)
+    if codec == "ima":
+        spb = (block_align - 4) * 2 + 1
+        seed_positions = [(b, samples[b * spb]) for b in range(len(samples) // spb + 1)
+                          if b * spb < len(samples)]
+    else:
+        spb = (block_align - 7) * 2 + 2
+        seed_positions = []
+        for b in range(len(samples) // spb + 1):
+            for k in (0, 1):
+                if b * spb + k < len(samples):
+                    seed_positions.append((b, samples[b * spb + k]))
+    # the decoder emits those samples verbatim: peak can never be less
+    # than the largest header-seeded magnitude
+    assert peak >= max(abs(v) for _, v in seed_positions)
+
+    pos = cut.draw(st.integers(0, len(wav) - 1))
+    try:
+        out = decode_wav(bytes(wav[:pos]))
     except (ValueError, NotImplementedError):
         return
     assert isinstance(out, tuple) and len(out) == 6

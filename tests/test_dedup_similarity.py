@@ -488,14 +488,16 @@ def test_wav_media_decode_end_to_end(spark):
     out = {r.media_id: r for r in wav_metadata(wav_media_from_documents(docs)).collect()}
     assert len(out) == 30
     for d, r in out.items():
-        # the fixture cycles 9 sample formats by doc_id; the
+        # the fixture cycles 11 sample formats by doc_id; the
         # quantized-grid formats (PCM8, G.711 mu-law/A-law) carry
-        # their own exact amplitude laws (normalized 16-bit scale)
-        if d % 9 == 1:
+        # their own exact amplitude laws (normalized 16-bit scale);
+        # the ADPCM rows share the wide law (block-boundary sign
+        # flips decode bit-exactly)
+        if d % 11 == 1:
             amp = 256 * (1 + d % 16)
-        elif d % 9 == 7:
+        elif d % 11 == 7:
             amp = (((d // 8) % 16) * 8 + 132) * (1 << (d % 8)) - 132
-        elif d % 9 == 8:
+        elif d % 11 == 8:
             amp = (((d // 8) % 16) * 16 + 264) * (1 << (1 + d % 6))
         else:
             amp = 256 + (d % 64) * 64

@@ -551,10 +551,17 @@ def test_wav_full_format_surface():
     )
     assert (ch, n, peak) == (2, 2, 16384)
 
+    # ADPCM decodes now — but only at its real 4-bit width; a stream
+    # claiming MS-ADPCM at 8 bits is not a combo we decode, and a true
+    # codec-library format (MP3-in-WAV, 0x55) refuses outright
     ad = bytearray(encode_wav_ex(8000, [128] * 4, bits=8))
-    ad[20:22] = struct.pack("<H", 2)  # MS-ADPCM format code
-    with pytest.raises(NotImplementedError, match="format code 2"):
+    ad[20:22] = struct.pack("<H", 2)  # MS-ADPCM format code, 8-bit data
+    with pytest.raises(NotImplementedError, match="format code 2 at 8 bits"):
         decode_wav(bytes(ad))
+    mp3 = bytearray(encode_wav_ex(8000, [128] * 4, bits=8))
+    mp3[20:22] = struct.pack("<H", 0x55)
+    with pytest.raises(NotImplementedError, match="format code 85"):
+        decode_wav(bytes(mp3))
 
     # G.711 decodes now: every codeword of both laws, bit-equal to the
     # ITU formula tables (cross-checked against stdlib audioop where
@@ -615,6 +622,119 @@ def test_wav_full_format_surface():
             encode_wav_ex(8000, [1e200, -1e200, 1e200, -1e200], bits=64, fmt=3)
         )
     assert rms == pytest.approx(1e200, rel=1e-12) and peak == 2**31 - 1
+
+
+
+def test_ima_step_matches_audioop():
+    """The shared IMA state transition (:func:`_ima_step`) is
+    bit-equal to stdlib ``audioop.adpcm2lin`` (the same public IMA/DVI
+    reference arithmetic) over random nibble streams from random
+    initial states.  audioop packs the HIGH nibble first and carries
+    (predictor, index) state across calls."""
+    import random
+
+    from bookextract_spark.operators.multimodal import _ima_step
+
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import audioop  # removed in Python 3.13
+    except ImportError:
+        pytest.skip("audioop not available")
+
+    rng = random.Random(42)
+    for _ in range(50):
+        pred, idx = rng.randint(-32768, 32767), rng.randint(0, 88)
+        nibs = [rng.randint(0, 15) for _ in range(64)]
+        packed = bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, 64, 2))
+        lin, _state = audioop.adpcm2lin(packed, 2, (pred, idx))
+        expected = []
+        p, i = pred, idx
+        for nib in nibs:
+            p, i = _ima_step(p, i, nib)
+            expected.append(p)
+        import struct as _st
+
+        got = list(_st.unpack("<64h", lin))
+        assert got == expected
+
+
+def test_ms_adpcm_hand_vector_and_adaptation():
+    """A hand-built MS ADPCM block decodes to the spec arithmetic:
+    coefficient prediction (Q8 shift), signed-nibble scaling by
+    iDelta, per-nibble delta adaptation through the 16-entry table
+    with the floor clamp at 16, and int16 output clamping."""
+    import struct
+
+    from bookextract_spark.operators.multimodal import _MS_ADAPT, _decode_ms_adpcm
+
+    # mono block, block_align 12 -> header 7 bytes + 5 nibble bytes
+    # predictor set 1 = (512, -256): pred = 2*s1 - s2
+    nibs = [7, 0x8, 3, 0xF, 0, 1, 2, 0xE, 5, 0xA]  # mixed signs
+    body = bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, 10, 2))
+    blk = struct.pack("<Bhhh", 1, 100, 1000, 900) + body
+    out = _decode_ms_adpcm(blk, 12, 1, [(256, 0), (512, -256)])
+    # independent spec twin
+    s2, s1, idelta = 900, 1000, 100
+    expected = [900, 1000]
+    for nib in nibs:
+        snib = nib - 16 if nib >= 8 else nib
+        pred = (s1 * 512 + s2 * -256) >> 8
+        samp = max(-32768, min(32767, pred + snib * idelta))
+        expected.append(samp)
+        s2, s1 = s1, samp
+        idelta = max(16, (_MS_ADAPT[nib] * idelta) >> 8)
+    assert [int(v) for v in out[:, 0]] == expected
+
+    # predictor index out of range is a loud ValueError
+    bad = struct.pack("<Bhhh", 7, 16, 0, 0) + b"\x00" * 5
+    with pytest.raises(ValueError, match="predictor index"):
+        _decode_ms_adpcm(bad, 12, 1, list(__import__(
+            "bookextract_spark.operators.multimodal", fromlist=["_MS_COEFS"]
+        )._MS_COEFS))
+
+
+def test_ima_adpcm_stereo_block_layout():
+    """IMA ADPCM stereo: per-channel 4-byte headers then 4-byte nibble
+    groups round-robin across channels; hold nibbles (0 at step index
+    0) keep each channel at its header seed, so a hand-built stereo
+    block decodes to constant per-channel values and stats fold over
+    BOTH channels."""
+    import struct
+
+    from bookextract_spark.operators.multimodal import _decode_ima_adpcm, decode_wav
+
+    blk = (
+        struct.pack("<hBB", 1000, 0, 0)     # L header
+        + struct.pack("<hBB", -500, 0, 0)   # R header
+        + b"\x00" * 4                       # L nibble group (8 holds)
+        + b"\x00" * 4                       # R nibble group
+    )
+    frames = _decode_ima_adpcm(blk, 16, 2)
+    assert frames.shape == (9, 2)
+    assert set(frames[:, 0]) == {1000} and set(frames[:, 1]) == {-500}
+
+    # full WAV wrap: fmt 0x11, 2ch, block_align 16
+    fmt_body = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 16, 4, 2, 9)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(blk)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(blk)) + blk
+    )
+    sr, ch, n, ms, rms, peak = decode_wav(wav)
+    assert (sr, ch, n) == (8000, 2, 9)
+    assert peak == 1000
+    import math
+
+    assert abs(rms - math.sqrt((1000**2 + 500**2) / 2) / 32768.0) < 1e-12
+
+    # corrupt step index is a loud ValueError
+    bad = bytearray(blk)
+    bad[2] = 89
+    with pytest.raises(ValueError, match="step index"):
+        _decode_ima_adpcm(bytes(bad), 16, 2)
 
 
 def test_png_packed_unpack_is_chunked(monkeypatch):
