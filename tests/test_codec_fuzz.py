@@ -550,6 +550,52 @@ def test_adpcm_encode_decode_total_and_header_seeded(samples, codec, block_align
     assert isinstance(out, tuple) and len(out) == 6
 
 
+@FUZZ
+@given(
+    n_ch=st.sampled_from([1, 1, 2]),
+    n_groups=st.integers(1, 5),
+    n_blocks=st.integers(1, 5),
+    data=st.data(),
+)
+def test_adpcm_lockstep_equals_scalar_twin(n_ch, n_groups, n_blocks, data):
+    """The production numpy lockstep-across-blocks ADPCM decoders are
+    bit-equal to the per-nibble scalar reference twins on arbitrary
+    streams (random nibbles, random headers, random state seeds) —
+    the twins carry the audioop-cross-checked / spec-twin arithmetic,
+    so this transitively pins the vectorized forms to the spec."""
+    from bookextract_spark.operators.multimodal import (
+        _MS_COEFS,
+        _decode_ima_adpcm_lockstep,
+        _decode_ima_adpcm_scalar,
+        _decode_ms_adpcm_lockstep,
+        _decode_ms_adpcm_scalar,
+    )
+
+    ba_ima = 4 * n_ch * (1 + n_groups)
+    blob = bytearray(
+        data.draw(
+            st.binary(min_size=ba_ima * n_blocks, max_size=ba_ima * n_blocks)
+        )
+    )
+    for b in range(n_blocks):
+        for c in range(n_ch):
+            blob[b * ba_ima + 4 * c + 2] %= 89  # legal step index
+    got = _decode_ima_adpcm_lockstep(bytes(blob), ba_ima, n_ch)
+    exp = _decode_ima_adpcm_scalar(bytes(blob), ba_ima, n_ch)
+    assert got.shape == exp.shape and (got == exp).all()
+
+    ba_ms = 7 * n_ch + n_groups * n_ch
+    blob = bytearray(
+        data.draw(st.binary(min_size=ba_ms * n_blocks, max_size=ba_ms * n_blocks))
+    )
+    for b in range(n_blocks):
+        for c in range(n_ch):
+            blob[b * ba_ms + c] %= len(_MS_COEFS)  # legal predictor index
+    got = _decode_ms_adpcm_lockstep(bytes(blob), ba_ms, n_ch, _MS_COEFS)
+    exp = _decode_ms_adpcm_scalar(bytes(blob), ba_ms, n_ch, _MS_COEFS)
+    assert got.shape == exp.shape and (got == exp).all()
+
+
 # -- AVI walker: corrupt RIFF must keep the two-exception contract --
 
 
