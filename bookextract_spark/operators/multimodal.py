@@ -437,6 +437,10 @@ def decode_png_dims(payload: bytes) -> tuple[int, int, float | None]:
 # Annex K.3 typical luminance tables
 _JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
 _JPEG_DC_VALS = tuple(range(12))
+# 12-bit precision: DC diffs reach category 12, past the standard
+# 8-bit table's 0..11 — a flat 13-entry canonical table covers it
+_JPEG_DC_BITS_12 = (0, 0, 0, 13, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS_12 = tuple(range(13))
 _JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
 _JPEG_AC_VALS = (
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
@@ -541,7 +545,8 @@ def _validate_sof(w: int, h: int, comps: list) -> None:
 
 
 def encode_gray_blocks_jpeg(
-    block_grays: list[list[int]], width: int, height: int, restart_interval: int = 0
+    block_grays: list[list[int]], width: int, height: int, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Grayscale baseline JPEG whose 8x8 blocks are solid tiles of
     ``block_grays[by][bx]`` (the coded grid must cover width x height).
@@ -554,19 +559,28 @@ def encode_gray_blocks_jpeg(
     markers every that-many MCUs with the DC prediction reset (T.81
     B.2.4.4) — a decoder that fails to reset its predictor at a restart
     decodes wrong luma, and one that huffman-reads through the marker
-    desyncs."""
-    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    desyncs.  ``precision=12`` emits a T.81 EXTENDED-sequential stream
+    (SOF1 — 12-bit is not legal in baseline SOF0): level shift 2048,
+    grays 0..4095, and a DC table covering category 12."""
+    if precision == 8:
+        dc_bits, dc_vals, sofm = _JPEG_DC_BITS, _JPEG_DC_VALS, b"\xff\xc0"
+    elif precision == 12:
+        dc_bits, dc_vals, sofm = _JPEG_DC_BITS_12, _JPEG_DC_VALS_12, b"\xff\xc1"
+    else:
+        raise ValueError(f"unsupported JPEG encode precision {precision}")
+    shift = 1 << (precision - 1)
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += sofm + struct.pack(">HBHHB", 11, precision, height, width, 1)
     out += bytes([1, 0x11, 0])
     out += (
         b"\xff\xc4"
-        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + struct.pack(">H", 2 + 1 + 16 + len(dc_vals))
         + b"\x00"
-        + bytes(_JPEG_DC_BITS)
-        + bytes(_JPEG_DC_VALS)
+        + bytes(dc_bits)
+        + bytes(dc_vals)
     )
     out += (
         b"\xff\xc4"
@@ -586,7 +600,7 @@ def encode_gray_blocks_jpeg(
             if _emit_restart(w, restart_interval, m):
                 pred = 0
             m += 1
-            dc = gray - 128  # quantized DC with the all-8s table
+            dc = gray - shift  # quantized DC with the all-8s table
             diff = dc - pred
             pred = dc
             s = _dc_category(diff)
@@ -605,18 +619,21 @@ def encode_gray_blocks_jpeg(
     return bytes(out)
 
 
-def encode_solid_jpeg(width: int, height: int, gray: int, restart_interval: int = 0) -> bytes:
+def encode_solid_jpeg(
+    width: int, height: int, gray: int, restart_interval: int = 0, precision: int = 8
+) -> bytes:
     """Solid-gray grayscale baseline JPEG (exact DC-mean luma = gray)."""
     bw = (width + 7) // 8
     bh = (height + 7) // 8
     return encode_gray_blocks_jpeg(
-        [[gray] * bw for _ in range(bh)], width, height, restart_interval=restart_interval
+        [[gray] * bw for _ in range(bh)], width, height,
+        restart_interval=restart_interval, precision=precision,
     )
 
 
 def encode_gray_blocks_jpeg_progressive(
     block_grays: list[list[int]], width: int, height: int, al: int = 1,
-    restart_interval: int = 0,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
     """PROGRESSIVE grayscale JPEG twin of :func:`encode_gray_blocks_jpeg`
     (same all-8s quantizer, same exact solid-tile DC quantization),
@@ -636,19 +653,28 @@ def encode_gray_blocks_jpeg_progressive(
     and RST markers inside EVERY scan — huffman DC first pass (with the
     prediction reset), raw-bit refinement scans (byte re-align only),
     and the AC scan (which the decoder must byte-skip THROUGH, since
-    RSTs are entropy data to :func:`_next_marker`)."""
-    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    RSTs are entropy data to :func:`_next_marker`).  ``precision=12``:
+    level shift 2048, grays 0..4095, category-12-capable DC table
+    (T.81 allows 12-bit progressive)."""
+    if precision == 8:
+        dc_bits, dc_vals = _JPEG_DC_BITS, _JPEG_DC_VALS
+    elif precision == 12:
+        dc_bits, dc_vals = _JPEG_DC_BITS_12, _JPEG_DC_VALS_12
+    else:
+        raise ValueError(f"unsupported JPEG encode precision {precision}")
+    shift = 1 << (precision - 1)
+    dc_codes = _canonical_codes(dc_bits, dc_vals)
     ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([8] * 64)
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, precision, height, width, 1)
     out += bytes([1, 0x11, 0])
     out += (
         b"\xff\xc4"
-        + struct.pack(">H", 2 + 1 + 16 + len(_JPEG_DC_VALS))
+        + struct.pack(">H", 2 + 1 + 16 + len(dc_vals))
         + b"\x00"
-        + bytes(_JPEG_DC_BITS)
-        + bytes(_JPEG_DC_VALS)
+        + bytes(dc_bits)
+        + bytes(dc_vals)
     )
     out += (
         b"\xff\xc4"
@@ -666,7 +692,7 @@ def encode_gray_blocks_jpeg_progressive(
             [1, tdta, ss, se, (ah << 4) | a_l]
         )
 
-    dcs = [gray - 128 for row in block_grays for gray in row]
+    dcs = [gray - shift for row in block_grays for gray in row]
 
     # scan 1: DC first pass on the point-transformed values (in a
     # single-component scan the restart interval counts this
@@ -715,14 +741,15 @@ def encode_gray_blocks_jpeg_progressive(
 
 
 def encode_solid_jpeg_progressive(
-    width: int, height: int, gray: int, al: int = 1, restart_interval: int = 0
+    width: int, height: int, gray: int, al: int = 1, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Solid-gray PROGRESSIVE JPEG (exact DC-mean luma = gray)."""
     bw = (width + 7) // 8
     bh = (height + 7) // 8
     return encode_gray_blocks_jpeg_progressive(
         [[gray] * bw for _ in range(bh)], width, height, al=al,
-        restart_interval=restart_interval,
+        restart_interval=restart_interval, precision=precision,
     )
 
 
@@ -845,8 +872,9 @@ def decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
     image's mean luminance.  Baseline-sequential streams decode inline;
     progressive-huffman (SOF2) streams dispatch to
     :func:`_decode_jpeg_luma_progressive`.  Raises NotImplementedError
-    for arithmetic/differential/12-bit streams and ValueError for
-    malformed ones — the caller falls back to header-dims-only."""
+    for arithmetic/differential coding (12-bit precision decodes in
+    both processes) and ValueError for malformed streams — the caller
+    falls back to header-dims-only."""
     try:
         return _decode_jpeg_luma(payload)
     except (IndexError, KeyError, struct.error, ZeroDivisionError) as exc:
@@ -890,20 +918,22 @@ def _decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
             _parse_dht(seg, huff)
         elif marker == 0xC0 or marker == 0xC1:
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if precision != 8:
-                raise NotImplementedError("12-bit JPEG")
+            if precision not in (8, 12):
+                raise NotImplementedError(f"{precision}-bit JPEG precision")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             _validate_sof(w, h, comps)
-            sof = (w, h, comps)
+            sof = (w, h, comps, precision)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("SOS before SOF")
-            w, h, comps = sof
+            w, h, comps, precision = sof
+            shift = float(1 << (precision - 1))
+            maxv = float((1 << precision) - 1)
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -935,8 +965,8 @@ def _decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
                         if s:
                             pred[ci] += _extend(reader.bits(s), s)
                         if ci == 0:
-                            val = pred[0] * y_qt0 / 8.0 + 128.0
-                            y_sum += min(255.0, max(0.0, val))
+                            val = pred[0] * y_qt0 / 8.0 + shift
+                            y_sum += min(maxv, max(0.0, val))
                             y_blocks += 1
                         k = 1
                         while k <= 63:
@@ -948,7 +978,7 @@ def _decode_jpeg_luma(payload: bytes) -> tuple[int, int, float]:
                                 continue
                             k += (rs >> 4) + 1
                             reader.bits(rs & 0xF)
-            return w, h, (y_sum / y_blocks) / 255.0 if y_blocks else 0.0
+            return w, h, (y_sum / y_blocks) / maxv if y_blocks else 0.0
         pos += 2 + length
     raise ValueError("JPEG SOS marker not found")
 
@@ -1004,14 +1034,14 @@ def _decode_jpeg_luma_progressive(payload: bytes) -> tuple[int, int, float]:
             _parse_dht(seg, huff)
         elif marker == 0xC2:
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if precision != 8:
-                raise NotImplementedError("12-bit JPEG")
+            if precision not in (8, 12):
+                raise NotImplementedError(f"{precision}-bit JPEG precision")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             _validate_sof(w, h, comps)
-            sof = (w, h, comps)
+            sof = (w, h, comps, precision)
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE):
             raise ValueError("unexpected second SOF in progressive stream")
         elif marker == 0xDD:
@@ -1019,7 +1049,7 @@ def _decode_jpeg_luma_progressive(payload: bytes) -> tuple[int, int, float]:
         elif marker == 0xDA:
             if sof is None:
                 raise ValueError("SOS before SOF")
-            w, h, comps = sof
+            w, h, comps, _precision = sof
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -1107,7 +1137,9 @@ def _decode_jpeg_luma_progressive(payload: bytes) -> tuple[int, int, float]:
         pos += 2 + length
     if sof is None:
         raise ValueError("progressive JPEG missing SOF2")
-    w, h, comps = sof
+    w, h, comps, precision = sof
+    shift = float(1 << (precision - 1))
+    maxv = float((1 << precision) - 1)
     y_comp = comps[0]
     vals = coef.get(y_comp[0])
     if not vals:
@@ -1115,8 +1147,8 @@ def _decode_jpeg_luma_progressive(payload: bytes) -> tuple[int, int, float]:
     y_qt0 = qt[y_comp[3]][0]
     y_sum = 0.0
     for v in vals:
-        y_sum += min(255.0, max(0.0, v * y_qt0 / 8.0 + 128.0))
-    return w, h, (y_sum / len(vals)) / 255.0
+        y_sum += min(maxv, max(0.0, v * y_qt0 / 8.0 + shift))
+    return w, h, (y_sum / len(vals)) / maxv
 
 
 def decode_jpeg_dims(payload: bytes) -> tuple[int, int, float | None]:
@@ -1155,9 +1187,9 @@ def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float | None]:
     combination: dims + true mean luminance) and for baseline-sequential
     AND progressive-huffman JPEG (full entropy decode of the DC plane —
     exact block-mean luminance; see :func:`decode_jpeg_luma` /
-    :func:`_decode_jpeg_luma_progressive`); arithmetic/12-bit JPEG —
-    and streams with damaged entropy/pixel data — fall back to header
-    dims with luma None.  ``fake=True`` falls back to the deterministic
+    :func:`_decode_jpeg_luma_progressive`), both at 8-bit AND 12-bit
+    precision; arithmetic-coded JPEG — and streams with damaged
+    entropy/pixel data — fall back to header dims with luma None.  ``fake=True`` falls back to the deterministic
     sha-derived fake for opaque non-image payloads so the distributed
     plumbing stays testable end-to-end."""
     if payload[:8] == _PNG_SIG:
@@ -1217,16 +1249,28 @@ def png_media_from_documents(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h, g = 8 + d % 32, 8 + (d * 7) % 32, d % 256
+                # half the JPEG rows (d % 6 in {4, 5}) are 12-bit: the
+                # 8-bit gray bit-replicates to the 12-bit grid (g*16 +
+                # g//16), which the oracle mirrors as its own CASE arm
+                prec = 12 if d % 6 in (4, 5) else 8
+                gj = g * 16 + g // 16 if prec == 12 else g
                 if d % 3 == 1:
                     rows.append(
-                        (d, encode_solid_jpeg(w, h, g, restart_interval=(d // 3) % 4), "image/jpeg")
+                        (
+                            d,
+                            encode_solid_jpeg(
+                                w, h, gj, restart_interval=(d // 3) % 4, precision=prec
+                            ),
+                            "image/jpeg",
+                        )
                     )
                 elif d % 3 == 2:
                     rows.append(
                         (
                             d,
                             encode_solid_jpeg_progressive(
-                                w, h, g, al=(d // 3) % 3, restart_interval=(d // 3) % 3
+                                w, h, gj, al=(d // 3) % 3,
+                                restart_interval=(d // 3) % 3, precision=prec,
                             ),
                             "image/jpeg",
                         )

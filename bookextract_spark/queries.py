@@ -1558,7 +1558,11 @@ SQL_IMAGE_META_REAL = """
 SELECT doc_id AS media_id,
   CAST(8 + doc_id % 32 AS INT) AS width,
   CAST(8 + (doc_id * 7) % 32 AS INT) AS height,
-  round((doc_id % 256) / 255.0, 6) AS mean_luma
+  -- 12-bit JPEG rows (doc_id % 6 in (4, 5)) carry the 8-bit gray
+  -- bit-replicated onto the 12-bit grid: luma = (g*16 + g//16)/4095
+  round(CASE WHEN doc_id % 6 IN (4, 5)
+             THEN ((doc_id % 256) * 16 + (doc_id % 256) // 16) / 4095.0
+             ELSE (doc_id % 256) / 255.0 END, 6) AS mean_luma
 FROM documents
 """
 

@@ -68,26 +68,48 @@ def _expected_mean(grid: list[list[int]]) -> float:
     return (sum(flat) / len(flat)) / 255.0
 
 
+def _grid_at(grid: list[list[int]], precision: int) -> list[list[int]]:
+    """Map an 8-bit draw onto the target precision's gray grid (12-bit
+    via exact bit replication, so draws keep shrinking well)."""
+    if precision == 8:
+        return grid
+    return [[g * 16 + g // 16 for g in row] for row in grid]
+
+
+def _expected_mean_at(grid: list[list[int]], precision: int) -> float:
+    flat = [float(g) for row in grid for g in row]
+    return (sum(flat) / len(flat)) / float((1 << precision) - 1)
+
+
 @FUZZ
-@given(gwh=grids, ri=st.integers(0, 6))
-def test_baseline_roundtrip_exact(gwh, ri):
+@given(gwh=grids, ri=st.integers(0, 6), precision=st.sampled_from([8, 12]))
+def test_baseline_roundtrip_exact(gwh, ri, precision):
     grid, w, h = gwh
+    grid = _grid_at(grid, precision)
     dec_w, dec_h, luma = decode_jpeg_luma(
-        encode_gray_blocks_jpeg(grid, w, h, restart_interval=ri)
+        encode_gray_blocks_jpeg(grid, w, h, restart_interval=ri, precision=precision)
     )
     assert (dec_w, dec_h) == (w, h)
-    assert luma == _expected_mean(grid)
+    assert luma == _expected_mean_at(grid, precision)
 
 
 @FUZZ
-@given(gwh=grids, al=st.integers(0, 3), ri=st.integers(0, 6))
-def test_progressive_roundtrip_exact_and_equals_baseline(gwh, al, ri):
+@given(
+    gwh=grids, al=st.integers(0, 3), ri=st.integers(0, 6),
+    precision=st.sampled_from([8, 12]),
+)
+def test_progressive_roundtrip_exact_and_equals_baseline(gwh, al, ri, precision):
     grid, w, h = gwh
+    grid = _grid_at(grid, precision)
     prog = decode_jpeg_luma(
-        encode_gray_blocks_jpeg_progressive(grid, w, h, al=al, restart_interval=ri)
+        encode_gray_blocks_jpeg_progressive(
+            grid, w, h, al=al, restart_interval=ri, precision=precision
+        )
     )
-    assert prog == decode_jpeg_luma(encode_gray_blocks_jpeg(grid, w, h))
-    assert prog == (w, h, _expected_mean(grid))
+    assert prog == decode_jpeg_luma(
+        encode_gray_blocks_jpeg(grid, w, h, precision=precision)
+    )
+    assert prog == (w, h, _expected_mean_at(grid, precision))
 
 
 @FUZZ
@@ -131,10 +153,16 @@ def _assert_contract(payload: bytes) -> None:
 @given(gwh=grids, data=st.data(), progressive=st.booleans(), ri=st.integers(0, 3))
 def test_jpeg_truncation_contract(gwh, data, progressive, ri):
     grid, w, h = gwh
+    precision = data.draw(st.sampled_from([8, 12]))
+    grid = _grid_at(grid, precision)
     enc = (
-        encode_gray_blocks_jpeg_progressive(grid, w, h, al=1, restart_interval=ri)
+        encode_gray_blocks_jpeg_progressive(
+            grid, w, h, al=1, restart_interval=ri, precision=precision
+        )
         if progressive
-        else encode_gray_blocks_jpeg(grid, w, h, restart_interval=ri)
+        else encode_gray_blocks_jpeg(
+            grid, w, h, restart_interval=ri, precision=precision
+        )
     )
     cut = data.draw(st.integers(0, len(enc) - 1))
     _assert_contract(enc[:cut])
@@ -144,10 +172,16 @@ def test_jpeg_truncation_contract(gwh, data, progressive, ri):
 @given(gwh=grids, data=st.data(), progressive=st.booleans(), ri=st.integers(0, 3))
 def test_jpeg_byteflip_contract(gwh, data, progressive, ri):
     grid, w, h = gwh
+    precision = data.draw(st.sampled_from([8, 12]))
+    grid = _grid_at(grid, precision)
     enc = bytearray(
-        encode_gray_blocks_jpeg_progressive(grid, w, h, al=1, restart_interval=ri)
+        encode_gray_blocks_jpeg_progressive(
+            grid, w, h, al=1, restart_interval=ri, precision=precision
+        )
         if progressive
-        else encode_gray_blocks_jpeg(grid, w, h, restart_interval=ri)
+        else encode_gray_blocks_jpeg(
+            grid, w, h, restart_interval=ri, precision=precision
+        )
     )
     # flip past SOI so the JPEG dispatch in decode_image still fires
     pos = data.draw(st.integers(2, len(enc) - 1))

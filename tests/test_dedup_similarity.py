@@ -403,10 +403,10 @@ def test_jpeg_header_dimensions():
 
 def test_real_png_media_decode_end_to_end(spark):
     """Distributed real-decode path over the THREE-format image table
-    (PNG / baseline JPEG / progressive JPEG by doc_id % 3): payloads
-    generated in one mapInPandas pass, decoded for real in another;
-    the decoded geometry/luma must match the one closed form on every
-    format."""
+    (PNG / baseline JPEG / progressive JPEG by doc_id % 3, JPEG rows
+    half 8-bit / half 12-bit precision): payloads generated in one
+    mapInPandas pass, decoded for real in another; the decoded
+    geometry/luma must match the closed form on every format."""
     from bookextract_spark.operators.multimodal import (
         image_metadata,
         png_media_from_documents,
@@ -418,7 +418,12 @@ def test_real_png_media_decode_end_to_end(spark):
     assert len(out) == 40
     for d, r in out.items():
         assert r.width == 8 + d % 32 and r.height == 8 + (d * 7) % 32
-        assert abs(r.mean_luma - (d % 256) / 255.0) < 1e-12
+        g = d % 256
+        if d % 6 in (4, 5):  # 12-bit JPEG rows: bit-replicated gray
+            expected = (g * 16 + g // 16) / 4095.0
+        else:
+            expected = g / 255.0
+        assert abs(r.mean_luma - expected) < 1e-12, d
         assert r.n_bytes > 50  # real compressed stream, not a fake
 
 
