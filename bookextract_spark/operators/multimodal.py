@@ -23,9 +23,11 @@ huffman JPEG (SOF2) decodes for real too: DC scans — first pass and
 successive-approximation refinements — are entropy-decoded, AC scans
 skipped at the byte level (zero spatial mean).  WAV audio decodes
 the full uncompressed surface plus G.711 and IMA/MS ADPCM through
-public formula/block algorithms.  The remaining formats
-(arithmetic-coded JPEG, inter-frame video codecs, MP3-in-WAV) refuse
-loudly with ``NotImplementedError`` — they need a real media library; deterministic sha-derived ``fake`` modes keep the
+public formula/block algorithms; BI_RLE8 AVI decodes as a true
+INTER-frame codec (delta frames over a persistent canvas).  The
+remaining formats (arithmetic-coded JPEG, motion-compensated video
+codecs, MP3-in-WAV) refuse loudly with ``NotImplementedError`` — they
+need a real media library; deterministic sha-derived ``fake`` modes keep the
 distributed plumbing (schemas, Arrow batch shapes, ``mapInPandas``
 contracts, 1->N expansion) testable for opaque payloads either way.
 """
@@ -1569,8 +1571,7 @@ def _dib_frame_to_rgb(
     )
     if bitcount == 8:
         idx = rows[:, :width][::-1, :]
-        lut = np.frombuffer(palette[: len(palette) - len(palette) % 4], np.uint8)
-        lut = lut.reshape(-1, 4)[:, 2::-1]  # RGBQUAD is B,G,R,reserved
+        lut = _rgbquad_lut(palette)
         if idx.size and int(idx.max()) >= len(lut):
             raise ValueError("AVI palette index out of range")
         return lut[idx].tobytes()
@@ -1599,24 +1600,228 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     Walks the RIFF chunk tree (avih for geometry, strh for rate/scale,
     strf for pixel format + RGBQUAD palette, movi for frame data),
     validates BI_RGB at 8 (palettized) / 16 (XRGB555) / 24 / 32 (BGRX)
-    bits, and undoes the bottom-up padded storage.  Compressed streams
-    raise ``NotImplementedError`` — there is no RGB pixel plane to
-    return (for 'MJPG' streams use :func:`avi_frame_stats`, which
-    decodes per-frame luma without one; other codecs need a real media
-    library)."""
+    bits, and undoes the bottom-up padded storage.  BI_RLE8
+    (biCompression 1) decodes too — a TRUE inter-frame codec: frames
+    are applied sequentially to a persistent canvas, so delta frames
+    that skip unchanged pixels reconstruct exactly.  Other compressed
+    streams raise ``NotImplementedError`` — there is no RGB pixel
+    plane to return (for 'MJPG' streams use :func:`avi_frame_stats`,
+    which decodes per-frame luma without one; inter-frame codecs with
+    motion compensation need a real media library)."""
     width, height, fps, bitcount, compression, raw_frames, palette = _walk_avi(payload)
+    if compression == _BI_RLE8:
+        if bitcount != 8:
+            raise ValueError(f"BI_RLE8 requires biBitCount 8, got {bitcount}")
+        return width, height, fps, list(
+            _decode_rle8_frames(raw_frames, width, height, palette)
+        )
     if compression not in (0, None) or (
         bitcount is not None and bitcount not in _DIB_BITCOUNTS
     ):
         raise NotImplementedError(
-            f"only uncompressed 8/16/24/32-bit AVI supported (biCompression="
-            f"{compression}, biBitCount={bitcount}); MJPG streams decode via "
-            "avi_frame_stats, other codecs need a media library"
+            f"only uncompressed 8/16/24/32-bit and RLE8 AVI supported "
+            f"(biCompression={compression}, biBitCount={bitcount}); MJPG "
+            "streams decode via avi_frame_stats, other codecs need a media library"
         )
     bc = 24 if bitcount is None else bitcount
     return width, height, fps, [
         _dib_frame_to_rgb(d, width, height, bc, palette) for d in raw_frames
     ]
+
+
+# -- BI_RLE8 (biCompression 1): the classic Windows run-length DIB
+# codec — a TRUE inter-frame format: End-of-Line / delta escapes skip
+# pixels, and skipped pixels retain the PREVIOUS frame's content, so a
+# '00dc' chunk can encode only what changed (an identical frame is a
+# 2-byte pure-skip).  Pure public-spec byte arithmetic.
+
+_BI_RLE8 = 1
+
+
+def _rgbquad_lut(palette: bytes) -> np.ndarray:
+    """Raw strf RGBQUAD array -> (n, 3) uint8 RGB lookup table."""
+    lut = np.frombuffer(palette[: len(palette) - len(palette) % 4], np.uint8)
+    return lut.reshape(-1, 4)[:, 2::-1]  # RGBQUAD is B,G,R,reserved
+
+
+def encode_rle8_frame(
+    cur: np.ndarray, prev: np.ndarray | None, width: int, height: int
+) -> bytes:
+    """One BI_RLE8 frame body from a BOTTOM-UP (height, width) uint8
+    index plane.  ``prev=None`` emits a keyframe (every pixel coded);
+    otherwise only the runs that differ from ``prev`` are coded, with
+    EOL/delta escapes skipping everything unchanged — two identical
+    frames encode as the 2-byte End-of-Bitmap."""
+    out = bytearray()
+    if prev is None:
+        for y in range(height):
+            row = cur[y]
+            x = 0
+            while x < width:
+                v = row[x]
+                run = 1
+                while x + run < width and row[x + run] == v and run < 255:
+                    run += 1
+                out += bytes((run, v))
+                x += run
+            if y != height - 1:
+                out += b"\x00\x00"  # EOL
+        out += b"\x00\x01"  # EOB
+        return bytes(out)
+    cx = cy = 0
+    for y in range(height):
+        row = cur[y]
+        diff = row != prev[y]
+        x = 0
+        while x < width:
+            if not diff[x]:
+                x += 1
+                continue
+            xs = x
+            while x < width and diff[x]:
+                x += 1
+            while cy < y:  # EOL resets x and advances one row
+                out += b"\x00\x00"
+                cy += 1
+                cx = 0
+            while cx < xs:  # delta escape skips unchanged pixels
+                dx = min(255, xs - cx)
+                out += bytes((0, 2, dx, 0))
+                cx += dx
+            i = xs
+            while i < x:
+                v = row[i]
+                run = 1
+                while i + run < x and row[i + run] == v and run < 255:
+                    run += 1
+                out += bytes((run, v))
+                i += run
+            cx = x
+    out += b"\x00\x01"
+    return bytes(out)
+
+
+def _decode_rle8_frame(data: bytes, canvas: np.ndarray) -> None:
+    """Apply one BI_RLE8 frame body onto the persistent BOTTOM-UP
+    canvas in place (skipped pixels keep their previous content — the
+    inter-frame semantics).  Raises ValueError on truncation or
+    out-of-bounds ops."""
+    h, w = canvas.shape
+    pos, x, y = 0, 0, 0
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated RLE8 stream (no End-of-Bitmap)")
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0:  # encoded mode: b0 repeats of index b1
+            if y >= h or x + b0 > w:
+                raise ValueError("RLE8 run past frame bounds")
+            canvas[y, x : x + b0] = b1
+            x += b0
+        elif b1 == 0:  # End-of-Line
+            x = 0
+            y += 1
+            if y > h:
+                raise ValueError("RLE8 EOL past frame bounds")
+        elif b1 == 1:  # End-of-Bitmap
+            return
+        elif b1 == 2:  # delta: skip (dx, dy)
+            if pos + 2 > n:
+                raise ValueError("truncated RLE8 delta escape")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("RLE8 delta past frame bounds")
+        else:  # absolute mode: b1 literal indices, word-aligned
+            if y >= h or x + b1 > w:
+                raise ValueError("RLE8 absolute run past frame bounds")
+            if pos + b1 > n:
+                raise ValueError("truncated RLE8 absolute run")
+            canvas[y, x : x + b1] = np.frombuffer(data[pos : pos + b1], np.uint8)
+            x += b1
+            pos += b1 + (b1 & 1)
+
+
+def encode_avi_rle8(
+    width: int,
+    height: int,
+    fps: int,
+    frames: list[bytes],
+    palette: list[tuple[int, int, int]],
+    keyframe_every: int = 0,
+) -> bytes:
+    """REAL BI_RLE8 AVI encoder.  ``frames`` are top-down palette-index
+    planes (1 byte/pixel, the 8-bit DIB input form).  Frame 0 is a
+    keyframe; each later frame delta-encodes against its predecessor
+    (identical frames become 2-byte pure skips) unless
+    ``keyframe_every`` forces periodic keyframes.  Chunks are '00dc'
+    with biCompression 1 and keyframe idx1 flags only on keyframes."""
+    if not palette:
+        raise ValueError("BI_RLE8 needs a palette")
+    planes = []
+    for frame in frames:
+        if len(frame) != width * height:
+            raise ValueError("frame byte length != width*height")
+        arr = np.frombuffer(frame, np.uint8).reshape(height, width)[::-1]
+        if arr.size and int(arr.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        planes.append(arr)
+    enc: list[tuple[bool, bytes]] = []
+    prev = None
+    for i, cur in enumerate(planes):
+        key = prev is None or (keyframe_every and i % keyframe_every == 0)
+        enc.append((key, encode_rle8_frame(cur, None if key else prev, width, height)))
+        prev = cur
+    frame_size = _dib_stride(width, 8) * height
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0x10,
+        len(frames), 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MRLE" + struct.pack(
+        "<IHHIIIIIIII4h",
+        0, 0, 0, 0, 1, fps, 0, len(frames), frame_size, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 8, _BI_RLE8, frame_size, 0, 0, len(palette), 0,
+    ) + bytes(b for (r, g, bl) in palette for b in (bl, g, r, 0))
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx = b""
+    for key, data in enc:
+        idx += b"00dc" + struct.pack(
+            "<III", 0x10 if key else 0, 4 + len(movi_body), len(data)
+        )
+        movi_body += _riff_chunk(b"00dc", data)
+    movi = _riff_list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_rle8_frames(
+    raw_frames: list[bytes], width: int, height: int, palette: bytes
+):
+    """Sequential RLE8 decode (inter-frame: every frame must be applied
+    in order) -> yields top-down RGB frame buffers.  The canvas starts
+    as palette index 0 — the documented background for pixels no frame
+    ever writes."""
+    lut = _rgbquad_lut(palette)
+    if not len(lut):
+        raise ValueError("BI_RLE8 stream has no palette")
+    canvas = np.zeros((height, width), np.uint8)
+    for data in raw_frames:
+        _decode_rle8_frame(bytes(data), canvas)
+        if canvas.size and int(canvas.max()) >= len(lut):
+            raise ValueError("AVI palette index out of range")
+        yield lut[canvas[::-1]].tobytes()
 
 
 def encode_avi_mjpeg(width: int, height: int, fps: int, jpeg_frames: list[bytes]) -> bytes:
@@ -1674,9 +1879,22 @@ def avi_frame_stats(
     'MJPG' (each chunk is an independent baseline JPEG — DC-plane luma
     via :func:`decode_jpeg_luma`, the identical kernel the still-image
     table uses; sha over the frame's JPEG bytes, the decoded identity
-    MJPEG actually stores).  Other codecs refuse loudly."""
+    MJPEG actually stores) — plus BI_RLE8, which is INTER-frame: every
+    frame is decoded in order onto the persistent canvas (sampling
+    cannot skip decode work, only stat emission), with sha over the
+    reconstructed RGB so identical content hashes identically across
+    BI_RGB and RLE8.  Other codecs refuse loudly."""
     width, height, fps, bitcount, compression, raw_frames, palette = _walk_avi(payload)
     stats: list[tuple[int, float, str]] = []
+    if compression == _BI_RLE8:
+        if bitcount != 8:
+            raise ValueError(f"BI_RLE8 requires biBitCount 8, got {bitcount}")
+        for i, rgb in enumerate(_decode_rle8_frames(raw_frames, width, height, palette)):
+            if i % every_n == 0:
+                stats.append(
+                    (i, frame_mean_luma(rgb), hashlib.sha256(rgb).hexdigest()[:16])
+                )
+        return width, height, fps, len(raw_frames), stats
     if compression in (0, None) and (bitcount is None or bitcount in _DIB_BITCOUNTS):
         bc = 24 if bitcount is None else bitcount
         for i in range(0, len(raw_frames), every_n):
@@ -1696,7 +1914,8 @@ def avi_frame_stats(
     else:
         raise NotImplementedError(
             f"unsupported AVI codec (biCompression={compression}, "
-            f"biBitCount={bitcount}); only BI_RGB 8/16/24/32-bit and MJPG decode"
+            f"biBitCount={bitcount}); only BI_RGB 8/16/24/32-bit, RLE8 and "
+            "MJPG decode"
         )
     return width, height, fps, len(raw_frames), stats
 
@@ -1785,14 +2004,16 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
     value ``(doc_id * 7 + frame_idx * 11) % 256`` at 10 fps.  Every
     third document (``doc_id % 3 == 1``, mirroring the image table's
     PNG/JPEG split) is Motion-JPEG — each frame an independent baseline
-    JPEG with exact DC-mean luma — the rest uncompressed BI_RGB with
-    the bit depth cycling 24 / 32 (BGRX) / 8 (palettized, one RGBQUAD
-    entry per distinct frame gray) / 16 (XRGB555); a solid JPEG frame
-    of gray v and a solid RGB frame of gray v decode to the SAME
-    ``v/255`` luma at 8/24/32 bits, while the 16-bit rows land on the
-    5-bit replication grid ``q = v // 8 -> q*8 + q//4`` — still a
-    closed form of doc_id, so the oracle covers the codec dispatch AND
-    every real decode path without touching the bytes."""
+    JPEG with exact DC-mean luma — the rest cycling 24 / 32 (BGRX) /
+    8 (palettized) / 16 (XRGB555) uncompressed BI_RGB plus BI_RLE8
+    (palettized run-length, frame 0 a keyframe and every later frame
+    DELTA-coded against its predecessor — the inter-frame decode path
+    is driver-exercised); a solid JPEG frame of gray v and a solid
+    RGB/RLE8 frame of gray v decode to the SAME ``v/255`` luma, while
+    the 16-bit rows land on the 5-bit replication grid
+    ``q = v // 8 -> q*8 + q//4`` — still a closed form of doc_id, so
+    the oracle covers the codec dispatch AND every real decode path
+    without touching the bytes."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1806,14 +2027,17 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
                         w, h, 10, [encode_solid_jpeg(w, h, g) for g in grays]
                     )
                 else:
-                    depth = (24, 32, 8, 16)[(d // 3) % 4]
-                    if depth == 8:
+                    depth = (24, 32, 8, 16, "rle8")[(d // 3) % 5]
+                    if depth in (8, "rle8"):
                         pal = sorted(set(grays))
-                        payload = encode_avi_dib(
-                            w, h, 10,
-                            [bytes([pal.index(g)]) * (w * h) for g in grays],
-                            bits=8, palette=[(g, g, g) for g in pal],
-                        )
+                        idx_frames = [bytes([pal.index(g)]) * (w * h) for g in grays]
+                        quads = [(g, g, g) for g in pal]
+                        if depth == 8:
+                            payload = encode_avi_dib(
+                                w, h, 10, idx_frames, bits=8, palette=quads
+                            )
+                        else:
+                            payload = encode_avi_rle8(w, h, 10, idx_frames, quads)
                     else:
                         payload = encode_avi_dib(
                             w, h, 10,

@@ -630,6 +630,57 @@ def test_adpcm_lockstep_equals_scalar_twin(n_ch, n_groups, n_blocks, data):
     assert got.shape == exp.shape and (got == exp).all()
 
 
+@FUZZ
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    n_frames=st.integers(1, 5),
+    n_pal=st.integers(1, 8),
+    keyframe_every=st.sampled_from([0, 0, 2, 3]),
+    data=st.data(),
+)
+def test_rle8_delta_equals_uncompressed_reference(
+    w, h, n_frames, n_pal, keyframe_every, data
+):
+    """BI_RLE8 round trip on arbitrary frame sequences: the
+    delta-coded stream (keyframe + per-frame diffs, periodic keyframes
+    optional) must decode to EXACTLY the frames an uncompressed 8-bit
+    DIB of the same content decodes to — pixels skipped by EOL/delta
+    escapes must reproduce the previous frame's content bit-for-bit,
+    and stats/sha must be codec-invariant."""
+    from bookextract_spark.operators.multimodal import (
+        avi_frame_stats,
+        decode_avi,
+        encode_avi_dib,
+        encode_avi_rle8,
+    )
+
+    pal = [(data.draw(st.integers(0, 255)),) * 3 for _ in range(n_pal)]
+    frames = []
+    prev = None
+    for _ in range(n_frames):
+        if prev is None or data.draw(st.booleans()):
+            frame = bytes(
+                data.draw(st.integers(0, n_pal - 1)) for _ in range(w * h)
+            )
+        else:  # sparse mutation of the previous frame (exercises skips)
+            buf = bytearray(prev)
+            for _ in range(data.draw(st.integers(0, 3))):
+                buf[data.draw(st.integers(0, w * h - 1))] = data.draw(
+                    st.integers(0, n_pal - 1)
+                )
+            frame = bytes(buf)
+        frames.append(frame)
+        prev = frame
+    rle = encode_avi_rle8(w, h, 10, frames, pal, keyframe_every=keyframe_every)
+    dib = encode_avi_dib(w, h, 10, frames, bits=8, palette=pal)
+    assert decode_avi(rle) == decode_avi(dib)
+    every_n = data.draw(st.integers(1, 3))
+    assert avi_frame_stats(rle, every_n=every_n) == avi_frame_stats(
+        dib, every_n=every_n
+    )
+
+
 # -- AVI walker: corrupt RIFF must keep the two-exception contract --
 
 
@@ -639,7 +690,7 @@ def test_adpcm_lockstep_equals_scalar_twin(n_ch, n_groups, n_blocks, data):
     n_frames=st.integers(1, 3),
     data=st.data(),
     mode=st.sampled_from(["truncate", "flip"]),
-    codec=st.sampled_from(["mjpg", "dib8", "dib24", "dib32"]),
+    codec=st.sampled_from(["mjpg", "dib8", "dib24", "dib32", "rle8"]),
 )
 def test_avi_corruption_contract(gray, n_frames, data, mode, codec):
     """Truncating or byte-flipping a valid AVI (any codec/depth) must
@@ -657,6 +708,18 @@ def test_avi_corruption_contract(gray, n_frames, data, mode, codec):
             encode_avi_dib(
                 16, 16, 10, [bytes([0]) * 256] * n_frames,
                 bits=8, palette=[(gray, gray, gray)],
+            )
+        )
+    elif codec == "rle8":
+        from bookextract_spark.operators.multimodal import encode_avi_rle8
+
+        # varied frames so delta escapes, runs and skips all appear
+        frames = [
+            bytes(((i + f) % 2 for i in range(256))) for f in range(n_frames)
+        ]
+        enc = bytearray(
+            encode_avi_rle8(
+                16, 16, 10, frames, [(gray, gray, gray), (255 - gray,) * 3]
             )
         )
     else:

@@ -601,9 +601,14 @@ def test_avi_codec_round_trip():
     avi2 = b"RIFF" + st.pack("<I", len(avi2) - 8) + avi2[8:]
     assert decode_avi(avi2)[3] == frames
 
-    # compressed streams refuse loudly instead of returning garbage
+    # RLE8 tagged at a non-8 depth is a recognized-but-invalid combo
+    # (ValueError); a codec we genuinely can't decode (BI_RLE4) refuses
+    # with NotImplementedError
     plain_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 0)
     comp_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 1)
+    with pytest.raises(ValueError, match="BI_RLE8 requires biBitCount 8"):
+        decode_avi(avi.replace(plain_strf, comp_strf))
+    comp_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 2)
     with pytest.raises(NotImplementedError):
         decode_avi(avi.replace(plain_strf, comp_strf))
 
@@ -611,8 +616,9 @@ def test_avi_codec_round_trip():
 def test_avi_media_decode_end_to_end(spark):
     """Distributed generate -> decode over the MIXED codec table: every
     sampled frame's geometry and luminance must match the one closed
-    form on both paths; the per-frame sha is the decoded identity —
-    the reconstructed RGB buffer (BI_RGB docs) or the frame's JPEG
+    form on every path (BI_RGB depths, BI_RLE8 inter-frame delta rows,
+    MJPEG); the per-frame sha is the decoded identity — the
+    reconstructed RGB buffer (BI_RGB/RLE8 docs) or the frame's JPEG
     bytes (MJPEG docs, ``doc_id % 3 == 1``)."""
     import hashlib
 
@@ -634,7 +640,7 @@ def test_avi_media_decode_end_to_end(spark):
         for r in rs:
             assert (r.width, r.height, r.n_frames) == (w, h, n)
             v = (d * 7 + r.frame_idx * 11) % 256
-            if d % 3 != 1 and (d // 3) % 4 == 3:
+            if d % 3 != 1 and (d // 3) % 5 == 3:
                 # 16-bit XRGB555 rows: 5-bit replication grid
                 v = (v // 8) * 8 + (v // 8) // 4
             assert r.mean_luma == round(v / 255.0, 6)
@@ -709,13 +715,15 @@ def test_avi_frame_stats_matches_decode_avi_on_dib():
     for (i, luma, sha), rgb in zip(stats, decoded):
         assert luma == frame_mean_luma(rgb)
         assert sha == hashlib.sha256(rgb).hexdigest()[:16]
-    # unknown codecs still refuse loudly in the stats path
+    # recognized-but-invalid RLE8 depth is ValueError; genuinely
+    # unknown codecs (BI_RLE4) still refuse loudly in the stats path
     import struct as st
 
     plain_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 0)
-    comp_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 1)
+    with pytest.raises(ValueError, match="BI_RLE8 requires biBitCount 8"):
+        avi_frame_stats(avi.replace(plain_strf, st.pack("<IiiHHI", 40, w, h, 1, 24, 1)))
     with pytest.raises(NotImplementedError):
-        avi_frame_stats(avi.replace(plain_strf, comp_strf))
+        avi_frame_stats(avi.replace(plain_strf, st.pack("<IiiHHI", 40, w, h, 1, 24, 2)))
 
 
 # ---------------------------------------------------------------------------
