@@ -310,24 +310,18 @@ def _png_pass_luma_sum(
     return float((rgb @ np.array([0.299, 0.587, 0.114])).sum())
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float]:
-    """REAL PNG decode -> (width, height, mean_luma in [0,1]).
-
-    Parses IHDR/PLTE, concatenates+inflates IDAT, undoes the
-    per-scanline filters, and averages luminance (ITU-R BT.601 weights
-    for RGB).  Covers the FULL spec-legal surface: grayscale (0), RGB
-    (2), palette (3), gray+alpha (4), RGBA (6) at every legal bit
-    depth (1/2/4/8/16), interlaced or not — Adam7 passes are
-    unfiltered independently as the sub-images they are, and since
-    every image pixel belongs to exactly one pass, summing pass luma
-    needs no spatial de-interlacing."""
+def _png_parse(payload: bytes):
+    """Shared PNG front half: chunk walk (IHDR/PLTE/IDAT), geometry +
+    budget validation, bounded inflate -> (width, height, bit_depth,
+    color_type, plte_rgb as (n, 3) uint8 or None, raw pixel stream,
+    passes as [(pw, ph, stride)], filter bpp)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
     pos = 8
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
-    plte = None
+    plte_rgb = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -342,8 +336,7 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         elif tag == b"PLTE":
             if len(data) % 3 or not data:
                 raise ValueError("malformed PLTE chunk")
-            rgb = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.float64)
-            plte = rgb @ np.array([0.299, 0.587, 0.114])
+            plte_rgb = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -377,6 +370,28 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         raise ValueError(
             f"PNG pixel data size {len(raw)} does not match IHDR geometry {expected}"
         )
+    return width, height, bit_depth, color_type, plte_rgb, raw, passes, fbpp
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float]:
+    """REAL PNG decode -> (width, height, mean_luma in [0,1]).
+
+    Parses IHDR/PLTE, concatenates+inflates IDAT, undoes the
+    per-scanline filters, and averages luminance (ITU-R BT.601 weights
+    for RGB).  Covers the FULL spec-legal surface: grayscale (0), RGB
+    (2), palette (3), gray+alpha (4), RGBA (6) at every legal bit
+    depth (1/2/4/8/16), interlaced or not — Adam7 passes are
+    unfiltered independently as the sub-images they are, and since
+    every image pixel belongs to exactly one pass, summing pass luma
+    needs no spatial de-interlacing."""
+    width, height, bit_depth, color_type, plte_rgb, raw, passes, fbpp = _png_parse(
+        payload
+    )
+    plte = (
+        plte_rgb.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        if plte_rgb is not None
+        else None
+    )
     n = width * height
     if n == 0:
         return width, height, 0.0
@@ -395,6 +410,120 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
         raise ValueError(f"damaged PNG pixel data: {type(exc).__name__}: {exc}") from exc
     peak = 255.0 if color_type == 3 else float((1 << bit_depth) - 1)
     return width, height, (total / n) / peak
+
+
+# Adam7 pass origins and steps as (x0, y0, dx, dy), in the same order
+# _png_pass_dims yields the pass geometries
+_ADAM7_GRID = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_pass_gray(
+    pixels: bytearray,
+    pw: int,
+    ph: int,
+    stride: int,
+    color_type: int,
+    bit_depth: int,
+    plte_rgb: np.ndarray | None,
+) -> np.ndarray:
+    """One unfiltered (sub-)image -> (ph, pw) uint8 GRAY plane on the
+    0..255 scale: sub-8-bit grays scale by the exact replication
+    factor (255 is divisible by 2^d - 1), 16-bit rounds via
+    (v + 128) // 257, palette maps through PLTE, and RGB(A) collapses
+    with integer BT.601 weights (round half up)."""
+    if bit_depth < 8:
+        arr = np.frombuffer(bytes(pixels), np.uint8).reshape(ph, stride)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        planes = []
+        rows_per_chunk = max(1, _PNG_UNPACK_CHUNK_BYTES // max(stride, 1))
+        for r0 in range(0, ph, rows_per_chunk):
+            bits = np.unpackbits(arr[r0 : r0 + rows_per_chunk], axis=1)
+            planes.append(
+                (bits.reshape(bits.shape[0], -1, bit_depth) * weights).sum(
+                    axis=2, dtype=np.uint8
+                )[:, :pw]
+            )
+        vals = np.concatenate(planes)
+        if color_type == 3:
+            pass  # palette indices map below
+        else:
+            return (vals * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+    elif bit_depth == 16:
+        v16 = np.frombuffer(bytes(pixels), ">u2").reshape(ph, -1)
+        vals = ((v16.astype(np.uint32) + 128) // 257).astype(np.uint8)
+    else:
+        vals = np.frombuffer(bytes(pixels), np.uint8).reshape(ph, -1)
+    if color_type == 0:
+        return np.ascontiguousarray(vals[:, :pw])
+    if color_type == 3:
+        if plte_rgb is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = vals[:, :pw]
+        if idx.size and int(idx.max()) >= len(plte_rgb):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte_rgb[idx].astype(np.uint32)
+    elif color_type == 4:
+        return np.ascontiguousarray(vals[:, 0::2][:, :pw])
+    else:
+        nch = _PNG_CHANNELS[color_type]
+        rgb = vals.reshape(ph, pw, nch)[:, :, :3].astype(np.uint32)
+    lum = (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2] + 500) // 1000
+    return lum.astype(np.uint8)
+
+
+def decode_png_gray_plane(payload: bytes) -> np.ndarray:
+    """Full-pixel PNG decode -> (height, width) uint8 GRAY plane
+    (the input to :func:`box_downscale`).  Same spec surface as
+    :func:`decode_png`; Adam7 sub-images are scattered back onto the
+    pass grid so the plane is spatially correct."""
+    width, height, bit_depth, color_type, plte_rgb, raw, passes, fbpp = _png_parse(
+        payload
+    )
+    out = np.zeros((height, width), np.uint8)
+    if width * height == 0:
+        return out
+    rpos = 0
+    try:
+        for i, (pw, ph, st) in enumerate(passes):
+            if pw == 0 or ph == 0:
+                continue
+            pixels, rpos = _unfilter_scanlines(raw, st, ph, fbpp, rpos)
+            plane = _png_pass_gray(
+                pixels, pw, ph, st, color_type, bit_depth, plte_rgb
+            )
+            if len(passes) == 1:
+                out[:, :] = plane
+            else:
+                x0, y0, dx, dy = _ADAM7_GRID[i]
+                out[y0::dy, x0::dx] = plane
+    except IndexError as exc:
+        raise ValueError(f"damaged PNG pixel data: {type(exc).__name__}: {exc}") from exc
+    return out
+
+
+def box_downscale(plane: np.ndarray, k: int) -> np.ndarray:
+    """Integer-factor box-filter downscale of a (h, w) uint8 plane:
+    each output pixel is the round-half-up mean of its k x k block
+    (edge blocks average only the pixels that exist).  Deterministic
+    integer arithmetic — a solid plane resizes to the same solid
+    value, which is what keeps the fixture oracle closed-form."""
+    if k < 1:
+        raise ValueError(f"invalid downscale factor {k}")
+    h, w = plane.shape
+    if h == 0 or w == 0:
+        return plane.copy()
+    s = np.add.reduceat(
+        np.add.reduceat(plane.astype(np.uint32), np.arange(0, h, k), axis=0),
+        np.arange(0, w, k),
+        axis=1,
+    )
+    cy = np.diff(np.append(np.arange(0, h, k), h))
+    cx = np.diff(np.append(np.arange(0, w, k), w))
+    cnt = np.outer(cy, cx).astype(np.uint32)
+    return ((s + cnt // 2) // cnt).astype(np.uint8)
 
 
 def decode_png_dims(payload: bytes) -> tuple[int, int, float | None]:
@@ -1220,6 +1349,62 @@ def decode_image(payload: bytes, fake: bool) -> tuple[int, int, float | None]:
     height = 64 + h[1] % 192
     mean_luma = h[2] / 255.0
     return width, height, mean_luma
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_luma", DoubleType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def image_resize(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize via ``mapInPandas``: decode the full PNG pixel
+    plane (:func:`decode_png_gray_plane` — the whole spec-legal
+    surface), box-filter downscale by the integer ``factor``
+    (:func:`box_downscale`), and re-encode as grayscale PNG.  Output
+    mean_luma is computed from the RESIZED plane, so the oracle can
+    predict it (a solid image resizes to the same solid value).
+
+    JPEG inputs yield a null row: the DC-band decoder extracts stats
+    without materializing a pixel plane, so there is nothing real to
+    resample — emitting an interpolated fake would be dishonest.
+    Damaged payloads yield a null row too (the scraped-corpus
+    contract, same as image_metadata)."""
+    if factor < 1:
+        raise ValueError(f"invalid resize factor {factor}")
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    if data[:8] != _PNG_SIG:
+                        raise NotImplementedError(
+                            "resize needs a full pixel plane (PNG); the JPEG "
+                            "path decodes DC-band stats only"
+                        )
+                    plane = decode_png_gray_plane(data)
+                    small = box_downscale(plane, factor)
+                    h2, w2 = small.shape
+                    lum = float(small.mean()) / 255.0 if small.size else 0.0
+                    png = encode_png_gray(
+                        w2, h2, lambda x, y, pl=small: int(pl[y, x])
+                    )
+                    rows.append((int(media_id), w2, h2, lum, png))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(media_id), None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mean_luma", "payload"]
+            )
+
+    images = media.where(F.col("kind") == "image").select("media_id", "payload")
+    return images.mapInPandas(rz, schema=RESIZE_SCHEMA)
 
 
 def png_media_from_documents(docs: DataFrame) -> DataFrame:

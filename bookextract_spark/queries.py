@@ -1567,6 +1567,43 @@ FROM documents
 """
 
 
+def q_image_resize(spark, sf_dir):
+    """REAL image resize end-to-end: the PNG third of the mixed image
+    table is decoded to its FULL pixel plane (every spec-legal
+    depth/color/interlace variant the fixture cycles), box-filter
+    downscaled 2x (round-half-up integer mean pooling, edge blocks
+    partial), and re-encoded as grayscale PNG.  Output geometry is
+    ceil(dim/2) and a solid image resizes to the same solid gray, so
+    the oracle predicts the resized stats without touching the bytes.
+    JPEG rows yield null rows BY CONTRACT — the DC-band decoder never
+    materializes a pixel plane, and resampling stats without pixels
+    would be a fake.  (The re-encoded payload is zlib-version-
+    dependent and excluded from the surface, like image_metadata's
+    n_bytes.)"""
+    from bookextract_spark.operators.multimodal import (
+        image_resize,
+        png_media_from_documents,
+    )
+
+    media = png_media_from_documents(_load(spark, sf_dir, "documents"))
+    out = image_resize(media, factor=2)
+    return out.select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
+SQL_IMAGE_RESIZE = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0
+       THEN CAST((8 + doc_id % 32 + 1) // 2 AS INT) END AS width,
+  CASE WHEN doc_id % 3 = 0
+       THEN CAST((8 + (doc_id * 7) % 32 + 1) // 2 AS INT) END AS height,
+  CASE WHEN doc_id % 3 = 0
+       THEN round((doc_id % 256) / 255.0, 6) END AS mean_luma
+FROM documents
+"""
+
+
 def q_image_metadata_sha(spark, sf_dir):
     """Opaque-binary plumbing twin (deterministic sha-derived fake
     decode over non-image payloads — exercises n_bytes/sha256 and the
@@ -3619,7 +3656,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j1_equi_join": (q_j1_equi_join, SQL_J1),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    # image_resize swapped into the head in the fifth round-4 session
+    # (newest-operator-gets-a-driver-row policy): full-pixel-plane PNG
+    # decode -> 2x box downscale -> re-encode, with JPEG rows null by
+    # contract.  fingerprint was demoted to make room: fingerprint_col
+    # stays head-proven through curation_filter, whose exact-dup
+    # canonicalization window hashes over the very same column (a wrong
+    # fingerprint changes duplicate groups and fails that row).
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "repetition_signals": (q_repetition_signals, SQL_REPETITION),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -3694,6 +3738,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # green driver rows in r02 AND r03, and the quarantine row pattern
     # itself stays head-proven by s7_quarantine.
     "s5_quarantine": (q_s5_quarantine, SQL_S5_QUAR),
+    # fingerprint demoted here in the fifth round-4 session (swap with
+    # image_resize): it has green driver rows in r02 AND r03, and
+    # fingerprint_col stays head-proven through curation_filter's
+    # canonicalization window.
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
 }
 
 # Cross-check twins: oracle-verified locally (test_oracle_parity runs

@@ -681,6 +681,83 @@ def test_rle8_delta_equals_uncompressed_reference(
     )
 
 
+_PNG_PLANE_COMBOS = [
+    (0, 1), (0, 2), (0, 4), (0, 8), (0, 16), (2, 8), (3, 8), (4, 8), (6, 8),
+]
+
+
+@FUZZ
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 16),
+    combo=st.sampled_from(_PNG_PLANE_COMBOS),
+    interlace=st.booleans(),
+    k=st.integers(1, 5),
+    data=st.data(),
+)
+def test_png_gray_plane_and_downscale_match_reference(w, h, combo, interlace, k, data):
+    """decode_png_gray_plane must reproduce the exact gray plane the
+    encoder coded (every depth/color/interlace combination — Adam7
+    scatter included), and box_downscale must equal the naive per-block
+    round-half-up mean."""
+    import numpy as np
+
+    from bookextract_spark.operators.multimodal import (
+        box_downscale,
+        decode_png_gray_plane,
+        encode_png_ex,
+    )
+
+    ct, bd = combo
+    rng_vals = data.draw(
+        st.lists(st.integers(0, (1 << bd) - 1), min_size=w * h, max_size=w * h)
+    )
+    px = np.array(rng_vals).reshape(h, w)
+    if ct == 3:
+        pal = [(data.draw(st.integers(0, 255)),) * 3 for _ in range(1 << bd)]
+        png = encode_png_ex(
+            w, h, lambda x, y: int(px[y, x]), bit_depth=bd, color_type=3, palette=pal
+        )
+        lut = np.array([p[0] for p in pal], np.uint32)
+        exp = lut[px].astype(np.uint8)  # gray palette entries: exact
+    elif ct == 2:
+        png = encode_png_ex(
+            w, h, lambda x, y: (int(px[y, x]),) * 3, bit_depth=8, color_type=2
+        )
+        exp = px.astype(np.uint8)
+    elif ct == 6:
+        png = encode_png_ex(
+            w, h, lambda x, y: (int(px[y, x]),) * 3 + (255,), bit_depth=8, color_type=6
+        )
+        exp = px.astype(np.uint8)
+    elif ct == 4:
+        png = encode_png_ex(
+            w, h, lambda x, y: (int(px[y, x]), 128), bit_depth=8, color_type=4
+        )
+        exp = px.astype(np.uint8)
+    else:
+        png = encode_png_ex(
+            w, h, lambda x, y: int(px[y, x]), bit_depth=bd, color_type=0,
+            interlace=interlace,
+        )
+        if bd < 8:
+            exp = (px * (255 // ((1 << bd) - 1))).astype(np.uint8)
+        elif bd == 16:
+            exp = ((px.astype(np.uint32) + 128) // 257).astype(np.uint8)
+        else:
+            exp = px.astype(np.uint8)
+    got = decode_png_gray_plane(png)
+    assert got.shape == (h, w) and (got == exp).all()
+
+    small = box_downscale(got, k)
+    oh, ow = -(-h // k), -(-w // k)
+    assert small.shape == (oh, ow)
+    for by in range(oh):
+        for bx in range(ow):
+            blk = got[by * k : (by + 1) * k, bx * k : (bx + 1) * k].astype(int)
+            assert small[by, bx] == (blk.sum() + blk.size // 2) // blk.size
+
+
 # -- AVI walker: corrupt RIFF must keep the two-exception contract --
 
 

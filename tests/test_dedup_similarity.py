@@ -427,6 +427,36 @@ def test_real_png_media_decode_end_to_end(spark):
         assert r.n_bytes > 50  # real compressed stream, not a fake
 
 
+def test_image_resize_end_to_end(spark):
+    """Distributed resize over the mixed image table: PNG rows (every
+    fixture variant) box-downscale 2x to ceil-halved dims with the
+    solid gray preserved, and the emitted payload is a REAL PNG that
+    round-trips through decode_png to the same stats; JPEG rows are
+    null BY CONTRACT (no pixel plane from the DC-band decoder)."""
+    from bookextract_spark.operators.multimodal import (
+        decode_png,
+        image_resize,
+        png_media_from_documents,
+    )
+
+    docs = spark.createDataFrame([(i, "t") for i in range(30)], "doc_id long, text string")
+    out = {
+        r.media_id: r
+        for r in image_resize(png_media_from_documents(docs), factor=2).collect()
+    }
+    assert len(out) == 30
+    for d, r in out.items():
+        if d % 3 != 0:  # JPEG rows: null by contract
+            assert r.width is None and r.mean_luma is None and r.payload is None
+            continue
+        w, h, g = 8 + d % 32, 8 + (d * 7) % 32, d % 256
+        assert (r.width, r.height) == ((w + 1) // 2, (h + 1) // 2)
+        assert abs(r.mean_luma - g / 255.0) < 1e-12
+        pw, ph, pl = decode_png(bytes(r.payload))
+        assert (pw, ph) == (r.width, r.height)
+        assert abs(pl - r.mean_luma) < 1e-12
+
+
 def test_ivf_ann_recall_vs_brute(spark):
     """IVF-probed ANN must recover a solid fraction of the exact top-k
     (nprobe=2 of 8 lists on the synthetic embeddings)."""

@@ -117,6 +117,9 @@ BUDGETS = {
     # multimodal (two chained Arrow stages, no shuffle)
     "wav_metadata": (0, 0, 2, 1),
     "image_metadata": (0, 0, 2, 1),
+    # generate (mapInPandas) -> resize (mapInPandas): two Arrow stages,
+    # no exchange — resize is a pure per-payload map
+    "image_resize": (0, 0, 2, 1),
     "frame_sample": (0, 0, 2, 1),
     # ---- late round 3: pin the rest of the registry (the flagship
     # pipeline above all).  Same method, same session config; every
