@@ -2901,18 +2901,21 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
     """REAL audio media table: one genuine WAV per document with
     SQL-predictable stats — a constant-amplitude square wave of
     ``1000 + doc_id % 500`` samples at 8 kHz.  The sample FORMAT
-    cycles by ``doc_id % 11`` through the decoder's full surface
+    cycles by ``doc_id % 12`` through the decoder's full surface
     (PCM16 / PCM8 / PCM24 / PCM32 / float32 / float64 /
     PCM16-in-EXTENSIBLE / G.711 mu-law / G.711 A-law / IMA ADPCM /
-    MS ADPCM), each encoding the amplitude in its native units such
-    that the NORMALIZED peak on the 16-bit scale is
+    MS ADPCM / STEREO PCM16 — the multi-channel frame math: variant 11
+    interleaves +A/-A per frame, so n_samples stays the FRAME count
+    while the data chunk carries twice the samples), each encoding the
+    amplitude in its native units such that the NORMALIZED peak on the
+    16-bit scale is
     ``256 + (doc_id % 64) * 64`` — except the quantized-grid formats,
     which get their own exact laws: PCM8 (1/128 steps)
     ``256 * (1 + doc_id % 16)``; mu-law, built from codeword
     (exp ``e = doc_id % 8``, mantissa ``m = (doc_id // 8) % 16``)
     ``(m*8 + 132) * 2^e - 132``; A-law (seg ``s = 2 + doc_id % 6``,
     same m) ``(m*16 + 264) * 2^(s-1)`` — so RMS == peak/32768 exactly
-    in every format and one closed-form oracle covers all eleven
+    in every format and one closed-form oracle covers all twelve
     paths.  The ADPCM rows flip sign only at block boundaries (the
     block header re-seeds the predictor with the exact sample and a
     zero diff quantizes to the exact hold nibble), so the lossy codecs
@@ -2925,7 +2928,7 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 n = 1000 + d % 500
-                variant = d % 11
+                variant = d % 12
                 if variant == 1:  # PCM8: native unsigned, offset 128
                     a8 = 1 + d % 16
                     sm = [128 + a8 if i % 2 == 0 else 128 - a8 for i in range(n)]
@@ -2939,6 +2942,12 @@ def wav_media_from_documents(docs: DataFrame) -> DataFrame:
                         pos = (0x80 | (s << 4) | m) ^ 0x55
                     sm = [pos if i % 2 == 0 else pos ^ 0x80 for i in range(n)]
                     wav = encode_wav_ex(8000, sm, bits=8, fmt=7 if variant == 7 else 6)
+                elif variant == 11:  # stereo PCM16: L=+A, R=-A per frame
+                    amp = 256 + (d % 64) * 64
+                    sm = []
+                    for _ in range(n):
+                        sm += [amp, -amp]
+                    wav = encode_wav_ex(8000, sm, bits=16, n_channels=2)
                 elif variant in (9, 10):  # ADPCM: block-aligned square
                     amp = 256 + (d % 64) * 64
                     # small blocks so every payload exceeds the

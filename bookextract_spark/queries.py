@@ -1646,8 +1646,8 @@ def q_wav_metadata(spark, sf_dir):
     real — RIFF chunk walk, fmt/data extraction, sample statistics —
     over the decoder's FULL format surface: the fixture cycles PCM16 /
     PCM8 / PCM24 / PCM32 / float32 / float64 / PCM16-in-EXTENSIBLE /
-    G.711 mu-law / G.711 A-law / IMA ADPCM / MS ADPCM by doc_id % 11,
-    each encoding the same
+    G.711 mu-law / G.711 A-law / IMA ADPCM / MS ADPCM / stereo PCM16
+    by doc_id % 12, each encoding the same
     normalized amplitude in native units (the quantized-grid formats —
     PCM8 and the two G.711 laws — carry their own exact codeword-
     derived amplitude laws).  Amplitude/length follow a closed form of
@@ -1669,17 +1669,17 @@ WITH amp AS (
     -- per-format normalized peak on the 16-bit scale: PCM8 and the
     -- two G.711 laws are quantized grids with their own exact
     -- codeword-derived laws; the wide formats share one law
-    CASE WHEN doc_id % 11 = 1 THEN 256 * (1 + doc_id % 16)
-         WHEN doc_id % 11 = 7
+    CASE WHEN doc_id % 12 = 1 THEN 256 * (1 + doc_id % 16)
+         WHEN doc_id % 12 = 7
            THEN (((doc_id // 8) % 16) * 8 + 132) * (1 << (doc_id % 8)) - 132
-         WHEN doc_id % 11 = 8
+         WHEN doc_id % 12 = 8
            THEN (((doc_id // 8) % 16) * 16 + 264) * (1 << (1 + doc_id % 6))
          ELSE 256 + (doc_id % 64) * 64 END AS a
   FROM documents
 )
 SELECT doc_id AS media_id,
   8000 AS sample_rate,
-  1 AS n_channels,
+  CAST(CASE WHEN doc_id % 12 = 11 THEN 2 ELSE 1 END AS INT) AS n_channels,
   (1000 + doc_id % 500)::BIGINT AS n_samples,
   (((1000 + doc_id % 500) * 1000) // 8000)::BIGINT AS duration_ms,
   a / 32768.0 AS rms,

@@ -309,6 +309,15 @@ def test_png_corruption_contract(w, h, gray, data, mode, combo):
     else:
         pos = data.draw(st.integers(8, len(enc) - 1))
         enc[pos] ^= data.draw(st.integers(1, 255))
+    # the resize path's plane decoder shares the same two-exception
+    # contract (the image_resize UDF catches exactly these to emit a
+    # null row)
+    from bookextract_spark.operators.multimodal import decode_png_gray_plane
+
+    try:
+        decode_png_gray_plane(bytes(enc))
+    except (ValueError, NotImplementedError):
+        pass
     try:
         out = decode_image(bytes(enc), fake=False)
     except (ValueError, NotImplementedError):

@@ -523,22 +523,23 @@ def test_wav_media_decode_end_to_end(spark):
     out = {r.media_id: r for r in wav_metadata(wav_media_from_documents(docs)).collect()}
     assert len(out) == 30
     for d, r in out.items():
-        # the fixture cycles 11 sample formats by doc_id; the
+        # the fixture cycles 12 sample formats by doc_id; the
         # quantized-grid formats (PCM8, G.711 mu-law/A-law) carry
         # their own exact amplitude laws (normalized 16-bit scale);
         # the ADPCM rows share the wide law (block-boundary sign
         # flips decode bit-exactly)
-        if d % 11 == 1:
+        if d % 12 == 1:
             amp = 256 * (1 + d % 16)
-        elif d % 11 == 7:
+        elif d % 12 == 7:
             amp = (((d // 8) % 16) * 8 + 132) * (1 << (d % 8)) - 132
-        elif d % 11 == 8:
+        elif d % 12 == 8:
             amp = (((d // 8) % 16) * 16 + 264) * (1 << (1 + d % 6))
         else:
             amp = 256 + (d % 64) * 64
         assert r.peak == amp and r.n_samples == 1000 + d % 500, d
         assert abs(r.rms - amp / 32768.0) < 1e-15, d
-        assert r.sample_rate == 8000 and r.n_channels == 1
+        assert r.sample_rate == 8000
+        assert r.n_channels == (2 if d % 12 == 11 else 1), d
 
 
 def test_decontaminate_planted_leak(spark, docs):
