@@ -154,6 +154,32 @@ def encode_png_gray(width: int, height: int, pixel) -> bytes:
     )
 
 
+def encode_png_gray_from_plane(plane: np.ndarray) -> bytes:
+    """Vectorized twin of :func:`encode_png_gray` for a (h, w) uint8
+    numpy plane — byte-identical output (filter 0 on even rows, Sub on
+    odd rows, same zlib level), but built with numpy row ops instead
+    of a per-pixel Python callback: the resize hot path encodes in
+    O(rows) python steps, not O(pixels)."""
+    h, w = plane.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, 8-bit
+    rows = np.ascontiguousarray(plane, np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        row = rows[y]
+        if y % 2 == 1 and w > 0:
+            filt = row.copy()
+            filt[1:] = row[1:] - row[:-1]  # uint8 wraparound == & 0xFF
+            raw += b"\x01" + filt.tobytes()
+        else:
+            raw += b"\x00" + row.tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png_ex(
     width: int,
     height: int,
@@ -412,14 +438,6 @@ def decode_png(payload: bytes) -> tuple[int, int, float]:
     return width, height, (total / n) / peak
 
 
-# Adam7 pass origins and steps as (x0, y0, dx, dy), in the same order
-# _png_pass_dims yields the pass geometries
-_ADAM7_GRID = (
-    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
-)
-
-
 def _png_pass_gray(
     pixels: bytearray,
     pw: int,
@@ -437,16 +455,16 @@ def _png_pass_gray(
     if bit_depth < 8:
         arr = np.frombuffer(bytes(pixels), np.uint8).reshape(ph, stride)
         weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
-        planes = []
+        # fill a preallocated plane chunk-by-chunk: unpackbits inflates
+        # 8x, so only a bounded row window is ever unpacked at once and
+        # no second full-size concatenate copy exists
+        vals = np.empty((ph, pw), np.uint8)
         rows_per_chunk = max(1, _PNG_UNPACK_CHUNK_BYTES // max(stride, 1))
         for r0 in range(0, ph, rows_per_chunk):
             bits = np.unpackbits(arr[r0 : r0 + rows_per_chunk], axis=1)
-            planes.append(
-                (bits.reshape(bits.shape[0], -1, bit_depth) * weights).sum(
-                    axis=2, dtype=np.uint8
-                )[:, :pw]
-            )
-        vals = np.concatenate(planes)
+            vals[r0 : r0 + bits.shape[0]] = (
+                bits.reshape(bits.shape[0], -1, bit_depth) * weights
+            ).sum(axis=2, dtype=np.uint8)[:, :pw]
         if color_type == 3:
             pass  # palette indices map below
         else:
@@ -482,6 +500,11 @@ def decode_png_gray_plane(payload: bytes) -> np.ndarray:
     width, height, bit_depth, color_type, plte_rgb, raw, passes, fbpp = _png_parse(
         payload
     )
+    if width * height > 1 << 27:
+        # _png_parse budgets the PACKED stream; a sub-8-bit header can
+        # claim an 8x larger unpacked plane — bound the OUTPUT too so a
+        # few-hundred-KB hostile payload cannot allocate gigabytes
+        raise ValueError("PNG plane exceeds the decoder's 128 MB pixel budget")
     out = np.zeros((height, width), np.uint8)
     if width * height == 0:
         return out
@@ -497,7 +520,7 @@ def decode_png_gray_plane(payload: bytes) -> np.ndarray:
             if len(passes) == 1:
                 out[:, :] = plane
             else:
-                x0, y0, dx, dy = _ADAM7_GRID[i]
+                x0, y0, dx, dy = _ADAM7[i]
                 out[y0::dy, x0::dx] = plane
     except IndexError as exc:
         raise ValueError(f"damaged PNG pixel data: {type(exc).__name__}: {exc}") from exc
@@ -1393,9 +1416,7 @@ def image_resize(media: DataFrame, factor: int = 2) -> DataFrame:
                     small = box_downscale(plane, factor)
                     h2, w2 = small.shape
                     lum = float(small.mean()) / 255.0 if small.size else 0.0
-                    png = encode_png_gray(
-                        w2, h2, lambda x, y, pl=small: int(pl[y, x])
-                    )
+                    png = encode_png_gray_from_plane(small)
                     rows.append((int(media_id), w2, h2, lum, png))
                 except (ValueError, NotImplementedError):
                     rows.append((int(media_id), None, None, None, None))
@@ -1566,6 +1587,56 @@ def _dib_stride(width: int, bits: int) -> int:
     return (width * (bits // 8) + 3) & ~3
 
 
+def _mux_avi(
+    width: int,
+    height: int,
+    fps: int,
+    handler: bytes,
+    bitcount: int,
+    compression: int,
+    bufsize: int,
+    sizeimage: int,
+    palette_quads: list[tuple[int, int, int]],
+    chunks: list[tuple[bytes, int, bytes]],
+) -> bytes:
+    """Shared RIFF 'AVI ' assembly for every paired encoder (DIB /
+    MJPEG / RLE8): avih + strl(strh 'vids' <handler> + strf
+    BITMAPINFOHEADER [+ RGBQUADs]) + movi + spec-complete idx1.
+    ``chunks`` are (chunk id, idx1 flags, frame payload) — idx1
+    offsets are relative to the 'movi' fourcc position.  One
+    definition so a header-layout fix cannot drift across codecs."""
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0x10,  # usec/frame, maxbytes, pad, HASINDEX
+        len(chunks), 0, 1, bufsize,  # total frames, initial, streams, sugg buf
+        width, height, 0, 0, 0, 0,
+    )
+    strh = b"vids" + handler + struct.pack(
+        "<IHHIIIIIIII4h",
+        0, 0, 0, 0,  # flags, priority, language, initial frames
+        1, fps, 0, len(chunks),  # scale, rate, start, length
+        bufsize, 0, 0,  # sugg buf, quality, sample size
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, bitcount, compression, sizeimage, 0, 0,
+        len(palette_quads), 0,
+    ) + bytes(b for (r, g, bl) in palette_quads for b in (bl, g, r, 0))
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx = b""
+    for cid, flags, data in chunks:
+        idx += cid + struct.pack("<III", flags, 4 + len(movi_body), len(data))
+        movi_body += _riff_chunk(cid, data)
+    body = b"AVI " + hdrl + _riff_list(b"movi", movi_body) + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def encode_avi_dib(
     width: int,
     height: int,
@@ -1625,41 +1696,11 @@ def encode_avi_dib(
         padded[:, : rows.shape[1]] = rows
         enc_frames.append(padded.tobytes())
 
-    avih = struct.pack(
-        "<14I",
-        1_000_000 // fps, 0, 0, 0x10,  # usec/frame, maxbytes, pad, HASINDEX
-        len(frames), 0, 1, frame_size,  # total frames, initial, streams, sugg buf
-        width, height, 0, 0, 0, 0,
+    return _mux_avi(
+        width, height, fps, b"DIB ", bits, 0, frame_size, frame_size,
+        palette if bits == 8 else [],
+        [(b"00db", 0x10, data) for data in enc_frames],
     )
-    strh = (
-        b"vids" + b"DIB " + struct.pack(
-            "<IHHIIIIIIII4h",
-            0, 0, 0, 0,  # flags, priority, language, initial frames
-            1, fps, 0, len(frames),  # scale, rate, start, length
-            frame_size, 0, 0,  # sugg buf, quality, sample size
-            0, 0, width, height,  # rcFrame
-        )
-    )
-    n_pal = len(palette) if bits == 8 else 0
-    strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, bits, 0, frame_size, 0, 0, n_pal, 0
-    )
-    if bits == 8:
-        strf += bytes(b for (r, g, bl) in palette for b in (bl, g, r, 0))  # RGBQUADs
-    hdrl = _riff_list(
-        b"hdrl",
-        _riff_chunk(b"avih", avih)
-        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
-    )
-    movi_body = b""
-    idx = b""
-    for data in enc_frames:
-        # idx1 offsets are relative to the 'movi' fourcc position
-        idx += b"00db" + struct.pack("<III", 0x10, 4 + len(movi_body), len(data))
-        movi_body += _riff_chunk(b"00db", data)
-    movi = _riff_list(b"movi", movi_body)
-    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_avi_rgb24(width: int, height: int, fps: int, frames: list[bytes]) -> bytes:
@@ -1960,35 +2001,11 @@ def encode_avi_rle8(
         enc.append((key, encode_rle8_frame(cur, None if key else prev, width, height)))
         prev = cur
     frame_size = _dib_stride(width, 8) * height
-    avih = struct.pack(
-        "<14I",
-        1_000_000 // fps, 0, 0, 0x10,
-        len(frames), 0, 1, frame_size,
-        width, height, 0, 0, 0, 0,
+    return _mux_avi(
+        width, height, fps, b"MRLE", 8, _BI_RLE8, frame_size, frame_size,
+        palette,
+        [(b"00dc", 0x10 if key else 0, data) for key, data in enc],
     )
-    strh = b"vids" + b"MRLE" + struct.pack(
-        "<IHHIIIIIIII4h",
-        0, 0, 0, 0, 1, fps, 0, len(frames), frame_size, 0, 0, 0, 0, width, height,
-    )
-    strf = struct.pack(
-        "<IiiHHIIiiII",
-        40, width, height, 1, 8, _BI_RLE8, frame_size, 0, 0, len(palette), 0,
-    ) + bytes(b for (r, g, bl) in palette for b in (bl, g, r, 0))
-    hdrl = _riff_list(
-        b"hdrl",
-        _riff_chunk(b"avih", avih)
-        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
-    )
-    movi_body = b""
-    idx = b""
-    for key, data in enc:
-        idx += b"00dc" + struct.pack(
-            "<III", 0x10 if key else 0, 4 + len(movi_body), len(data)
-        )
-        movi_body += _riff_chunk(b"00dc", data)
-    movi = _riff_list(b"movi", movi_body)
-    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _decode_rle8_frames(
@@ -2001,6 +2018,12 @@ def _decode_rle8_frames(
     lut = _rgbquad_lut(palette)
     if not len(lut):
         raise ValueError("BI_RLE8 stream has no palette")
+    if width * height * 3 > 1 << 27:
+        # avih dims are header claims, and RLE frames carry no
+        # per-frame byte bound (a 2-byte EOB is a whole frame) — bound
+        # the canvas+RGB allocation so a 200-byte hostile AVI cannot
+        # OOM the worker (the PNG decoder's 128 MB budget, RGB scale)
+        raise ValueError("RLE8 geometry exceeds the decoder's 128 MB pixel budget")
     canvas = np.zeros((height, width), np.uint8)
     for data in raw_frames:
         _decode_rle8_frame(bytes(data), canvas)
@@ -2018,37 +2041,10 @@ def encode_avi_mjpeg(width: int, height: int, fps: int, jpeg_frames: list[bytes]
         if j[:2] != b"\xff\xd8":
             raise ValueError("MJPEG frame is not a JPEG stream")
     bufsize = max((len(j) for j in jpeg_frames), default=0)
-    avih = struct.pack(
-        "<14I",
-        1_000_000 // fps, 0, 0, 0x10,  # usec/frame, maxbytes, pad, HASINDEX
-        len(jpeg_frames), 0, 1, bufsize,  # total frames, initial, streams, sugg buf
-        width, height, 0, 0, 0, 0,
+    return _mux_avi(
+        width, height, fps, b"MJPG", 24, _MJPG_FOURCC, bufsize, 0, [],
+        [(b"00dc", 0x10, data) for data in jpeg_frames],
     )
-    strh = (
-        b"vids" + b"MJPG" + struct.pack(
-            "<IHHIIIIIIII4h",
-            0, 0, 0, 0,  # flags, priority, language, initial frames
-            1, fps, 0, len(jpeg_frames),  # scale, rate, start, length
-            bufsize, 0, 0,  # sugg buf, quality, sample size (0: variable)
-            0, 0, width, height,  # rcFrame
-        )
-    )
-    strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, _MJPG_FOURCC, 0, 0, 0, 0, 0
-    )
-    hdrl = _riff_list(
-        b"hdrl",
-        _riff_chunk(b"avih", avih)
-        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
-    )
-    movi_body = b""
-    idx = b""
-    for data in jpeg_frames:
-        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(data))
-        movi_body += _riff_chunk(b"00dc", data)
-    movi = _riff_list(b"movi", movi_body)
-    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def avi_frame_stats(
@@ -2541,7 +2537,7 @@ def _decode_ms_adpcm_lockstep(
     if n_ch < 1:
         raise ValueError("MS ADPCM: zero channels")
     hdr = 7 * n_ch
-    if block_align <= hdr:
+    if block_align <= hdr or ((block_align - hdr) * 2) % n_ch:
         raise ValueError(f"MS ADPCM block_align {block_align} invalid for {n_ch}ch")
     n_blocks = len(data) // block_align
     if not n_blocks:
@@ -2596,7 +2592,10 @@ def _decode_ms_adpcm_scalar(
     if n_ch < 1:
         raise ValueError("MS ADPCM: zero channels")
     hdr = 7 * n_ch
-    if block_align <= hdr:
+    if block_align <= hdr or ((block_align - hdr) * 2) % n_ch:
+        # a nibble count that does not divide evenly across channels is
+        # spec-invalid geometry; validated identically in both paths so
+        # the scalar/lockstep twins can never diverge on it
         raise ValueError(f"MS ADPCM block_align {block_align} invalid for {n_ch}ch")
     blocks = []
     for off in range(0, len(data) - block_align + 1, block_align):

@@ -595,7 +595,7 @@ def test_adpcm_encode_decode_total_and_header_seeded(samples, codec, block_align
 
 @FUZZ
 @given(
-    n_ch=st.sampled_from([1, 1, 2]),
+    n_ch=st.sampled_from([1, 1, 2, 3]),
     n_groups=st.integers(1, 5),
     n_blocks=st.integers(1, 5),
     data=st.data(),

@@ -1086,3 +1086,67 @@ def test_truncated_dht_is_valueerror():
     bits = [0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
     with pytest.raises(ValueError):
         list(_canonical_code_triples(bits, [7]))  # promises 2 vals, has 1
+
+
+def test_media_decoder_budgets_and_twin_invariants():
+    """Round-4 fifth-session review pins: (1) a hostile RLE8 AVI whose
+    header claims huge dimensions is a budget ValueError, not a
+    multi-GB allocation (only (ValueError, NotImplementedError) keep
+    the null-row contract alive in the media UDFs); (2) a sub-8-bit
+    PNG whose PACKED stream fits the parse budget but whose UNPACKED
+    plane would not is rejected by the plane decoder; (3) MS ADPCM
+    geometry whose nibble count does not divide across channels is the
+    same ValueError in BOTH twin paths (they used to diverge at 3+
+    channels); (4) the vectorized PNG encoder is byte-identical to the
+    per-pixel form."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bookextract_spark.operators.multimodal import (
+        _MS_COEFS,
+        _PNG_SIG,
+        _decode_ms_adpcm_lockstep,
+        _decode_ms_adpcm_scalar,
+        _png_chunk,
+        avi_frame_stats,
+        decode_png_gray_plane,
+        encode_avi_rle8,
+        encode_png_gray,
+        encode_png_gray_from_plane,
+    )
+
+    # (1) RLE8 geometry budget
+    avi = bytearray(encode_avi_rle8(2, 2, 10, [bytes(4)], [(0, 0, 0)]))
+    i = avi.find(b"avih") + 8
+    avi[i + 32 : i + 40] = struct.pack("<II", 60000, 60000)
+    j = avi.find(b"strf") + 8
+    avi[j + 4 : j + 12] = struct.pack("<ii", 60000, 60000)
+    with pytest.raises(ValueError, match="128 MB pixel budget"):
+        avi_frame_stats(bytes(avi))
+
+    # (2) 1-bit PNG: packed 50 MB passes the parse budget, 400 MB
+    # plane must not materialize
+    w = h = 20000
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    stride = (w + 7) // 8
+    raw = zlib.compress(bytes((1 + stride) * h), 1)
+    png = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", raw)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="128 MB pixel budget"):
+        decode_png_gray_plane(png)
+
+    # (3) ragged 3-channel MS geometry: identical ValueError both paths
+    for fn in (_decode_ms_adpcm_lockstep, _decode_ms_adpcm_scalar):
+        with pytest.raises(ValueError, match="block_align 22 invalid for 3ch"):
+            fn(bytes(44), 22, 3, _MS_COEFS)
+
+    # (4) vectorized PNG encoder == per-pixel encoder, byte for byte
+    rng = np.random.RandomState(7)
+    for pw, ph in ((7, 5), (1, 1), (33, 2), (0, 0)):
+        pl = rng.randint(0, 256, (ph, pw)).astype(np.uint8)
+        assert encode_png_gray(pw, ph, lambda x, y: int(pl[y, x])) == \
+            encode_png_gray_from_plane(pl)
