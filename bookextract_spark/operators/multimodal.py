@@ -1835,11 +1835,15 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     which decodes per-frame luma without one; inter-frame codecs with
     motion compensation need a real media library)."""
     width, height, fps, bitcount, compression, raw_frames, palette = _walk_avi(payload)
-    if compression == _BI_RLE8:
-        if bitcount != 8:
-            raise ValueError(f"BI_RLE8 requires biBitCount 8, got {bitcount}")
+    if compression in (_BI_RLE8, _BI_RLE4):
+        four_bit = compression == _BI_RLE4
+        if bitcount != (4 if four_bit else 8):
+            raise ValueError(
+                f"BI_RLE{4 if four_bit else 8} requires biBitCount "
+                f"{4 if four_bit else 8}, got {bitcount}"
+            )
         return width, height, fps, list(
-            _decode_rle8_frames(raw_frames, width, height, palette)
+            _decode_rle_frames(raw_frames, width, height, palette, four_bit)
         )
     if compression not in (0, None) or (
         bitcount is not None and bitcount not in _DIB_BITCOUNTS
@@ -1862,6 +1866,7 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
 # 2-byte pure-skip).  Pure public-spec byte arithmetic.
 
 _BI_RLE8 = 1
+_BI_RLE4 = 2
 
 
 def _rgbquad_lut(palette: bytes) -> np.ndarray:
@@ -1871,13 +1876,17 @@ def _rgbquad_lut(palette: bytes) -> np.ndarray:
 
 
 def encode_rle8_frame(
-    cur: np.ndarray, prev: np.ndarray | None, width: int, height: int
+    cur: np.ndarray, prev: np.ndarray | None, width: int, height: int,
+    four_bit: bool = False,
 ) -> bytes:
-    """One BI_RLE8 frame body from a BOTTOM-UP (height, width) uint8
-    index plane.  ``prev=None`` emits a keyframe (every pixel coded);
-    otherwise only the runs that differ from ``prev`` are coded, with
-    EOL/delta escapes skipping everything unchanged — two identical
-    frames encode as the 2-byte End-of-Bitmap."""
+    """One BI_RLE8 (or, with ``four_bit``, BI_RLE4) frame body from a
+    BOTTOM-UP (height, width) uint8 index plane.  ``prev=None`` emits
+    a keyframe (every pixel coded); otherwise only the runs that
+    differ from ``prev`` are coded, with EOL/delta escapes skipping
+    everything unchanged — two identical frames encode as the 2-byte
+    End-of-Bitmap.  RLE4's encoded-mode value byte packs TWO alternating
+    nibbles; a same-value run uses (v << 4) | v."""
+    vbyte = (lambda v: ((v << 4) | v) & 0xFF) if four_bit else (lambda v: v)
     out = bytearray()
     if prev is None:
         for y in range(height):
@@ -1888,7 +1897,7 @@ def encode_rle8_frame(
                 run = 1
                 while x + run < width and row[x + run] == v and run < 255:
                     run += 1
-                out += bytes((run, v))
+                out += bytes((run, vbyte(v)))
                 x += run
             if y != height - 1:
                 out += b"\x00\x00"  # EOL
@@ -1920,7 +1929,7 @@ def encode_rle8_frame(
                 run = 1
                 while i + run < x and row[i + run] == v and run < 255:
                     run += 1
-                out += bytes((run, v))
+                out += bytes((run, vbyte(v)))
                 i += run
             cx = x
     out += b"\x00\x01"
@@ -1970,6 +1979,56 @@ def _decode_rle8_frame(data: bytes, canvas: np.ndarray) -> None:
             pos += b1 + (b1 & 1)
 
 
+def _decode_rle4_frame(data: bytes, canvas: np.ndarray) -> None:
+    """BI_RLE4 twin of :func:`_decode_rle8_frame`: encoded mode expands
+    ``count`` pixels alternating the value byte's HIGH then LOW nibble;
+    absolute mode packs nibbles high-first and pads the byte count to a
+    WORD boundary.  Same escapes, same persistent-canvas inter-frame
+    semantics, same ValueError contract."""
+    h, w = canvas.shape
+    pos, x, y = 0, 0, 0
+    n = len(data)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated RLE4 stream (no End-of-Bitmap)")
+        b0, b1 = data[pos], data[pos + 1]
+        pos += 2
+        if b0:  # encoded mode: b0 pixels alternating hi/lo nibble
+            if y >= h or x + b0 > w:
+                raise ValueError("RLE4 run past frame bounds")
+            pair = np.array([b1 >> 4, b1 & 0x0F], np.uint8)
+            canvas[y, x : x + b0] = np.tile(pair, (b0 + 1) // 2)[:b0]
+            x += b0
+        elif b1 == 0:  # End-of-Line
+            x = 0
+            y += 1
+            if y > h:
+                raise ValueError("RLE4 EOL past frame bounds")
+        elif b1 == 1:  # End-of-Bitmap
+            return
+        elif b1 == 2:  # delta: skip (dx, dy)
+            if pos + 2 > n:
+                raise ValueError("truncated RLE4 delta escape")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("RLE4 delta past frame bounds")
+        else:  # absolute mode: b1 nibbles high-first, word-aligned
+            if y >= h or x + b1 > w:
+                raise ValueError("RLE4 absolute run past frame bounds")
+            nbytes = (b1 + 1) // 2
+            if pos + nbytes > n:
+                raise ValueError("truncated RLE4 absolute run")
+            byts = np.frombuffer(data[pos : pos + nbytes], np.uint8)
+            nibs = np.empty(nbytes * 2, np.uint8)
+            nibs[0::2] = byts >> 4
+            nibs[1::2] = byts & 0x0F
+            canvas[y, x : x + b1] = nibs[:b1]
+            x += b1
+            pos += nbytes + (nbytes & 1)  # pad to word boundary
+
+
 def encode_avi_rle8(
     width: int,
     height: int,
@@ -2008,25 +2067,66 @@ def encode_avi_rle8(
     )
 
 
-def _decode_rle8_frames(
-    raw_frames: list[bytes], width: int, height: int, palette: bytes
+def encode_avi_rle4(
+    width: int,
+    height: int,
+    fps: int,
+    frames: list[bytes],
+    palette: list[tuple[int, int, int]],
+    keyframe_every: int = 0,
+) -> bytes:
+    """REAL BI_RLE4 AVI encoder — the 4-bit twin of
+    :func:`encode_avi_rle8` (same keyframe/delta structure; encoded
+    runs pack two alternating nibbles per value byte, so a same-value
+    run codes as (v << 4) | v).  Palette is at most 16 entries."""
+    if not palette or len(palette) > 16:
+        raise ValueError("BI_RLE4 needs a 1-16 entry palette")
+    planes = []
+    for frame in frames:
+        if len(frame) != width * height:
+            raise ValueError("frame byte length != width*height")
+        arr = np.frombuffer(frame, np.uint8).reshape(height, width)[::-1]
+        if arr.size and int(arr.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        planes.append(arr)
+    enc: list[tuple[bool, bytes]] = []
+    prev = None
+    for i, cur in enumerate(planes):
+        key = prev is None or (keyframe_every and i % keyframe_every == 0)
+        enc.append(
+            (key, encode_rle8_frame(cur, None if key else prev, width, height,
+                                    four_bit=True))
+        )
+        prev = cur
+    frame_size = _dib_stride(width, 4) * height
+    return _mux_avi(
+        width, height, fps, b"MRLE", 4, _BI_RLE4, frame_size, frame_size,
+        palette,
+        [(b"00dc", 0x10 if key else 0, data) for key, data in enc],
+    )
+
+
+def _decode_rle_frames(
+    raw_frames: list[bytes], width: int, height: int, palette: bytes,
+    four_bit: bool = False,
 ):
-    """Sequential RLE8 decode (inter-frame: every frame must be applied
-    in order) -> yields top-down RGB frame buffers.  The canvas starts
-    as palette index 0 — the documented background for pixels no frame
-    ever writes."""
+    """Sequential RLE8/RLE4 decode (inter-frame: every frame must be
+    applied in order) -> yields top-down RGB frame buffers.  The canvas
+    starts as palette index 0 — the documented background for pixels no
+    frame ever writes."""
     lut = _rgbquad_lut(palette)
     if not len(lut):
-        raise ValueError("BI_RLE8 stream has no palette")
+        raise ValueError("RLE stream has no palette")
     if width * height * 3 > 1 << 27:
         # avih dims are header claims, and RLE frames carry no
         # per-frame byte bound (a 2-byte EOB is a whole frame) — bound
         # the canvas+RGB allocation so a 200-byte hostile AVI cannot
         # OOM the worker (the PNG decoder's 128 MB budget, RGB scale)
-        raise ValueError("RLE8 geometry exceeds the decoder's 128 MB pixel budget")
+        raise ValueError("RLE geometry exceeds the decoder's 128 MB pixel budget")
+    decode_frame = _decode_rle4_frame if four_bit else _decode_rle8_frame
     canvas = np.zeros((height, width), np.uint8)
     for data in raw_frames:
-        _decode_rle8_frame(bytes(data), canvas)
+        decode_frame(bytes(data), canvas)
         if canvas.size and int(canvas.max()) >= len(lut):
             raise ValueError("AVI palette index out of range")
         yield lut[canvas[::-1]].tobytes()
@@ -2067,10 +2167,16 @@ def avi_frame_stats(
     BI_RGB and RLE8.  Other codecs refuse loudly."""
     width, height, fps, bitcount, compression, raw_frames, palette = _walk_avi(payload)
     stats: list[tuple[int, float, str]] = []
-    if compression == _BI_RLE8:
-        if bitcount != 8:
-            raise ValueError(f"BI_RLE8 requires biBitCount 8, got {bitcount}")
-        for i, rgb in enumerate(_decode_rle8_frames(raw_frames, width, height, palette)):
+    if compression in (_BI_RLE8, _BI_RLE4):
+        four_bit = compression == _BI_RLE4
+        if bitcount != (4 if four_bit else 8):
+            raise ValueError(
+                f"BI_RLE{4 if four_bit else 8} requires biBitCount "
+                f"{4 if four_bit else 8}, got {bitcount}"
+            )
+        for i, rgb in enumerate(
+            _decode_rle_frames(raw_frames, width, height, palette, four_bit)
+        ):
             if i % every_n == 0:
                 stats.append(
                     (i, frame_mean_luma(rgb), hashlib.sha256(rgb).hexdigest()[:16])
@@ -2186,11 +2292,11 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
     third document (``doc_id % 3 == 1``, mirroring the image table's
     PNG/JPEG split) is Motion-JPEG — each frame an independent baseline
     JPEG with exact DC-mean luma — the rest cycling 24 / 32 (BGRX) /
-    8 (palettized) / 16 (XRGB555) uncompressed BI_RGB plus BI_RLE8
-    (palettized run-length, frame 0 a keyframe and every later frame
-    DELTA-coded against its predecessor — the inter-frame decode path
-    is driver-exercised); a solid JPEG frame of gray v and a solid
-    RGB/RLE8 frame of gray v decode to the SAME ``v/255`` luma, while
+    8 (palettized) / 16 (XRGB555) uncompressed BI_RGB plus BI_RLE8 and
+    BI_RLE4 (palettized run-length, frame 0 a keyframe and every later
+    frame DELTA-coded against its predecessor — both inter-frame decode
+    paths are driver-exercised); a solid JPEG frame of gray v and a
+    solid RGB/RLE frame of gray v decode to the SAME ``v/255`` luma, while
     the 16-bit rows land on the 5-bit replication grid
     ``q = v // 8 -> q*8 + q//4`` — still a closed form of doc_id, so
     the oracle covers the codec dispatch AND every real decode path
@@ -2208,8 +2314,8 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
                         w, h, 10, [encode_solid_jpeg(w, h, g) for g in grays]
                     )
                 else:
-                    depth = (24, 32, 8, 16, "rle8")[(d // 3) % 5]
-                    if depth in (8, "rle8"):
+                    depth = (24, 32, 8, 16, "rle8", "rle4")[(d // 3) % 6]
+                    if depth in (8, "rle8", "rle4"):
                         pal = sorted(set(grays))
                         idx_frames = [bytes([pal.index(g)]) * (w * h) for g in grays]
                         quads = [(g, g, g) for g in pal]
@@ -2217,8 +2323,12 @@ def avi_media_from_documents(docs: DataFrame) -> DataFrame:
                             payload = encode_avi_dib(
                                 w, h, 10, idx_frames, bits=8, palette=quads
                             )
-                        else:
+                        elif depth == "rle8":
                             payload = encode_avi_rle8(w, h, 10, idx_frames, quads)
+                        else:
+                            # n <= 7 distinct grays: always fits RLE4's
+                            # 16-entry palette ceiling
+                            payload = encode_avi_rle4(w, h, 10, idx_frames, quads)
                     else:
                         payload = encode_avi_dib(
                             w, h, 10,

@@ -1728,10 +1728,10 @@ g AS (
 )
 SELECT media_id, CAST(i AS INT) AS frame_idx, CAST(w AS INT) AS width,
   CAST(h AS INT) AS height, CAST(n AS INT) AS n_frames,
-  -- 16-bit XRGB555 rows ((media_id // 3) % 5 = 3, non-MJPEG) decode on
+  -- 16-bit XRGB555 rows ((media_id // 3) % 6 = 3, non-MJPEG) decode on
   -- the 5-bit replication grid q*8 + q//4, q = v // 8; others exactly
-  -- v (incl. the BI_RLE8 inter-frame rows at (media_id // 3) % 5 = 4)
-  round(CASE WHEN media_id % 3 <> 1 AND (media_id // 3) % 5 = 3
+  -- v (incl. the BI_RLE8/BI_RLE4 inter-frame rows at (media_id // 3) % 6 = 4, 5)
+  round(CASE WHEN media_id % 3 <> 1 AND (media_id // 3) % 6 = 3
              THEN ((v // 8) * 8 + (v // 8) // 4)
              ELSE v END / 255.0, 6) AS mean_luma
 FROM g

@@ -646,21 +646,25 @@ def test_adpcm_lockstep_equals_scalar_twin(n_ch, n_groups, n_blocks, data):
     n_frames=st.integers(1, 5),
     n_pal=st.integers(1, 8),
     keyframe_every=st.sampled_from([0, 0, 2, 3]),
+    four_bit=st.booleans(),
     data=st.data(),
 )
 def test_rle8_delta_equals_uncompressed_reference(
-    w, h, n_frames, n_pal, keyframe_every, data
+    w, h, n_frames, n_pal, keyframe_every, four_bit, data
 ):
-    """BI_RLE8 round trip on arbitrary frame sequences: the
+    """BI_RLE8/BI_RLE4 round trip on arbitrary frame sequences: the
     delta-coded stream (keyframe + per-frame diffs, periodic keyframes
     optional) must decode to EXACTLY the frames an uncompressed 8-bit
     DIB of the same content decodes to — pixels skipped by EOL/delta
     escapes must reproduce the previous frame's content bit-for-bit,
-    and stats/sha must be codec-invariant."""
+    and stats/sha must be codec-invariant (4-bit streams pack two
+    alternating nibbles per encoded-mode value byte; the palette is
+    shared, so the reconstructed RGB is depth-invariant too)."""
     from bookextract_spark.operators.multimodal import (
         avi_frame_stats,
         decode_avi,
         encode_avi_dib,
+        encode_avi_rle4,
         encode_avi_rle8,
     )
 
@@ -681,7 +685,8 @@ def test_rle8_delta_equals_uncompressed_reference(
             frame = bytes(buf)
         frames.append(frame)
         prev = frame
-    rle = encode_avi_rle8(w, h, 10, frames, pal, keyframe_every=keyframe_every)
+    enc_fn = encode_avi_rle4 if four_bit else encode_avi_rle8
+    rle = enc_fn(w, h, 10, frames, pal, keyframe_every=keyframe_every)
     dib = encode_avi_dib(w, h, 10, frames, bits=8, palette=pal)
     assert decode_avi(rle) == decode_avi(dib)
     every_n = data.draw(st.integers(1, 3))
@@ -776,7 +781,7 @@ def test_png_gray_plane_and_downscale_match_reference(w, h, combo, interlace, k,
     n_frames=st.integers(1, 3),
     data=st.data(),
     mode=st.sampled_from(["truncate", "flip"]),
-    codec=st.sampled_from(["mjpg", "dib8", "dib24", "dib32", "rle8"]),
+    codec=st.sampled_from(["mjpg", "dib8", "dib24", "dib32", "rle8", "rle4"]),
 )
 def test_avi_corruption_contract(gray, n_frames, data, mode, codec):
     """Truncating or byte-flipping a valid AVI (any codec/depth) must
@@ -796,17 +801,19 @@ def test_avi_corruption_contract(gray, n_frames, data, mode, codec):
                 bits=8, palette=[(gray, gray, gray)],
             )
         )
-    elif codec == "rle8":
-        from bookextract_spark.operators.multimodal import encode_avi_rle8
+    elif codec in ("rle8", "rle4"):
+        from bookextract_spark.operators.multimodal import (
+            encode_avi_rle4,
+            encode_avi_rle8,
+        )
 
         # varied frames so delta escapes, runs and skips all appear
         frames = [
             bytes(((i + f) % 2 for i in range(256))) for f in range(n_frames)
         ]
+        enc_fn = encode_avi_rle8 if codec == "rle8" else encode_avi_rle4
         enc = bytearray(
-            encode_avi_rle8(
-                16, 16, 10, frames, [(gray, gray, gray), (255 - gray,) * 3]
-            )
+            enc_fn(16, 16, 10, frames, [(gray, gray, gray), (255 - gray,) * 3])
         )
     else:
         enc = bytearray(

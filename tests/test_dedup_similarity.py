@@ -600,6 +600,55 @@ def test_avi_vectorized_layout_matches_loop_twin():
             assert frame_mean_luma(rgb) == exp
 
 
+def test_rle_absolute_mode_and_escapes_hand_built():
+    """The paired encoders emit only encoded runs + EOL/delta/EOB, so
+    absolute mode is decoder-only surface: hand-built RLE8 and RLE4
+    streams must place absolute pixels (RLE4: nibbles high-first,
+    byte count word-padded), honor the delta escape's pixel skip, and
+    reject a truncated absolute run."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bookextract_spark.operators.multimodal import (
+        _decode_rle4_frame,
+        _decode_rle8_frame,
+    )
+
+    # RLE8: row0 = absolute [7,3,9]; delta escape jumps dx=1 dy=1 to
+    # (4,1); one encoded pixel there; EOB — every skipped pixel stays 0
+    c8 = np.zeros((2, 5), np.uint8)
+    stream8 = (
+        b"\x00\x03\x07\x03\x09\x00"  # absolute 3 px + word pad byte
+        + b"\x00\x02\x01\x01"        # delta: (x,y) 3,0 -> 4,1
+        + b"\x01\x04"                # encoded: 1 pixel of 4
+        + b"\x00\x01"                # End-of-Bitmap
+    )
+    _decode_rle8_frame(stream8, c8)
+    assert c8[0].tolist() == [7, 3, 9, 0, 0]
+    assert c8[1].tolist() == [0, 0, 0, 0, 4]  # delta-skipped pixels untouched
+
+    # RLE4: absolute 5 nibbles (3 data bytes hi-first + 1 word pad),
+    # EOL, then an encoded alternating run on row 1
+    c4 = np.zeros((2, 5), np.uint8)
+    stream4 = (
+        b"\x00\x05\x12\x34\x50\x00"  # absolute: nibbles 1,2,3,4,5 + pad
+        + b"\x00\x00"                # EOL
+        + b"\x05\xab"                # encoded: a,b,a,b,a
+        + b"\x00\x01"
+    )
+    _decode_rle4_frame(stream4, c4)
+    assert c4[0].tolist() == [1, 2, 3, 4, 5]
+    assert c4[1].tolist() == [0xA, 0xB, 0xA, 0xB, 0xA]
+
+    # truncated absolute run and missing EOB are loud ValueErrors
+    with _pytest.raises(ValueError):
+        _decode_rle4_frame(b"\x00\x05\x12", np.zeros((2, 5), np.uint8))
+    with _pytest.raises(ValueError):
+        _decode_rle4_frame(b"\x05\xab", np.zeros((2, 5), np.uint8))
+    with _pytest.raises(ValueError):
+        _decode_rle8_frame(b"\x00\x03\x07", np.zeros((2, 5), np.uint8))
+
+
 def test_avi_codec_round_trip():
     """The stdlib AVI decoder must walk the real RIFF tree and undo all
     three storage transforms (bottom-up rows, BGR order, 4-byte stride
@@ -632,14 +681,18 @@ def test_avi_codec_round_trip():
     avi2 = b"RIFF" + st.pack("<I", len(avi2) - 8) + avi2[8:]
     assert decode_avi(avi2)[3] == frames
 
-    # RLE8 tagged at a non-8 depth is a recognized-but-invalid combo
-    # (ValueError); a codec we genuinely can't decode (BI_RLE4) refuses
-    # with NotImplementedError
+    # RLE tagged at the wrong depth is a recognized-but-invalid combo
+    # (ValueError); a codec we genuinely can't decode (motion-compensated
+    # Cinepak 'cvid') refuses with NotImplementedError
     plain_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 0)
     comp_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 1)
     with pytest.raises(ValueError, match="BI_RLE8 requires biBitCount 8"):
         decode_avi(avi.replace(plain_strf, comp_strf))
     comp_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 2)
+    with pytest.raises(ValueError, match="BI_RLE4 requires biBitCount 4"):
+        decode_avi(avi.replace(plain_strf, comp_strf))
+    cvid = st.unpack("<I", b"cvid")[0]
+    comp_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, cvid)
     with pytest.raises(NotImplementedError):
         decode_avi(avi.replace(plain_strf, comp_strf))
 
@@ -671,7 +724,7 @@ def test_avi_media_decode_end_to_end(spark):
         for r in rs:
             assert (r.width, r.height, r.n_frames) == (w, h, n)
             v = (d * 7 + r.frame_idx * 11) % 256
-            if d % 3 != 1 and (d // 3) % 5 == 3:
+            if d % 3 != 1 and (d // 3) % 6 == 3:
                 # 16-bit XRGB555 rows: 5-bit replication grid
                 v = (v // 8) * 8 + (v // 8) // 4
             assert r.mean_luma == round(v / 255.0, 6)
@@ -746,15 +799,20 @@ def test_avi_frame_stats_matches_decode_avi_on_dib():
     for (i, luma, sha), rgb in zip(stats, decoded):
         assert luma == frame_mean_luma(rgb)
         assert sha == hashlib.sha256(rgb).hexdigest()[:16]
-    # recognized-but-invalid RLE8 depth is ValueError; genuinely
-    # unknown codecs (BI_RLE4) still refuse loudly in the stats path
+    # recognized-but-invalid RLE depths are ValueError; genuinely
+    # unknown codecs (Cinepak 'cvid') still refuse loudly in the stats path
     import struct as st
 
     plain_strf = st.pack("<IiiHHI", 40, w, h, 1, 24, 0)
     with pytest.raises(ValueError, match="BI_RLE8 requires biBitCount 8"):
         avi_frame_stats(avi.replace(plain_strf, st.pack("<IiiHHI", 40, w, h, 1, 24, 1)))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="BI_RLE4 requires biBitCount 4"):
         avi_frame_stats(avi.replace(plain_strf, st.pack("<IiiHHI", 40, w, h, 1, 24, 2)))
+    cvid = st.unpack("<I", b"cvid")[0]
+    with pytest.raises(NotImplementedError):
+        avi_frame_stats(
+            avi.replace(plain_strf, st.pack("<IiiHHI", 40, w, h, 1, 24, cvid))
+        )
 
 
 # ---------------------------------------------------------------------------
