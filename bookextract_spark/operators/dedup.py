@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bookextract_spark.functions.text import collapse_ws_col, strip_col
 from bookextract_spark.operators.quality import fingerprint_col
@@ -890,3 +891,104 @@ def dedup_clusters(
         cluster.alias("cluster_id"),
         (cluster == F.col("doc_id")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# exact substring (duplicated k-token window spans)
+# --------------------------------------------------------------------------
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the ExactSubstr pass of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): find every maximal token span whose k-token
+    windows each occur MORE THAN ONCE in the corpus (across documents
+    or repeated inside one), i.e. the spans a training pipeline would
+    cut out rather than dropping whole near-dup documents.
+
+    Method (all JVM-side, no Python stage):
+
+    1. normalize (lower + collapse whitespace, the corpus-wide
+       canonicalization every dedup op here shares) and posexplode the
+       token array -> one slim (id, pos, token) row per token;
+    2. k-token sliding windows via an ordered per-doc window frame
+       (``rowsBetween(current, k-1)``), keyed by ``xxhash64`` of the
+       space-joined window so only a 64-bit key ever shuffles (the
+       suffix-array machinery of the paper collapses, on Spark, to a
+       hash-groupBy over window keys — same dup set, no global sort);
+    3. window keys seen >= 2 times corpus-wide mark their start
+       positions as duplicated; the count frame is slim (key, n) and
+       joins back by key — statically a shuffle join, AQE upgrades it
+       to broadcast whenever the dup-key set is small;
+    4. per doc, overlapping-or-touching duplicated windows merge into
+       maximal spans (gaps-and-islands: a new span starts when the
+       next duplicated window begins more than k tokens after the
+       previous one) -> ``[span_start, span_end)`` token offsets.
+
+    Scale: the corpus text tokenizes once; everything that shuffles is
+    (long, int, long) rows.  Hot windows (boilerplate phrases repeated
+    millions of times) stay one counter row in the groupBy thanks to
+    map-side partial aggregation — nothing collects per-occurrence
+    lists.  64-bit key collisions (~2^-64 per pair) could merge two
+    distinct windows; at that rate a false dup span is acceptable for
+    a curation cut (and the fixture oracle groups by the full window
+    string, so any collision would fail parity loudly).
+
+    Returns one row per maximal span: ``(doc_id, span_start,
+    span_end, n_windows)`` with token offsets 0-based, end exclusive,
+    ``n_windows`` = duplicated k-windows merged into the span.
+    """
+    if k < 1:
+        raise ValueError(f"window width k must be >= 1, got {k}")
+    norm = norm_text_col(F.col(text_col))
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), norm.alias("_n"))
+        .where(F.length("_n") > 0)
+        .select("doc_id", F.posexplode(F.split(F.col("_n"), " ")).alias("pos", "tok"))
+    )
+    # ordered frame = the k-token window starting at this row
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, k - 1)
+    )
+    win = F.collect_list("tok").over(frame)
+    wins = (
+        toks.select("doc_id", "pos", win.alias("_w"))
+        .where(F.size("_w") == k)
+        .select("doc_id", "pos", F.xxhash64(F.array_join("_w", " ")).alias("wkey"))
+    )
+    # one exchange feeds BOTH the dup-key count and the join-back side
+    # (repartition on the key + merge hints -> ReusedExchange, the same
+    # no-cache single-execution recipe as _banded_candidates): the
+    # tokenize/window/hash pipeline runs once, and SMJ over the slim
+    # (key, id, pos) shuffle is the honest corpus-scale shape — the
+    # dup-key frame grows with the corpus, so forcing a broadcast
+    # would only look right at test scale (AQE still upgrades small
+    # dup sets to broadcast at runtime).
+    wins = wins.repartition("wkey")
+    dup_keys = (
+        wins.groupBy("wkey").agg(F.count(F.lit(1)).alias("_n")).where(F.col("_n") >= 2)
+    )
+    dup_pos = (
+        wins.hint("merge")
+        .join(dup_keys.select("wkey").hint("merge"), "wkey")
+        .select("doc_id", "pos")
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(by_doc) > k, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_brk")
+    )
+    grp = dup_pos.select("doc_id", "pos", brk).select(
+        "doc_id", "pos", F.sum("_brk").over(by_doc).alias("_g")
+    )
+    return grp.groupBy("doc_id", "_g").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + k).cast("int").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    ).drop("_g")

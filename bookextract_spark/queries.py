@@ -968,6 +968,76 @@ FROM documents GROUP BY 1
 """
 
 
+# Planted passages for the substring-dedup oracle: the Spark query and
+# the SQL are BOTH generated from these constants (the lang_id /
+# pii_scrub pattern) so the two sides cannot drift.  P1/P2 are
+# cross-document duplicated passages (appended to every 7th / 13th
+# doc); P3 is appended TWICE to every 17th doc — a within-document
+# duplicate, which ExactSubstr counts the same way (corpus-wide
+# occurrences >= 2).  The fixture's organic exact-dup docs contribute
+# whole-document spans on top.
+_SUBSTR_K = 8
+_SUBSTR_P1 = "shared passage alpha one two three four five six seven eight nine ten"
+_SUBSTR_P2 = "another common boilerplate footer line with several tokens inside"
+_SUBSTR_P3 = "twice repeated phrase spans here now"
+
+
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022):
+    maximal spans whose k-token windows occur >= 2 times corpus-wide,
+    over documents with planted cross-doc and within-doc passages."""
+    from bookextract_spark.operators.dedup import substring_dup_spans
+
+    d = _load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _SUBSTR_P1)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" " + _SUBSTR_P2)).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0, F.lit(" " + _SUBSTR_P3 + " " + _SUBSTR_P3)
+        ).otherwise(F.lit("")),
+    )
+    return substring_dup_spans(d.select("doc_id", planted.alias("text")), k=_SUBSTR_K)
+
+
+# The oracle groups by the full window STRING where the engine groups
+# by xxhash64 of it — same dup set unless a 64-bit collision exists in
+# the fixture, which parity would catch loudly.
+SQL_SUBSTRING_DEDUP = rf"""
+WITH base AS (
+  SELECT doc_id,
+    coalesce(text,'')
+    || CASE WHEN doc_id % 7 = 0 THEN ' {_SUBSTR_P1}' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' {_SUBSTR_P2}' ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' {_SUBSTR_P3} {_SUBSTR_P3}' ELSE '' END AS x
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+    lower(regexp_replace(regexp_replace(x, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS nx
+  FROM base
+),
+toks AS (
+  SELECT doc_id, string_split(nx, ' ') AS t FROM norm WHERE length(nx) > 0
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ') AS w
+  FROM toks, unnest(range(1, len(t) - {_SUBSTR_K - 2})) AS u(i)
+),
+dupw AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+d AS (SELECT wins.doc_id, wins.pos FROM wins JOIN dupw USING (w)),
+m AS (SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {_SUBSTR_K}
+             THEN 1 ELSE 0 END AS brk
+      FROM d),
+g AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
+SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + {_SUBSTR_K} AS INTEGER) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM g GROUP BY doc_id, grp
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard similarity pairs (shingle equi-join)."""
     from bookextract_spark.operators.dedup import ngram_jaccard_pairs
@@ -3616,7 +3686,7 @@ FROM agg, tot
 #         late round 4 likewise swapped the new dedup_clusters into the
 #         head in place of s6_book_info (S6's parse keeps a head proof
 #         via s11_book_info's sink->source round trip).
-#   51-59: redundant-coverage queries (ops also proven earlier: T1/T13
+#   51-61: redundant-coverage queries (ops also proven earlier: T1/T13
 #          are stages of pipeline_extract's oracle, o8_merge_decisions'
 #          predicates drive o8_merge_extract, conv_dedup composes
 #          proven pieces, q1/q3 are generic warehouse demos,
@@ -3643,7 +3713,6 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "j3_resume": (q_j3_resume, _sql_j3),
     "pipeline_extract": (q_pipeline_extract, SQL_PIPELINE),
     "t2_clean_tts": (q_t2_clean_tts, SQL_T2),
-    "t9_filename": (q_t9_filename, SQL_T9),
     "t10_chapter_num": (q_t10_chapter_num, SQL_T10),
     "t11_word_count": (q_t11_word_count, SQL_T11),
     "t14_boilerplate": (q_t14_boilerplate, SQL_T14),
@@ -3666,6 +3735,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "repetition_signals": (q_repetition_signals, SQL_REPETITION),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    # substring_dedup promoted into the head in the seventh round-4
+    # session (newest-operator-gets-a-driver-row policy): ExactSubstr
+    # duplicated-span detection (Lee et al. 2022) — k-token window
+    # keys hash-grouped corpus-wide, dup windows merged per doc into
+    # maximal spans.  t9_filename was demoted to make room:
+    # sanitize_filename_col stays head-proven through o10_tts_render,
+    # whose filename column runs the very same function (a wrong
+    # sanitize changes that row's hashes).
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     # the xxhash64 scale paths carry real oracles: minhash via the
     # blocking-independent verified-pairs argument (see q_minhash_dedup
@@ -3743,6 +3821,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # fingerprint_col stays head-proven through curation_filter's
     # canonicalization window.
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    # t9_filename demoted here in the seventh round-4 session (swap
+    # with substring_dedup): T9 has green driver rows in r02 AND r03,
+    # and sanitize_filename_col stays head-proven through
+    # o10_tts_render's filename column (render.py:75).
+    "t9_filename": (q_t9_filename, SQL_T9),
 }
 
 # Cross-check twins: oracle-verified locally (test_oracle_parity runs

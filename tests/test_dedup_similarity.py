@@ -1049,3 +1049,94 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=2)
+
+
+# --------------------------------------------------------------------------
+# substring dedup (ExactSubstr duplicated-span detection)
+# --------------------------------------------------------------------------
+
+
+def _substring_spans_py(texts: dict, k: int) -> set:
+    """Pure-Python twin of substring_dup_spans: normalize, k-token
+    windows, corpus-wide count >= 2, merge windows whose starts are
+    <= k apart into maximal spans."""
+    import re as _re
+
+    wins = {}  # window string -> [(doc_id, pos), ...]
+    for did, text in texts.items():
+        norm = _re.sub(r"\s+", " ", (text or "").strip()).lower()
+        if not norm:
+            continue
+        toks = norm.split(" ")
+        for i in range(len(toks) - k + 1):
+            wins.setdefault(" ".join(toks[i : i + k]), []).append((did, i))
+    dup = {}
+    for w, occ in wins.items():
+        if len(occ) >= 2:
+            for did, pos in occ:
+                dup.setdefault(did, []).append(pos)
+    spans = set()
+    for did, poss in dup.items():
+        poss.sort()
+        start = prev = poss[0]
+        n = 1
+        for p in poss[1:]:
+            if p - prev > k:
+                spans.add((did, start, prev + k, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        spans.add((did, start, prev + k, n))
+    return spans
+
+
+def test_substring_dup_spans_matches_python_twin(spark):
+    from bookextract_spark.operators.dedup import substring_dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: "unique words here first " + shared + " trailing bits one",
+        1: "other prefix tokens go " + shared + " and different tail",
+        # within-doc duplicate (same passage twice in ONE doc)
+        2: "intro " + shared + " middle filler words " + shared + " outro",
+        3: "no duplicated content in this document at all whatsoever",
+        4: "short doc",  # fewer than k tokens -> no windows
+        5: None,  # null text -> normalized empty, dropped
+        6: "",  # empty -> dropped
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    for k in (4, 8):
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in substring_dup_spans(df, k=k).collect()
+        }
+        assert got == _substring_spans_py(texts, k), f"k={k}"
+        assert any(d == 2 for d, *_ in got)  # the within-doc dup was found
+        assert not any(d in (3, 4, 5, 6) for d, *_ in got)
+
+
+def test_substring_dup_spans_adjacent_windows_merge(spark):
+    from bookextract_spark.operators.dedup import substring_dup_spans
+
+    # two docs sharing one long passage -> ONE maximal span each, whose
+    # width is the full passage and whose n_windows is len - k + 1
+    passage = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(0, "x0 y0 " + passage), (1, "a1 b1 c1 " + passage)],
+        "doc_id long, text string",
+    )
+    k = 8
+    rows = substring_dup_spans(df, k=k).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(rows) == 2
+    assert by_doc[0].span_start == 2 and by_doc[0].span_end == 22
+    assert by_doc[1].span_start == 3 and by_doc[1].span_end == 23
+    assert by_doc[0].n_windows == 20 - k + 1
+
+
+def test_substring_dup_spans_k_validation(spark):
+    from bookextract_spark.operators.dedup import substring_dup_spans
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        substring_dup_spans(df, k=0)

@@ -53,6 +53,14 @@ BUDGETS = {
     "train_val_split": (0, 0, 0, 1),
     "seq_packing": (1, 0, 0, 1),
     "simhash": (1, 0, 0, 1),
+    # substring_dedup (ExactSubstr spans): the static plan prints the
+    # tokenize->window->hash subtree once per join side (2 scans, the
+    # doc_id window + REPARTITION_BY_COL wkey exchange pair each = 4)
+    # plus the final span-merge doc_id window = 5; at runtime the two
+    # identical wkey exchanges dedupe (ReusedExchange, probed) so the
+    # pipeline EXECUTES once.  No broadcast is forced: the dup-key
+    # frame grows with the corpus (AQE upgrades small ones itself).
+    "substring_dedup": (5, 0, 0, 2),
     # hamming-neighbor search (round-4 exchange-reuse rework): the
     # block frame is repartitioned on (blk_idx, blk) and the self-join
     # merge-hinted, so both sides consume ONE exchange at runtime
