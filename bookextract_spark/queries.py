@@ -3671,6 +3671,112 @@ FROM agg, tot
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming incremental ingest (streaming/incremental.py)
+# --------------------------------------------------------------------------
+
+
+def q_streaming_extract(spark, sf_dir):
+    """Structured Streaming incremental ingest driven end to end
+    (beyond-reference: the reference is strictly batch — this is the
+    growing-corpus path of the training-data mandate).  Scenario over
+    the derived transcripts, all bounded ``Trigger.AvailableNow`` runs:
+
+    * drop 1 (convs c0..c{N/2-1}, whole conversations per file) lands;
+      run 1 drains it through ``extract_turns`` via ``foreachBatch``
+      into dynamic ``ingest_batch`` partitions;
+    * drop 2 (the remaining convs) lands; run 2 processes ONLY the new
+      files (the streaming checkpoint's file log);
+    * run 3 sees nothing new and is a 0-batch no-op.
+
+    Output read back per conversation: turn count + md5 over the
+    ordered (turn_idx, extracted_text) pairs — so a streamed corpus
+    must equal the batch pipeline BYTE-exactly, which the oracle checks
+    by recomputing the same digest from the full-pipeline SQL — plus
+    per-run observed row/batch counts predicted from the protocol
+    (extraction is row-preserving, so each run's Observation count is
+    its drop's turn count; replay/convergence is pytest-pinned in
+    tests/test_streaming.py)."""
+    import shutil
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from bookextract_spark.streaming.incremental import (
+        stream_extract,
+        write_conversation_drop,
+    )
+
+    base = f"/root/repo/.scratch/stream_{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(base, ignore_errors=True)
+    t = _derived_transcripts(spark, sf_dir).withColumnRenamed("content", "text")
+    head = [f"c{i}" for i in range(N_CONVS // 2)]
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("text", StringType()),
+        ]
+    )
+    write_conversation_drop(t.where(F.col("conv_id").isin(head)), in_dir)
+    r1 = stream_extract(spark, in_dir, out_dir, schema=schema)
+    write_conversation_drop(t.where(~F.col("conv_id").isin(head)), in_dir)
+    r2 = stream_extract(spark, in_dir, out_dir, schema=schema)
+    r3 = stream_extract(spark, in_dir, out_dir, schema=schema)
+
+    out = spark.read.parquet(f"{out_dir}/turns")
+    agg = out.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "extracted_text"))
+                    ),
+                    lambda s: F.concat(
+                        s["turn_idx"].cast("string"), F.lit(":"), s["extracted_text"]
+                    ),
+                ),
+                "|",
+            )
+        ).alias("turns_md5"),
+    )
+    return agg.select(
+        "*",
+        F.lit(r1["rows_out"]).cast("long").alias("rows_run1"),
+        F.lit(r2["rows_out"]).cast("long").alias("rows_run2"),
+        F.lit(r3["rows_out"]).cast("long").alias("rows_run3"),
+        F.lit(r1["batches"]).cast("int").alias("batches_run1"),
+        F.lit(r2["batches"]).cast("int").alias("batches_run2"),
+        F.lit(r3["batches"]).cast("int").alias("batches_run3"),
+    )
+
+
+SQL_STREAMING = f"""
+WITH pipe AS ({SQL_PIPELINE}),
+agg AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns,
+    md5(string_agg(CAST(turn_idx AS VARCHAR) || ':' || extracted_text, '|'
+        ORDER BY turn_idx)) AS turns_md5
+  FROM pipe GROUP BY conv_id
+),
+runs AS (
+  SELECT
+    sum(CASE WHEN CAST(substring(conv_id, 2) AS INT) < {N_CONVS // 2}
+             THEN 1 ELSE 0 END)::BIGINT AS rows_run1,
+    sum(CASE WHEN CAST(substring(conv_id, 2) AS INT) >= {N_CONVS // 2}
+             THEN 1 ELSE 0 END)::BIGINT AS rows_run2
+  FROM pipe
+)
+SELECT conv_id, n_turns, turns_md5, rows_run1, rows_run2,
+  CAST(0 AS BIGINT) AS rows_run3,
+  CAST(1 AS INT) AS batches_run1,
+  CAST(1 AS INT) AS batches_run2,
+  CAST(0 AS INT) AS batches_run3
+FROM agg, runs
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3686,14 +3792,15 @@ FROM agg, tot
 #         late round 4 likewise swapped the new dedup_clusters into the
 #         head in place of s6_book_info (S6's parse keeps a head proof
 #         via s11_book_info's sink->source round trip).
-#   51-61: redundant-coverage queries (ops also proven earlier: T1/T13
+#   51-62: redundant-coverage queries (ops also proven earlier: T1/T13
 #          are stages of pipeline_extract's oracle, o8_merge_decisions'
 #          predicates drive o8_merge_extract, conv_dedup composes
 #          proven pieces, q1/q3 are generic warehouse demos,
 #          o15_chapter_titles' edge is green in r03, s6_book_info's
 #          source parse is driven by s11_book_info, s5_quarantine is
 #          green in r02+r03 and the quarantine pattern stays
-#          head-proven by s7_quarantine) — if the driver truncates,
+#          head-proven by s7_quarantine, t11's word_count_col is summed
+#          by a2_book_totals) — if the driver truncates,
 #          ONLY these lose rows and no operator loses its proof.
 # Twin variants whose only job is cross-checking a default-hash path
 # (md5 twins of minhash/simhash, the sha-fake image plumbing twin, the
@@ -3714,7 +3821,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pipeline_extract": (q_pipeline_extract, SQL_PIPELINE),
     "t2_clean_tts": (q_t2_clean_tts, SQL_T2),
     "t10_chapter_num": (q_t10_chapter_num, SQL_T10),
-    "t11_word_count": (q_t11_word_count, SQL_T11),
+    # streaming_extract promoted into the head in the eighth round-4
+    # session (newest-operator-gets-a-driver-row policy): Structured
+    # Streaming incremental ingest — two availableNow drains + a no-op
+    # re-run, streamed output md5-equal to the batch pipeline per conv.
+    # t11_word_count was demoted to make room: word_count_col stays
+    # head-proven through a2_book_totals, whose per-conv totals sum the
+    # very same column (a wrong word count fails that row).
+    "streaming_extract": (q_streaming_extract, SQL_STREAMING),
     "t14_boilerplate": (q_t14_boilerplate, SQL_T14),
     "a5_metadata": (q_a5_metadata, SQL_A5),
     "o8_merge_extract": (q_o8_merge_extract, SQL_O8),
@@ -3826,6 +3940,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # and sanitize_filename_col stays head-proven through
     # o10_tts_render's filename column (render.py:75).
     "t9_filename": (q_t9_filename, SQL_T9),
+    # t11_word_count demoted here in the eighth round-4 session (swap
+    # with streaming_extract): T11 has green driver rows in r02 AND
+    # r03, and word_count_col stays head-proven through
+    # a2_book_totals' per-conversation word totals.
+    "t11_word_count": (q_t11_word_count, SQL_T11),
 }
 
 # Cross-check twins: oracle-verified locally (test_oracle_parity runs

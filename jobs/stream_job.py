@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for streaming incremental extraction.
+
+Bounded drain of everything that arrived since the last run (cron /
+orchestrator mode — the default)::
+
+    spark-submit --py-files dist/bookextract_spark.zip jobs/stream_job.py \
+        --input /data/transcript_drops --output /data/extracted
+
+or a continuously running micro-batch service::
+
+    ... jobs/stream_job.py --input ... --output ... \
+        --processing-time "1 minute" [--max-files-per-trigger 512]
+
+Both modes share one streaming checkpoint under ``<output>/`` — switch
+freely between them; each run resumes from the recorded file offsets.
+Ingest contract and exactly-once argument:
+``bookextract_spark/streaming/incremental.py`` module docstring (whole
+conversations per file; per-batch dynamic ``ingest_batch`` partition
+overwrite).  On Iceberg the file source becomes
+``readStream.format("iceberg")`` with the same downstream plan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="directory transcript drops land in")
+    p.add_argument("--output", required=True, help="output base dir (turns/ + _stream_checkpoint/)")
+    p.add_argument(
+        "--processing-time",
+        default=None,
+        help="run continuously with this micro-batch interval (e.g. '1 minute'); "
+        "default is one bounded availableNow drain",
+    )
+    p.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="bound per-batch work (whole-conversation files per micro-batch)",
+    )
+    p.add_argument(
+        "--salt-bucket-size",
+        type=lambda v: v if v == "auto" else int(v),
+        default=None,
+        help="salted sub-windows for huge conversations (see jobs/extract_job.py)",
+    )
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--unicode-ws", action="store_true")
+    args = p.parse_args(argv)
+
+    from bookextract_spark.session import get_spark
+    from bookextract_spark.streaming.incremental import stream_extract
+
+    spark = get_spark(
+        app_name="bookextract-stream",
+        master="",
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    result = stream_extract(
+        spark,
+        args.input,
+        args.output,
+        processing_time=args.processing_time,
+        max_files_per_trigger=args.max_files_per_trigger,
+        salt_bucket_size=args.salt_bucket_size,
+        unicode_ws=args.unicode_ws,
+    )
+    if args.processing_time is not None:
+        result["query"].awaitTermination()
+        return 0
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -172,6 +172,13 @@ BUDGETS = {
     # stage plans and executes once; the groupBy(doc_id) is the only
     # exchange.  Quarantined payloads become rows, not task failures.
     "s7_quarantine": (1, 0, 2, 1),
+    # streaming_extract's callable executes the two-drop availableNow
+    # ingest scenario before returning the read-back frame — the
+    # pinned plan is the per-conv digest over the output dir (one
+    # conv-keyed exchange, one scan of turns/).  The per-batch
+    # EXECUTION plan is extract_turns' own (pipeline_extract's budget);
+    # streaming adds file-log bookkeeping, no new shuffle.
+    "streaming_extract": (1, 0, 0, 1),
     # j3_resume's callable executes the crash/resume scenario before
     # returning the manifest frame — the pinned plan is the final
     # manifest read (2 slim bucket exchanges, 1 scan of the run dir).

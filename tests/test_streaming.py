@@ -1,0 +1,205 @@
+"""Structured Streaming incremental-ingest tests (streaming/incremental.py).
+
+Beyond-reference surface (the reference is strictly batch — SURVEY §2);
+every test runs bounded ``Trigger.AvailableNow`` passes, so nothing here
+waits on wall-clock triggers and the suite stays deterministic:
+
+* incremental extraction == the batch pipeline, drop by drop;
+* a re-run with no new files is a 0-batch no-op;
+* a replayed micro-batch (streaming commit log truncated, the WAL
+  crash-window) converges instead of duplicating — the dynamic
+  partition-overwrite argument at micro-batch granularity;
+* watermark semantics: windows finalize in append mode once the
+  watermark passes, and a late row below the restored watermark is
+  DROPPED across runs (state in the streaming checkpoint);
+* ``applyInPandasWithState`` running totals survive a restart (state
+  restored from the checkpoint, not recomputed).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bookextract_spark.streaming.incremental import (
+    run_conversation_progress_once,
+    run_turn_rate_once,
+    stream_extract,
+    write_conversation_drop,
+)
+
+SCRATCH = os.path.join(os.path.dirname(__file__), "..", ".scratch", "streaming_tests")
+
+
+@pytest.fixture()
+def scratch(request):
+    d = os.path.abspath(os.path.join(SCRATCH, request.node.name))
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drops(transcripts):
+    """Two disjoint whole-conversation drops covering the fixture."""
+    convs = [r.conv_id for r in transcripts.select("conv_id").distinct().collect()]
+    first = sorted(convs)[: len(convs) // 2]
+    return (
+        transcripts.where(F.col("conv_id").isin(first)),
+        transcripts.where(~F.col("conv_id").isin(first)),
+    )
+
+
+def _read_turns(spark, out_dir):
+    return spark.read.parquet(os.path.join(out_dir, "turns")).select(
+        "conv_id", "turn_idx", "extracted_text"
+    )
+
+
+def _assert_df_equal(got, want):
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_incremental_extract_matches_batch(spark, transcripts, scratch):
+    from bookextract_spark.pipeline import extract_turns
+
+    d1, d2 = _drops(transcripts)
+    in_dir, out_dir = os.path.join(scratch, "in"), os.path.join(scratch, "out")
+
+    write_conversation_drop(d1, in_dir)
+    r1 = stream_extract(spark, in_dir, out_dir)
+    assert r1["batches"] >= 1 and r1["rows_out"] == d1.count()
+    _assert_df_equal(
+        _read_turns(spark, out_dir),
+        extract_turns(d1).select("conv_id", "turn_idx", "extracted_text"),
+    )
+
+    # drop 2: ONLY the new files are processed, and the union equals
+    # the batch pipeline over the full input
+    write_conversation_drop(d2, in_dir)
+    r2 = stream_extract(spark, in_dir, out_dir)
+    assert r2["rows_out"] == d2.count()
+    _assert_df_equal(
+        _read_turns(spark, out_dir),
+        extract_turns(transcripts).select("conv_id", "turn_idx", "extracted_text"),
+    )
+
+    # nothing new -> a 0-batch no-op, output untouched
+    r3 = stream_extract(spark, in_dir, out_dir)
+    assert r3 == {"batches": 0, "rows_out": 0, "convs_out": 0}
+    assert _read_turns(spark, out_dir).count() == transcripts.count()
+
+
+def test_replayed_batch_converges(spark, transcripts, scratch):
+    """Truncating the streaming commit log after a completed batch
+    simulates the crash window between the sink write and the WAL
+    commit: the engine replays the batch under its ORIGINAL id, and the
+    dynamic ingest_batch partition overwrite makes the replay replace —
+    not duplicate — its own output."""
+    from bookextract_spark.pipeline import extract_turns
+
+    d1, d2 = _drops(transcripts)
+    in_dir, out_dir = os.path.join(scratch, "in"), os.path.join(scratch, "out")
+    write_conversation_drop(d1, in_dir)
+    stream_extract(spark, in_dir, out_dir)
+    write_conversation_drop(d2, in_dir)
+    r2 = stream_extract(spark, in_dir, out_dir)
+    assert r2["batches"] == 1
+
+    # drop batch 1's commit record -> next run believes batch 1 never
+    # finished and replays it with the same file set and batch id
+    commit = os.path.join(out_dir, "_stream_checkpoint", "commits", "1")
+    assert os.path.exists(commit)
+    os.remove(commit)
+    # the local fs keeps a checksum twin; a real HDFS/S3 crash loses both
+    crc = os.path.join(out_dir, "_stream_checkpoint", "commits", ".1.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    replay = stream_extract(spark, in_dir, out_dir)
+    assert replay["batches"] == 1 and replay["rows_out"] == d2.count()
+    _assert_df_equal(
+        _read_turns(spark, out_dir),
+        extract_turns(transcripts).select("conv_id", "turn_idx", "extracted_text"),
+    )
+
+
+def _ts_rows(spark, rows):
+    """(conv_id, turn_idx, role, text, tool, ts) rows with explicit
+    event times, via the canonical schema."""
+    from bookextract_spark.schemas import TRANSCRIPTS_SCHEMA
+
+    return spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
+
+
+def _t(minute):
+    return datetime.datetime(2026, 1, 1, 10, minute)
+
+
+def test_watermark_drops_late_rows_across_runs(spark, scratch):
+    in_dir, ckpt = os.path.join(scratch, "in"), os.path.join(scratch, "ckpt")
+
+    # run 1: two 10:00-hour turns + one 13:00 turn; watermark after the
+    # run = 13:00 - 2h = 11:00, so the 10:00 window finalizes (append
+    # emits it) and anything older than 11:00 is now late
+    run1 = [
+        ("c1", 0, "user", "hello world", None, _t(0)),
+        ("c1", 1, "agent", "hi", None, _t(30)),
+        ("c2", 0, "user", "late probe", None, datetime.datetime(2026, 1, 1, 13, 0)),
+    ]
+    write_conversation_drop(_ts_rows(spark, run1), in_dir)
+    rows1 = run_turn_rate_once(spark, in_dir, ckpt)
+
+    # run 2: one row INSIDE the already-finalized 10:00 window (below
+    # the restored watermark -> dropped) and one fresh 16:00 row that
+    # pushes the watermark past 13:00 so THAT window finalizes
+    run2 = [
+        ("c3", 0, "user", "too late", None, _t(45)),
+        ("c4", 0, "user", "fresh", None, datetime.datetime(2026, 1, 1, 16, 0)),
+    ]
+    write_conversation_drop(_ts_rows(spark, run2), in_dir)
+    rows2 = run_turn_rate_once(spark, in_dir, ckpt)
+
+    emitted = {(r.win_start, r.role): r.n_turns for r in rows1 + rows2}
+    # the 10:00 user count stays 1: run 2's 10:45 row was dropped, and
+    # a finalized window is never re-emitted in append mode
+    assert emitted[(_t(0), "user")] == 1
+    assert emitted[(_t(0), "agent")] == 1
+    assert emitted[(datetime.datetime(2026, 1, 1, 13, 0), "user")] == 1
+    # the 16:00 row is above the final watermark -> not finalized yet
+    assert (datetime.datetime(2026, 1, 1, 16, 0), "user") not in emitted
+
+
+def test_stateful_progress_state_survives_restart(spark, transcripts, scratch):
+    in_dir, ckpt = os.path.join(scratch, "in"), os.path.join(scratch, "ckpt")
+    d1, d2 = _drops(transcripts)
+
+    write_conversation_drop(d1, in_dir)
+    p1 = run_conversation_progress_once(spark, in_dir, ckpt)
+
+    write_conversation_drop(d2, in_dir)
+    p2 = run_conversation_progress_once(spark, in_dir, ckpt)
+
+    # run 2 re-emits nothing for run-1-only convs (update mode), and
+    # the merged view must equal the batch ground truth — which can
+    # only happen if run 1's state was RESTORED from the checkpoint
+    merged = {**p1, **p2}
+    truth = {
+        r.conv_id: (r.n_turns, r.n_words, r.max_turn_idx)
+        for r in transcripts.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(
+                F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+                - F.when(F.trim(F.coalesce(F.col("text"), F.lit(""))) == "", 1).otherwise(0)
+            ).alias("n_words"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(truth)
+    for conv, got in merged.items():
+        assert got == truth[conv], (conv, got, truth[conv])
