@@ -11,6 +11,7 @@ pipeline needs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -343,4 +344,212 @@ def repetition_signals(docs, id_col: str = "doc_id", text_col: str = "text"):
         frac_dup("_lines").alias("dup_line_frac"),
         frac_dup("_paras").alias("dup_para_frac"),
         top_frac.alias("top_bigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+# lowercased letter runs of 3+ chars; same pattern string feeds the
+# DuckDB oracle (queries.SQL_TFIDF) so the tokenizations cannot drift
+TFIDF_WORD_PATTERN = "[a-z]{3,}"
+TFIDF_TOP_K = 5
+
+
+def tfidf_keywords(docs, id_col: str = "doc_id", text_col: str = "text", k: int = TFIDF_TOP_K):
+    """Corpus-level TF-IDF top-k keyword extraction per document — the
+    classic content-signature / topic-proxy pass of a curation pipeline
+    (and the interpretable cousin of the embedding similarity ops in
+    :mod:`operators.similarity`).
+
+    ``score = tf * (ln((N+1)/(df+1)) + 1)`` with the smoothed idf
+    ROUNDED to 6 decimals the moment it is computed: both engines (this
+    one and the DuckDB oracle) then hold the bit-identical double, and
+    every downstream op — the tf*idf product, the rank comparison — is
+    exact IEEE arithmetic on identical inputs, so the top-k sets cannot
+    drift across engines.  Rank ties break on the word itself.
+
+    Scale shape: tokenization is map-side (regexp_extract_all stays in
+    codegen); per-doc term counts are one (id, word)-keyed exchange
+    with map-side partial combine; document frequencies aggregate FROM
+    that frame (a second, vocabulary-sized exchange of (word, df)
+    longs); the idf join-back carries (id, word, tf) rows — no document
+    text — and is NOT broadcast-forced, since vocabulary grows with the
+    corpus (AQE upgrades it at runtime when the vocab side is small);
+    the top-k window repartitions by document id.  No stage ever
+    shuffles document text, and nothing is quadratic in corpus size.
+    """
+    x = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.regexp_extract_all(x, F.lit(TFIDF_WORD_PATTERN), F.lit(0))).alias(
+            "word"
+        ),
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # corpus document count: a driver-side scalar on the build side of
+    # the idf expression (the broadcast-build-side pattern — same as
+    # the IVF centroid frames, plan-audit precedent)
+    n_docs = docs.select(id_col).distinct().count()
+    idf = dfreq.withColumn(
+        "idf",
+        F.round(
+            F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double"))
+            + F.lit(1.0),
+            6,
+        ),
+    )
+    scored = tf.join(idf, "word").withColumn(
+        "score", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            "tf",
+            "df",
+            "idf",
+            "score",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Character-bigram LM perplexity (corpus-trained quality signal)
+# --------------------------------------------------------------------------
+
+# 27-symbol alphabet: a-z + space; 729 possible bigrams.  The SAME
+# normalization regex feeds the DuckDB oracle.
+LM_NORM_PATTERN = "[^a-z]+"
+LM_ALPHABET_SIZE = 27
+LM_N_BIGRAMS = LM_ALPHABET_SIZE * LM_ALPHABET_SIZE
+
+
+def lm_norm_col(col: Column) -> Column:
+    """Normalize to the 27-symbol LM alphabet: lowercase, every run of
+    non-letters becomes one space, ends trimmed."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), LM_NORM_PATTERN, " ")
+    )
+
+
+def _sym_codes(norm: str):
+    """numpy int codes for a normalized string: a..z -> 0..25, space -> 26."""
+    import numpy as np
+
+    b = np.frombuffer(norm.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    return np.where(b == 32, 26, b - 97)
+
+
+def bigram_count_vector(norm: str):
+    """Dense 729-long bigram count vector of a normalized string — the
+    pure-Python/numpy twin the Arrow UDF and the tests share."""
+    import numpy as np
+
+    if len(norm) < 2:
+        return np.zeros(LM_N_BIGRAMS, dtype=np.int64)
+    c = _sym_codes(norm)
+    idx = c[:-1] * LM_ALPHABET_SIZE + c[1:]
+    return np.bincount(idx, minlength=LM_N_BIGRAMS).astype(np.int64)
+
+
+def log_prob_micro_table(totals):
+    """Integer micro-log-prob table from corpus bigram totals (length
+    729): ``micro[i] = halfaway(ln((bg[i]+1)/(uni[i//27]+27)) * 1e6)``
+    with add-one smoothing, the unigram count derived as the sum of
+    bigrams sharing the prefix symbol.  ``ln p`` is always negative
+    (c+1 <= u+1 < u+27), and half-away-from-zero is written as
+    ``ceil(x*1e6 - 0.5)`` so the DuckDB oracle can spell the identical
+    formula — no engine-specific rounding mode in play."""
+    import math
+
+    import numpy as np
+
+    bg = np.asarray(totals, dtype=np.int64)
+    uni = bg.reshape(LM_ALPHABET_SIZE, LM_ALPHABET_SIZE).sum(axis=1)
+    out = np.empty(LM_N_BIGRAMS, dtype=np.int64)
+    for i in range(LM_N_BIGRAMS):
+        p = (int(bg[i]) + 1.0) / (int(uni[i // LM_ALPHABET_SIZE]) + float(LM_ALPHABET_SIZE))
+        out[i] = math.ceil(math.log(p) * 1_000_000.0 - 0.5)
+    return out
+
+
+def lm_perplexity(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-trained character-bigram LM perplexity per document — the
+    CCNet/Gopher-style fluency gate (a document whose character
+    transitions are unlike the corpus's is OCR noise, a table dump, or
+    another language).  Self-trained on the input corpus: no external
+    model, fully deterministic.
+
+    Fixed-point determinism: per-bigram log-probs are frozen as INTEGER
+    micro-units (1e-6) the moment the corpus totals are known, so each
+    document's ``sum_micro`` is an exact BIGINT — order-independent,
+    overflow-safe (|micro| < 2^23, corpus bigrams < 2^40) and
+    hash-comparable with no float tolerance.  Only the final
+    ``avg_logp``/``perplexity`` touch doubles, computed from identical
+    integer inputs in both engines.
+
+    Scale shape: two Arrow stages over the corpus (count vectors, then
+    the 729-dot-product score) — both pure map; the corpus totals are a
+    posexplode + groupBy(pos) whose map-side partial combine ships at
+    most 729 longs per partition; the collected 729-row table is the
+    broadcast-build-side pattern (IVF precedent).  Nothing doc-keyed
+    ever shuffles; the totals pass scans the corpus once and the score
+    pass once more (at production scale the count vectors would be
+    checkpointed like the dedup signature table).
+    """
+    @F.pandas_udf("array<long>")
+    def counts_udf(norm: pd.Series) -> pd.Series:
+        return norm.map(lambda s: bigram_count_vector(s).tolist())
+
+    normed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lm_norm_col(F.col(text_col)).alias("_norm"),
+    ).select(
+        "doc_id",
+        F.greatest(F.length("_norm") - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        counts_udf(F.col("_norm")).alias("_counts"),
+    )
+
+    totals_rows = (
+        normed.select(F.posexplode("_counts").alias("pos", "c"))
+        .groupBy("pos")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    totals = [0] * LM_N_BIGRAMS
+    for r in totals_rows:
+        totals[r.pos] = r.c
+    micro = log_prob_micro_table(totals)
+
+    @F.pandas_udf("long")
+    def score_udf(counts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        table = micro  # closure; ships once per executor via the UDF
+
+        return counts.map(
+            lambda v: int(np.dot(np.asarray(v, dtype=np.int64), table))
+        )
+
+    scored = normed.select(
+        "doc_id",
+        "n_bigrams",
+        score_udf(F.col("_counts")).alias("_sum"),
+    )
+    avg = F.round(F.col("_sum") / F.lit(1_000_000.0) / F.col("n_bigrams"), 6)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.when(F.col("n_bigrams") > 0, F.col("_sum")).alias("sum_micro"),
+        F.when(F.col("n_bigrams") > 0, avg).alias("avg_logp"),
+        F.when(F.col("n_bigrams") > 0, F.round(F.exp(-avg), 6)).alias("perplexity"),
     )

@@ -1140,3 +1140,157 @@ def test_substring_dup_spans_k_validation(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k must be >= 1"):
         substring_dup_spans(df, k=0)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keywords + corpus-trained LM perplexity (round-4 session 8)
+# --------------------------------------------------------------------------
+
+
+def test_tfidf_keywords_hand_example(spark):
+    """Hand-computable corpus: 'rare' appears in one doc (high idf),
+    'common' in all three (low idf); within doc 0 the repeated rare
+    word must outrank the repeated common word, and ties break on the
+    word."""
+    import math
+
+    from bookextract_spark.operators.quality import tfidf_keywords
+
+    rows = [
+        (0, "rare rare common common common zebra"),
+        (1, "common words only here common"),
+        (2, "common filler text body words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rank): (r.word, r.tf, r.df, r.idf, r.score)
+        for r in tfidf_keywords(docs).collect()
+    }
+    idf = lambda df_: round(math.log(4.0 / (df_ + 1)) + 1, 6)
+    # doc 0: rare (tf=2, idf=ln2+1) = 3.386 beats common (tf=3, idf=1)
+    # = 3.0 beats zebra (tf=1, idf=ln2+1) = 1.693
+    assert got[(0, 1)][0] == "rare"
+    assert got[(0, 1)][3] == idf(1)
+    assert got[(0, 1)][4] == round(2 * idf(1), 6)
+    assert got[(0, 2)][0] == "common"
+    assert got[(0, 2)][4] == round(3 * idf(3), 6)
+    assert got[(0, 3)][0] == "zebra"
+    assert got[(0, 3)][4] == idf(1)
+
+
+def test_tfidf_keywords_ranking_and_ties(spark):
+    import math
+
+    from bookextract_spark.operators.quality import tfidf_keywords
+
+    rows = [
+        (0, "aaa bbb"),  # identical tf/df -> tie broken alphabetically
+        (1, "aaa bbb"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rank): r.word for r in tfidf_keywords(docs).collect()
+    }
+    assert got[(0, 1)] == "aaa" and got[(0, 2)] == "bbb"
+    assert got[(1, 1)] == "aaa" and got[(1, 2)] == "bbb"
+
+
+def test_tfidf_short_and_empty_docs(spark):
+    from bookextract_spark.operators.quality import tfidf_keywords
+
+    rows = [(0, None), (1, ""), (2, "ab xy"), (3, "longword here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(docs).collect()
+    # docs 0-2 have no >=3-letter token -> absent; doc 3 has two
+    assert {r.doc_id for r in out} == {3}
+    assert len(out) == 2
+
+
+def test_bigram_count_vector_twin():
+    import numpy as np
+
+    from bookextract_spark.operators.quality import (
+        LM_N_BIGRAMS,
+        bigram_count_vector,
+    )
+
+    v = bigram_count_vector("ab a")
+    # bigrams: 'ab', 'b ', ' a'
+    assert v.sum() == 3
+    assert v[0 * 27 + 1] == 1  # 'ab'
+    assert v[1 * 27 + 26] == 1  # 'b '
+    assert v[26 * 27 + 0] == 1  # ' a'
+    assert bigram_count_vector("").sum() == 0
+    assert bigram_count_vector("x").sum() == 0
+    assert len(v) == LM_N_BIGRAMS
+
+
+def test_log_prob_micro_table_rounding():
+    """The micro table must use the shared ceil(x*1e6 - 0.5) half-away
+    formula, and probabilities must be proper (ln p < 0)."""
+    import math
+
+    import numpy as np
+
+    from bookextract_spark.operators.quality import (
+        LM_ALPHABET_SIZE,
+        bigram_count_vector,
+        log_prob_micro_table,
+    )
+
+    totals = bigram_count_vector("the cat sat on the mat")
+    micro = log_prob_micro_table(totals)
+    assert (micro < 0).all()
+    i = 19 * 27 + 7  # 'th'
+    uni = totals.reshape(27, 27).sum(axis=1)
+    p = (totals[i] + 1.0) / (uni[19] + 27.0)
+    assert micro[i] == math.ceil(math.log(p) * 1e6 - 0.5)
+
+
+def test_lm_perplexity_hand_corpus(spark):
+    """Tiny corpus recomputed end-to-end in pure Python."""
+    import math
+
+    import numpy as np
+
+    from bookextract_spark.operators.quality import (
+        bigram_count_vector,
+        lm_perplexity,
+        log_prob_micro_table,
+    )
+
+    texts = ["the cat", "the hat!", "", "x"]
+    norms = ["the cat", "the hat", "", "x"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    vecs = [bigram_count_vector(n) for n in norms]
+    totals = np.sum(vecs, axis=0)
+    micro = log_prob_micro_table(totals)
+    got = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    for i, n in enumerate(norms):
+        nb = max(len(n) - 1, 0)
+        assert got[i].n_bigrams == nb
+        if nb == 0:
+            assert got[i].sum_micro is None
+            assert got[i].perplexity is None
+        else:
+            want_sum = int(np.dot(vecs[i], micro))
+            assert got[i].sum_micro == want_sum
+            avg = round(want_sum / 1e6 / nb, 6)
+            assert got[i].avg_logp == avg
+            assert got[i].perplexity == round(math.exp(-avg), 6)
+            # proper perplexity: at least 1
+            assert got[i].perplexity >= 1.0
+
+
+def test_lm_perplexity_flags_outlier(spark):
+    """A document with corpus-alien character transitions scores higher
+    perplexity than the fluent majority — the signal's whole point."""
+    from bookextract_spark.operators.quality import lm_perplexity
+
+    fluent = "the quick brown fox jumps over the lazy dog and then sleeps"
+    rows = [(i, fluent) for i in range(20)] + [(99, "zqxj wvkz qzzx jxqw zzqv")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.perplexity for r in lm_perplexity(docs).collect()}
+    assert got[99] > max(v for k, v in got.items() if k != 99) * 2

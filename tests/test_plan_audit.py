@@ -172,6 +172,19 @@ BUDGETS = {
     # stage plans and executes once; the groupBy(doc_id) is the only
     # exchange.  Quarantined payloads become rows, not task failures.
     "s7_quarantine": (1, 0, 2, 1),
+    # lm_perplexity: the corpus-totals pass runs (and collects 729
+    # longs) during construction — broadcast-build-side pattern, IVF
+    # precedent; the pinned plan is the score pass: one fused Arrow
+    # stage (count-vector UDF feeding the dot-product UDF), pure map,
+    # zero exchanges.
+    "lm_perplexity": (0, 0, 1, 1),
+    # tfidf_keywords: term counts (doc,word), vocab df agg, the idf
+    # join-back, and the per-doc top-k window — four slim exchanges,
+    # none carrying document text; the idf side broadcasts at this
+    # scale (it grows with vocabulary, not corpus, and is never
+    # hint-forced).  Two scans: tf and df derive from one read that
+    # appears on both sides of the join.
+    "tfidf_keywords": (4, 1, 0, 2),
     # streaming_extract's callable executes the two-drop availableNow
     # ingest scenario before returning the read-back frame — the
     # pinned plan is the per-conv digest over the output dir (one
