@@ -391,8 +391,11 @@ def tfidf_keywords(docs, id_col: str = "doc_id", text_col: str = "text", k: int 
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # corpus document count: a driver-side scalar on the build side of
     # the idf expression (the broadcast-build-side pattern — same as
-    # the IVF centroid frames, plan-audit precedent)
-    n_docs = docs.select(id_col).distinct().count()
+    # the IVF centroid frames, plan-audit precedent).  ROW count, not
+    # distinct ids — the oracle's count(*) and this must agree even on
+    # an input that violates the unique-doc_id contract, and the
+    # distinct would add a needless exchange.
+    n_docs = docs.count()
     idf = dfreq.withColumn(
         "idf",
         F.round(
@@ -497,14 +500,17 @@ def lm_perplexity(docs, id_col: str = "doc_id", text_col: str = "text"):
     ``avg_logp``/``perplexity`` touch doubles, computed from identical
     integer inputs in both engines.
 
-    Scale shape: two Arrow stages over the corpus (count vectors, then
-    the 729-dot-product score) — both pure map; the corpus totals are a
-    posexplode + groupBy(pos) whose map-side partial combine ships at
-    most 729 longs per partition; the collected 729-row table is the
+    Scale shape: the count-vector Arrow stage runs over the corpus
+    ONCE — the (doc_id, n_bigrams, counts) frame is locally
+    checkpointed before the totals pass, so both the totals aggregation
+    and the score projection read the materialized vectors instead of
+    re-running the dominant UDF (at production scale this
+    materialization is a real checkpoint write, the dedup
+    signature-table pattern).  The corpus totals are a posexplode +
+    groupBy(pos) whose map-side partial combine ships at most 729 longs
+    per partition; the collected 729-row table is the
     broadcast-build-side pattern (IVF precedent).  Nothing doc-keyed
-    ever shuffles; the totals pass scans the corpus once and the score
-    pass once more (at production scale the count vectors would be
-    checkpointed like the dedup signature table).
+    ever shuffles.
     """
     @F.pandas_udf("array<long>")
     def counts_udf(norm: pd.Series) -> pd.Series:
@@ -518,6 +524,10 @@ def lm_perplexity(docs, id_col: str = "doc_id", text_col: str = "text"):
         F.greatest(F.length("_norm") - 1, F.lit(0)).cast("long").alias("n_bigrams"),
         counts_udf(F.col("_norm")).alias("_counts"),
     )
+    # materialize the count vectors once (see docstring): lineage is
+    # cut, so the totals job below and the returned score frame both
+    # read this RDD instead of re-executing the counting UDF
+    normed = normed.localCheckpoint(eager=True)
 
     totals_rows = (
         normed.select(F.posexplode("_counts").alias("pos", "c"))

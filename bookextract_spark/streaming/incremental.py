@@ -99,9 +99,11 @@ def stream_extract(
 
     Default trigger is ``availableNow`` (bounded run: drain everything
     new, then stop) and the call blocks until done, returning per-run
-    metrics ``{"batches": int, "rows_out": int, "convs_out": int}``
+    metrics ``{"batches": int, "rows_out": int, "approx_convs_out": int}``
     counted by an Observation on each batch's one write job (the A6
-    pattern).  With ``processing_time`` set the query instead runs
+    pattern; the conv count is approx_count_distinct — HyperLogLog++,
+    ~5% rsd — because observe() forbids exact DISTINCT aggregates;
+    rows_out IS exact).  With ``processing_time`` set the query instead runs
     continuously and the (started) ``StreamingQuery`` is returned for
     the caller to manage — same sink, same checkpoint.
 
@@ -118,7 +120,7 @@ def stream_extract(
     ).select("conv_id", "turn_idx", "text")
     out_path = os.path.join(output_dir, "turns")
     checkpoint = os.path.join(output_dir, "_stream_checkpoint")
-    metrics = {"batches": 0, "rows_out": 0, "convs_out": 0}
+    metrics = {"batches": 0, "rows_out": 0, "approx_convs_out": 0}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         persisted: list = []
@@ -129,7 +131,7 @@ def stream_extract(
         ).observe(
             obs,
             F.count(F.lit(1)).alias("rows_out"),
-            F.approx_count_distinct(F.col("conv_id")).alias("convs_out"),
+            F.approx_count_distinct(F.col("conv_id")).alias("approx_convs_out"),
         )
         (
             out.select("conv_id", "turn_idx", "extracted_text")
@@ -144,7 +146,7 @@ def stream_extract(
         got = obs.get
         metrics["batches"] += 1
         metrics["rows_out"] += got["rows_out"]
-        metrics["convs_out"] += got["convs_out"]
+        metrics["approx_convs_out"] += got["approx_convs_out"]
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -227,10 +229,17 @@ def conversation_progress_stream(stream: DataFrame) -> DataFrame:
     """``applyInPandasWithState`` running totals per conversation:
     cumulative turn/word counts + high-water turn_idx, state carried in
     the streaming checkpoint (restart-safe).  Word semantics match T11
-    ``word_count_col`` (whitespace split).  Pure per-key state — no
-    cross-key reads — so state shards with the conv_id exchange and the
-    operator scales like any keyed aggregation."""
+    ``word_count_col``'s ASCII default — tokens are runs of
+    non-``[ \\t\\n\\x0b\\f\\r]`` (Python's ``str.split()`` would also
+    split on Unicode whitespace like NBSP and silently diverge from the
+    batch column).  Pure per-key state — no cross-key reads — so state
+    shards with the conv_id exchange and the operator scales like any
+    keyed aggregation."""
+    import re
+
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ascii_token = re.compile(r"[^ \t\n\x0b\f\r]+")
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -241,7 +250,7 @@ def conversation_progress_stream(stream: DataFrame) -> DataFrame:
         for pdf in pdfs:
             n_turns += len(pdf)
             text = pdf["text"].fillna("")
-            n_words += int(text.str.split().str.len().sum())
+            n_words += int(text.map(lambda s: len(ascii_token.findall(s))).sum())
             if len(pdf):
                 max_idx = max(max_idx, int(pdf["turn_idx"].max()))
         state.update((n_turns, n_words, max_idx))

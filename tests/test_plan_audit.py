@@ -172,12 +172,14 @@ BUDGETS = {
     # stage plans and executes once; the groupBy(doc_id) is the only
     # exchange.  Quarantined payloads become rows, not task failures.
     "s7_quarantine": (1, 0, 2, 1),
-    # lm_perplexity: the corpus-totals pass runs (and collects 729
-    # longs) during construction — broadcast-build-side pattern, IVF
-    # precedent; the pinned plan is the score pass: one fused Arrow
-    # stage (count-vector UDF feeding the dot-product UDF), pure map,
-    # zero exchanges.
-    "lm_perplexity": (0, 0, 1, 1),
+    # lm_perplexity: the count-vector Arrow stage executes ONCE during
+    # construction and is locally checkpointed (signature-table
+    # pattern); the corpus-totals pass collects 729 longs from it
+    # (broadcast-build-side, IVF precedent).  The pinned plan is the
+    # score pass over the checkpointed RDD: one Arrow stage (the
+    # dot-product UDF), pure map, zero exchanges, zero parquet scans
+    # (the source scan was paid by the checkpoint job).
+    "lm_perplexity": (0, 0, 1, 0),
     # tfidf_keywords: term counts (doc,word), vocab df agg, the idf
     # join-back, and the per-doc top-k window — four slim exchanges,
     # none carrying document text; the idf side broadcasts at this
