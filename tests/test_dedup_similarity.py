@@ -1294,3 +1294,24 @@ def test_lm_perplexity_flags_outlier(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.perplexity for r in lm_perplexity(docs).collect()}
     assert got[99] > max(v for k, v in got.items() if k != 99) * 2
+
+
+def test_lm_and_tfidf_partition_invariance(spark):
+    """The fixed-point design's load-bearing claim: results are
+    IDENTICAL under different physical partitionings (integer sums are
+    order-independent; idf/score doubles are exact products of
+    identical inputs), so a cluster repartition can never flip a score
+    or a rank."""
+    from bookextract_spark.operators.quality import lm_perplexity, tfidf_keywords
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(lm_perplexity(docs.repartition(1))) == rows(
+        lm_perplexity(docs.repartition(17, "doc_id"))
+    )
+    assert rows(tfidf_keywords(docs.repartition(1))) == rows(
+        tfidf_keywords(docs.repartition(17, "doc_id"))
+    )
