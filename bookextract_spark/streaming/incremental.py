@@ -61,12 +61,22 @@ from bookextract_spark.schemas import TRANSCRIPTS_SCHEMA
 TRANSCRIPT_STREAM_SCHEMA = TRANSCRIPTS_SCHEMA
 
 
-def write_conversation_drop(df: DataFrame, input_dir: str) -> None:
+def write_conversation_drop(
+    df: DataFrame, input_dir: str, n_files: int | None = None
+) -> None:
     """Append one ingest drop, keeping every conversation wholly inside
     one part file (the module-level ingest contract): hash-partition on
     conv_id so no conversation straddles a file boundary, then append —
-    the file source picks up exactly the new files."""
-    df.repartition(F.col("conv_id")).write.mode("append").parquet(input_dir)
+    the file source picks up exactly the new files.  ``n_files`` pins
+    the file count (an explicit repartition number AQE won't coalesce);
+    the default lets AQE size the files, which on a small drop is one
+    file — note that ``maxFilesPerTrigger`` can only split a drop into
+    multiple micro-batches along file boundaries."""
+    if n_files is not None:
+        shuffled = df.repartition(n_files, F.col("conv_id"))
+    else:
+        shuffled = df.repartition(F.col("conv_id"))
+    shuffled.write.mode("append").parquet(input_dir)
 
 
 def read_transcript_stream(

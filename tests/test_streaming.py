@@ -226,3 +226,43 @@ def test_stateful_progress_state_survives_restart(spark, transcripts, scratch):
         assert p1[conv][0] < truth[conv][0]
     merged = {**p1, **p2}
     assert merged == truth
+
+
+def test_stream_job_cli_smoke(spark, transcripts, scratch, monkeypatch, capsys):
+    """jobs/stream_job.py end-to-end through its argparse surface: one
+    bounded drain, then an incremental second invocation.  The CLI's
+    session teardown cannot stop the shared test session (get_spark
+    getOrCreate's the same one), and stop is neutered like the
+    dedup-job smoke."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    try:
+        import stream_job
+    finally:
+        sys.path.pop(0)
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    d1, d2 = _drops(transcripts)
+    in_dir, out_dir = os.path.join(scratch, "in"), os.path.join(scratch, "out")
+    write_conversation_drop(d1, in_dir)
+    assert stream_job.main(["--input", in_dir, "--output", out_dir]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["batches"] == 1 and r1["rows_out"] == d1.count()
+
+    # pin the drop to 6 part files so --max-files-per-trigger has file
+    # boundaries to split on (AQE writes a small drop as ONE file
+    # otherwise — see write_conversation_drop)
+    write_conversation_drop(d2, in_dir, n_files=6)
+    assert (
+        stream_job.main(
+            ["--input", in_dir, "--output", out_dir, "--max-files-per-trigger", "4"]
+        )
+        == 0
+    )
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # bounded per-batch work: the second drop drains in >1 micro-batch
+    # under --max-files-per-trigger, with the same total
+    assert r2["rows_out"] == d2.count() and r2["batches"] > 1
+    assert _read_turns(spark, out_dir).count() == transcripts.count()
