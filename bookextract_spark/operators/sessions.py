@@ -1,0 +1,100 @@
+"""Event-stream sessionization: gaps-and-islands session assignment.
+
+Beyond-reference analytics over the ``events`` table (the same ordered
+per-key window discipline as the extraction pipeline, applied to
+event-time analytics): a session is a maximal run of a user's events
+with no gap exceeding the threshold — the standard segmentation for
+user behavior streams and for slicing long agent traces into episodes
+(reference analog: the reference processes one book "session" per run;
+this generalizes the idea to a keyed, corpus-wide assignment).
+
+Determinism across engines (the DuckDB oracle recomputes everything):
+
+* event times are compared as INTEGER microseconds (``unix_micros`` /
+  ``epoch_us``) — no float epoch, no timezone re-render;
+* the per-user ordering tiebreaks on ``event_id`` after the timestamp;
+* monetary values are fixed-pointed to BIGINT cents BEFORE summing, so
+  per-session totals are order-independent exact integers (same recipe
+  as ``quality.lm_perplexity``'s micro-log-probs);
+* duration uses integer floor-division.
+
+Scale shape: ONE user-keyed exchange; the lag/running-sum flags and
+the session aggregation all reuse that partitioning (partition-local
+sorts, map-side partial combine on the final groupBy).  Skewed users
+(one key with millions of events) would take the salted two-level
+treatment of ``operators/skew.py`` — not wired here because session
+boundaries cross salt buckets; the bounded variant is the streaming
+``applyInPandasWithState`` form with a session timeout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_MINUTES = 480  # 8 hours — see the fixture cadence note in queries.py
+
+
+def epoch_micros_col(events: DataFrame, ts_col: str):
+    """Integer microseconds since the naive epoch, SESSION-TIMEZONE
+    PROOF.  For TIMESTAMP_NTZ this must be pure wall-clock arithmetic:
+    ``cast(ts as timestamp)`` (and every to/from_utc variant) re-reads
+    the wall clock through ``spark.sql.session.timeZone``, so the same
+    table would sessionize differently on a Tokyo-configured driver —
+    ``timestampdiff(MICROSECOND, epoch, ts)`` on the NTZ domain does
+    not (verified against all three behaviors).  Instant-typed
+    TIMESTAMP columns use ``unix_micros`` directly."""
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+) -> DataFrame:
+    """One row per (user, session): session ordinal, event count, span
+    (integer microseconds + floor-ms duration), exact cents total, and
+    the first event id (the session's stable anchor)."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    us = epoch_micros_col(events, ts_col)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    w = Window.partitionBy(user_col).orderBy(us, F.col(id_col))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    flagged = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        us.alias("_us"),
+        cents.alias("_cents"),
+        F.sum(is_new).over(run).alias("session_no"),
+    )
+    return (
+        flagged.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.sum("_cents").cast("long").alias("value_cents"),
+            F.min("event_id").cast("long").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("session_no").cast("int").alias("session_no"),
+            "n_events",
+            "start_us",
+            "end_us",
+            ((F.col("end_us") - F.col("start_us")) / F.lit(1000))
+            .cast("long")
+            .alias("duration_ms"),
+            "value_cents",
+            "first_event_id",
+        )
+    )

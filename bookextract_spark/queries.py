@@ -3877,6 +3877,62 @@ FROM norm n LEFT JOIN doc d USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Event-stream sessionization (operators/sessions.py)
+# --------------------------------------------------------------------------
+
+# 8 h: the events fixture's median same-user gap is ~7.5 h at both
+# driver scales, so this threshold exercises BOTH branches heavily
+# (about half the gaps split, half chain) instead of degenerating to
+# one-event or one-session-per-user assignments.
+_SESSION_GAP_MINUTES = 480
+
+
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization of the events stream: a session
+    is a maximal same-user run with no gap > 8 h.  Determinism: integer
+    microsecond epochs, (ts, event_id) ordering tiebreak, BIGINT cents
+    totals (order-independent), floor-division duration — the oracle
+    recomputes the full lag/running-sum/aggregate chain."""
+    from bookextract_spark.operators.sessions import sessionize
+
+    return sessionize(
+        _load(spark, sf_dir, "events"), gap_minutes=_SESSION_GAP_MINUTES
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN lag(us) OVER w IS NULL
+              OR us - lag(us) OVER w > {_SESSION_GAP_MINUTES * 60 * 1_000_000}
+         THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+numbered AS (
+  SELECT *,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_no
+  FROM flagged
+)
+SELECT user_id, CAST(session_no AS INT) AS session_no,
+  count(*)::BIGINT AS n_events,
+  min(us)::BIGINT AS start_us,
+  max(us)::BIGINT AS end_us,
+  ((max(us) - min(us)) // 1000)::BIGINT AS duration_ms,
+  sum(cents)::BIGINT AS value_cents,
+  min(event_id)::BIGINT AS first_event_id
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3892,7 +3948,7 @@ FROM norm n LEFT JOIN doc d USING (doc_id)
 #         late round 4 likewise swapped the new dedup_clusters into the
 #         head in place of s6_book_info (S6's parse keeps a head proof
 #         via s11_book_info's sink->source round trip).
-#   51-64: redundant-coverage queries (ops also proven earlier: T1/T13
+#   51-65: redundant-coverage queries (ops also proven earlier: T1/T13
 #          are stages of pipeline_extract's oracle, o8_merge_decisions'
 #          predicates drive o8_merge_extract, conv_dedup composes
 #          proven pieces, q1/q3 are generic warehouse demos,
@@ -3903,8 +3959,9 @@ FROM norm n LEFT JOIN doc d USING (doc_id)
 #          by a2_book_totals, t10 carries green r02+r03 rows) — if the
 #          driver truncates, ONLY these lose rows and no operator loses
 #          its driver proof across rounds.  One exception is explicit:
-#          tfidf_keywords (tail head, new in round 4) has local parity
-#          + pytest only — no safely-demotable head slot remained.
+#          tfidf_keywords and sessionize (tail head, new in round 4)
+#          have local parity + pytest only — no safely-demotable head
+#          slot remained for them.
 # Twin variants whose only job is cross-checking a default-hash path
 # (md5 twins of minhash/simhash, the sha-fake image plumbing twin, the
 # O(n^2) near-dup verifier) live in _LOCAL_REGISTRY: still oracle-checked
@@ -4019,12 +4076,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c1_html_classify": (q_c1_html_classify, SQL_C1),
     "c3_density": (q_c3_density, SQL_C3),
     # ---- redundant-coverage tail (see ordering note above) ----
-    # tfidf_keywords ships in the same session as lm_perplexity, but
-    # only ONE safely-demotable head entry remained (every other head
-    # query is the unique driver proof of its operator), so it leads
-    # the tail instead: first to gain a row if the driver ever runs
-    # past 50, and fully covered by the local parity replica + pytest.
+    # tfidf_keywords and sessionize ship late in round 4, but only ONE
+    # safely-demotable head entry remained for this session's three new
+    # operators (lm_perplexity took it; every other head query is the
+    # unique driver proof of its operator), so these two lead the tail
+    # instead: first to gain rows if the driver ever runs past 50, and
+    # fully covered by the local parity replica + pytest.
     "tfidf_keywords": (q_tfidf_keywords, _sql_tfidf),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # o15_chapter_titles demoted here in round 4 (swap with
     # simhash_near): its operator surface (S12 title lookup incl. the
     # 00_title edge) has a green driver row in CORRECTNESS_r03 and S12

@@ -1315,3 +1315,97 @@ def test_lm_and_tfidf_partition_invariance(spark):
     assert rows(tfidf_keywords(docs.repartition(1))) == rows(
         tfidf_keywords(docs.repartition(17, "doc_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# Event-stream sessionization (operators/sessions.py)
+# --------------------------------------------------------------------------
+
+
+def _sessionize_python(rows, gap_minutes):
+    """Pure-Python twin: rows = (user_id, event_id, epoch_us, value)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    out = {}
+    by_user = {}
+    for u, eid, us, val in rows:
+        by_user.setdefault(u, []).append((us, eid, val))
+    for u, evs in by_user.items():
+        evs.sort()
+        no = 0
+        prev = None
+        for us, eid, val in evs:
+            if prev is None or us - prev > gap_us:
+                no += 1
+            prev = us
+            key = (u, no)
+            s = out.setdefault(key, [0, us, us, 0, eid])
+            s[0] += 1
+            s[1] = min(s[1], us)
+            s[2] = max(s[2], us)
+            s[3] += round(val * 100)
+            s[4] = min(s[4], eid)
+    return {
+        k: (n, a, b, (b - a) // 1000, cents, first)
+        for k, (n, a, b, cents, first) in out.items()
+    }
+
+
+def test_sessionize_matches_python_twin(spark):
+    import datetime
+
+    from bookextract_spark.operators.sessions import sessionize
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: three events chained, then a >gap jump, then one more
+        (0, at(0), 1, "x", 1.25),
+        (1, at(10), 1, "x", 2.50),
+        (2, at(20), 1, "x", 0.10),
+        (3, at(20 + 481), 1, "x", 9.99),
+        # user 2: gap EXACTLY equal to the threshold chains (strict >)
+        (4, at(0), 2, "x", 1.00),
+        (5, at(480), 2, "x", 1.00),
+        # user 3: single event
+        (6, at(5), 3, "x", 7.77),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    got = {
+        (r.user_id, r.session_no): (
+            r.n_events, r.start_us, r.end_us, r.duration_ms, r.value_cents, r.first_event_id
+        )
+        for r in sessionize(df, gap_minutes=480).collect()
+    }
+    epoch = datetime.datetime(1970, 1, 1)
+    want = _sessionize_python(
+        [(u, eid, int((ts - epoch).total_seconds() * 1e6), v) for eid, ts, u, _, v in rows],
+        gap_minutes=480,
+    )
+    assert got == want
+    # the exact-gap pair chained; the >gap pair split
+    assert got[(2, 1)][0] == 2
+    assert got[(1, 1)][0] == 3 and got[(1, 2)][0] == 1
+
+
+def test_sessionize_session_timezone_proof(spark):
+    """The assignment must not change when the driver's session
+    timezone does (TIMESTAMP_NTZ wall-clock arithmetic — the cast-based
+    epoch forms all fail this)."""
+    from bookextract_spark.operators.sessions import sessionize
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tz_conf = "spark.sql.session.timeZone"
+    before = spark.conf.get(tz_conf)
+    try:
+        spark.conf.set(tz_conf, "UTC")
+        a = sorted(tuple(r) for r in sessionize(df).collect())
+        spark.conf.set(tz_conf, "Asia/Tokyo")
+        b = sorted(tuple(r) for r in sessionize(df).collect())
+    finally:
+        spark.conf.set(tz_conf, before)
+    assert a == b and len(a) > 0

@@ -187,6 +187,10 @@ BUDGETS = {
     # hint-forced).  Two scans: tf and df derive from one read that
     # appears on both sides of the join.
     "tfidf_keywords": (4, 1, 0, 2),
+    # sessionize: one user-keyed exchange; the lag/running-sum flags
+    # and the session aggregation reuse it (partition-local sorts,
+    # map-side partial combine on the groupBy).
+    "sessionize": (1, 0, 0, 1),
     # streaming_extract's callable executes the two-drop availableNow
     # ingest scenario before returning the read-back frame — the
     # pinned plan is the per-conv digest over the output dir (one
