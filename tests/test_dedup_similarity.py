@@ -1409,3 +1409,37 @@ def test_sessionize_session_timezone_proof(spark):
     finally:
         spark.conf.set(tz_conf, before)
     assert a == b and len(a) > 0
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """Two independent implementations, one answer: the gaps-and-islands
+    windows form vs Spark's built-in ``session_window`` produce the
+    identical session set on the organic fixture (boundary caveat: at a
+    gap of EXACTLY the threshold the engine's documented strict-``>``
+    rule chains while the native window's half-open interval splits —
+    microsecond event times make that measure-zero; the operator keeps
+    the windows form for the deterministic session ordinal and the
+    tz-proof NTZ arithmetic the native form lacks)."""
+    from bookextract_spark.operators.sessions import epoch_micros_col, sessionize
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    mine = sessionize(e).select(
+        "user_id", "start_us", "end_us", "n_events", "value_cents"
+    )
+    native = (
+        e.withColumn("_us", epoch_micros_col(e, "ts"))
+        .groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "8 hours").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_us").alias("start_us"),
+            F.max("_us").alias("end_us"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select("user_id", "start_us", "end_us", "n_events", "value_cents")
+    )
+    a = sorted(tuple(r) for r in mine.collect())
+    b = sorted(tuple(r) for r in native.collect())
+    assert a == b and len(a) > 0
