@@ -46,7 +46,8 @@ def epoch_micros_col(events: DataFrame, ts_col: str):
     TIMESTAMP columns use ``unix_micros`` directly."""
     if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
         return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+            f"`{ts_col}`)"
         )
     return F.unix_micros(F.col(ts_col))
 
@@ -61,7 +62,9 @@ def sessionize(
 ) -> DataFrame:
     """One row per (user, session): session ordinal, event count, span
     (integer microseconds + floor-ms duration), exact cents total, and
-    the first event id (the session's stable anchor)."""
+    the id of the TEMPORALLY first event — the session's opening event
+    under the same (ts, event_id) ordering that numbers the sessions,
+    not the numerically smallest id."""
     gap_us = int(gap_minutes) * 60 * 1_000_000
     us = epoch_micros_col(events, ts_col)
     cents = F.round(F.col(value_col) * 100).cast("long")
@@ -83,7 +86,10 @@ def sessionize(
             F.min("_us").alias("start_us"),
             F.max("_us").alias("end_us"),
             F.sum("_cents").cast("long").alias("value_cents"),
-            F.min("event_id").cast("long").alias("first_event_id"),
+            # min_by over the ordering struct = the opening event's id
+            F.min_by("event_id", F.struct("_us", "event_id"))
+            .cast("long")
+            .alias("first_event_id"),
         )
         .select(
             "user_id",
@@ -91,9 +97,9 @@ def sessionize(
             "n_events",
             "start_us",
             "end_us",
-            ((F.col("end_us") - F.col("start_us")) / F.lit(1000))
-            .cast("long")
-            .alias("duration_ms"),
+            # true integer floor-division (the documented contract;
+            # `/` would route through a double)
+            F.expr("(end_us - start_us) div 1000").alias("duration_ms"),
             "value_cents",
             "first_event_id",
         )

@@ -3920,6 +3920,13 @@ numbered AS (
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       AS session_no
   FROM flagged
+),
+anchored AS (
+  -- the session's OPENING event under the same (us, event_id) order
+  SELECT *,
+    first_value(event_id) OVER (PARTITION BY user_id, session_no
+                                ORDER BY us, event_id) AS first_eid
+  FROM numbered
 )
 SELECT user_id, CAST(session_no AS INT) AS session_no,
   count(*)::BIGINT AS n_events,
@@ -3927,8 +3934,8 @@ SELECT user_id, CAST(session_no AS INT) AS session_no,
   max(us)::BIGINT AS end_us,
   ((max(us) - min(us)) // 1000)::BIGINT AS duration_ms,
   sum(cents)::BIGINT AS value_cents,
-  min(event_id)::BIGINT AS first_event_id
-FROM numbered GROUP BY user_id, session_no
+  min(first_eid)::BIGINT AS first_event_id
+FROM anchored GROUP BY user_id, session_no
 """
 
 

@@ -72,8 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.processing_time is not None:
         result["query"].awaitTermination()
+        spark.stop()
         return 0
     print(json.dumps(result))
+    spark.stop()
     return 0
 
 

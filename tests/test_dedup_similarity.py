@@ -1323,7 +1323,14 @@ def test_lm_and_tfidf_partition_invariance(spark):
 
 
 def _sessionize_python(rows, gap_minutes):
-    """Pure-Python twin: rows = (user_id, event_id, epoch_us, value)."""
+    """Pure-Python twin: rows = (user_id, event_id, epoch_us, value).
+    Cents use the half-away formula (floor(x + 0.5) on the positive
+    domain) — Python's round() is banker's and WOULD diverge from
+    Spark/DuckDB half-away on exact midpoints (the engine-boundary
+    rounding rule in .claude/skills/verify).  first_event_id is the
+    session's OPENING event under the (us, event_id) order."""
+    import math
+
     gap_us = gap_minutes * 60 * 1_000_000
     out = {}
     by_user = {}
@@ -1336,14 +1343,12 @@ def _sessionize_python(rows, gap_minutes):
         for us, eid, val in evs:
             if prev is None or us - prev > gap_us:
                 no += 1
+                out[(u, no)] = [0, us, us, 0, eid]
             prev = us
-            key = (u, no)
-            s = out.setdefault(key, [0, us, us, 0, eid])
+            s = out[(u, no)]
             s[0] += 1
-            s[1] = min(s[1], us)
             s[2] = max(s[2], us)
-            s[3] += round(val * 100)
-            s[4] = min(s[4], eid)
+            s[3] += math.floor(val * 100 + 0.5)
     return {
         k: (n, a, b, (b - a) // 1000, cents, first)
         for k, (n, a, b, cents, first) in out.items()
@@ -1369,8 +1374,13 @@ def test_sessionize_matches_python_twin(spark):
         # user 2: gap EXACTLY equal to the threshold chains (strict >)
         (4, at(0), 2, "x", 1.00),
         (5, at(480), 2, "x", 1.00),
-        # user 3: single event
-        (6, at(5), 3, "x", 7.77),
+        # user 3: single event with an exact half-cent midpoint (0.125
+        # -> 12.5 cents): half-away rounds to 13; banker's would say 12
+        (6, at(5), 3, "x", 0.125),
+        # user 4: ids NOT time-monotonic — the opening event has the
+        # LARGER id, so first_event_id must be 8, not min(7, 8)
+        (8, at(0), 4, "x", 1.00),
+        (7, at(30), 4, "x", 1.00),
     ]
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
@@ -1390,6 +1400,10 @@ def test_sessionize_matches_python_twin(spark):
     # the exact-gap pair chained; the >gap pair split
     assert got[(2, 1)][0] == 2
     assert got[(1, 1)][0] == 3 and got[(1, 2)][0] == 1
+    # half-away on the midpoint (banker's would give 12)
+    assert got[(3, 1)][4] == 13
+    # temporally-first, not numerically-smallest
+    assert got[(4, 1)][5] == 8
 
 
 def test_sessionize_session_timezone_proof(spark):
