@@ -23,8 +23,9 @@ the session aggregation all reuse that partitioning (partition-local
 sorts, map-side partial combine on the final groupBy).  Skewed users
 (one key with millions of events) would take the salted two-level
 treatment of ``operators/skew.py`` — not wired here because session
-boundaries cross salt buckets; the bounded variant is the streaming
-``applyInPandasWithState`` form with a session timeout.
+boundaries cross salt buckets; the bounded-state variant IS wired:
+``streaming.incremental.stream_sessionize`` (applyInPandasWithState,
+event-time timeout, four longs of state per open session).
 """
 
 from __future__ import annotations

@@ -312,3 +312,140 @@ def run_conversation_progress_once(
     )
     q.awaitTermination()
     return latest
+
+
+# --------------------------------------------------------------------------
+# Streaming sessionization (the bounded form of operators/sessions.py)
+# --------------------------------------------------------------------------
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, start_us long, end_us long, n_events long, value_cents long"
+)
+_SESSION_STATE_SCHEMA = "start_us long, end_us long, n_events long, value_cents long"
+
+
+def stream_sessionize(
+    stream: DataFrame, gap_minutes: int = 480, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gaps-and-islands sessionization — the bounded-state
+    form of :func:`operators.sessions.sessionize` the batch module
+    points at: per-user state holds ONE open session (four longs, not
+    the event history), closed sessions are emitted in append mode,
+    and idle sessions are flushed by an EVENT-TIME timeout when the
+    watermark passes ``last event + gap``.
+
+    A session closes two ways, and both must agree with the batch
+    operator's strict-``>`` gap rule:
+
+    * data-driven: an arriving event whose gap to the open session's
+      end EXCEEDS the threshold emits the old session and re-seeds the
+      state (the arriving batch is processed in (ts, event_id) order,
+      so intra-batch splits behave like the batch window);
+    * timeout-driven: a user with no new events keeps the session open
+      until the watermark (driven by OTHER users' events) passes the
+      session's timeout instant — bounded state however long the
+      stream runs, which is exactly what the batch form cannot give.
+
+    Late events below the watermark are dropped by the engine before
+    the function ever sees them (same contract as ``turn_rate_stream``).
+    Cents use the engines' half-away rounding via ``floor(x*100+0.5)``
+    on the non-negative domain (Python ``round`` is banker's — the
+    documented engine-boundary rule).
+
+    Event-time caveat: Spark watermarks REQUIRE an instant-typed
+    TIMESTAMP, so a TIMESTAMP_NTZ event time is cast at this boundary —
+    which interprets the wall clock in ``spark.sql.session.timeZone``
+    (the batch form's tz-proof NTZ arithmetic is not available here;
+    run streaming drivers in UTC, the deployment norm).  Gap and
+    timeout arithmetic are shift-invariant either way; only the emitted
+    absolute epochs depend on the interpretation."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        def row(s):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [s[0]],
+                    "end_us": [s[1]],
+                    "n_events": [s[2]],
+                    "value_cents": [s[3]],
+                }
+            )
+
+        if state.hasTimedOut:
+            s = state.get
+            state.remove()
+            yield row(s)
+            return
+
+        cur = list(state.get) if state.exists else None
+        closed = []
+        events = []
+        for pdf in pdfs:
+            for ts, val in zip(pdf["ts"], pdf["value"]):
+                # ns epoch of the naive timestamp -> integer micros
+                events.append((int(pd.Timestamp(ts).value) // 1000, float(val)))
+        events.sort()
+        for us, val in events:
+            cents = math.floor(val * 100 + 0.5)
+            if cur is None:
+                cur = [us, us, 1, cents]
+            elif us - cur[1] > gap_us:
+                closed.append(cur)
+                cur = [us, us, 1, cents]
+            else:
+                cur[1] = max(cur[1], us)
+                cur[2] += 1
+                cur[3] += cents
+        state.update(tuple(cur))
+        # event-time timeout at (end + gap): fires once the watermark
+        # passes it, flushing the idle session (ms granularity)
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        for s in closed:
+            yield row(s)
+
+    return stream.withWatermark("ts", watermark).groupBy("user_id").applyInPandasWithState(
+        update,
+        _SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_stream_sessionize_once(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 480,
+    watermark: str = "2 hours",
+    schema: T.StructType | None = None,
+) -> list:
+    """One bounded (availableNow) pass; returns the sessions that
+    CLOSED during this run (data-driven splits + watermark-timed-out
+    idles).  Open sessions stay in the checkpoint for the next run."""
+    stream = read_transcript_stream(spark, input_dir, schema=schema)
+    rows: list = []
+
+    def collect_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows.extend(batch_df.collect())
+
+    q = (
+        stream_sessionize(stream, gap_minutes=gap_minutes, watermark=watermark)
+        .writeStream.foreachBatch(collect_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows

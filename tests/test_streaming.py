@@ -266,3 +266,89 @@ def test_stream_job_cli_smoke(spark, transcripts, scratch, monkeypatch, capsys):
     # under --max-files-per-trigger, with the same total
     assert r2["rows_out"] == d2.count() and r2["batches"] > 1
     assert _read_turns(spark, out_dir).count() == transcripts.count()
+
+
+def _us(dt):
+    return int((dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+def test_stream_sessionize_closes_by_gap_and_timeout(spark, scratch):
+    """Streaming sessionization (EventTimeTimeout applyInPandasWithState):
+    sessions close BOTH ways — data-driven when an arriving event's gap
+    exceeds the threshold (including intra-batch splits), and
+    timeout-driven when the watermark (advanced by OTHER users' events)
+    passes an idle session's last event + gap.  Gap 8 h, watermark 2 h."""
+    import pyspark.sql.types as T
+
+    from bookextract_spark.streaming.incremental import run_stream_sessionize_once
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    in_dir, ckpt = os.path.join(scratch, "in"), os.path.join(scratch, "ckpt")
+
+    def day(d, h, m=0):
+        return datetime.datetime(2026, 1, d, h, m)
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run():
+        got = run_stream_sessionize_once(
+            spark, in_dir, ckpt, gap_minutes=480, watermark="2 hours", schema=schema
+        )
+        return {(r.user_id, r.start_us, r.end_us, r.n_events, r.value_cents) for r in got}
+
+    # run 1: everything stays open (watermark = 12:00 - 2h = 10:00,
+    # no session is 8h idle yet)
+    drop(
+        [
+            (0, day(1, 10, 0), 1, 1.00),
+            (1, day(1, 10, 30), 1, 2.00),
+            (2, day(1, 9, 0), 2, 5.00),
+            (3, day(1, 12, 0), 9, 0.10),  # the "clock" user
+        ]
+    )
+    assert run() == set()
+
+    # run 2: user 1's 20:00 event closes [10:00,10:30] data-driven;
+    # user 3 arrives with BOTH 10:30 and 19:00 (both above the restored
+    # 10:00 watermark — an 08:00 event would be dropped as late) -> the
+    # intra-batch 8.5h gap closes [10:30] immediately; the clock jumps
+    # to 05:30 next day (watermark 03:30), so idle sessions whose last
+    # event + 8h deadline precedes 03:30 time out: user 2's [09:00]
+    # (17:00 deadline) and user 3's fresh [19:00] (03:00 deadline — set
+    # by the SAME run's data batch, fired by its no-data flush batch);
+    # the clock's own [12:00] closes data-driven (17.5h gap).  User 1's
+    # new 20:00 session (04:00 deadline) stays open.
+    drop(
+        [
+            (4, day(1, 20, 0), 1, 4.00),
+            (5, day(1, 10, 30), 3, 1.25),
+            (6, day(1, 19, 0), 3, 0.50),
+            (7, day(2, 5, 30), 9, 0.10),
+        ]
+    )
+    assert run() == {
+        (1, _us(day(1, 10, 0)), _us(day(1, 10, 30)), 2, 300),
+        (3, _us(day(1, 10, 30)), _us(day(1, 10, 30)), 1, 125),
+        (2, _us(day(1, 9, 0)), _us(day(1, 9, 0)), 1, 500),
+        (3, _us(day(1, 19, 0)), _us(day(1, 19, 0)), 1, 50),
+        (9, _us(day(1, 12, 0)), _us(day(1, 12, 0)), 1, 10),
+    }
+
+    # run 3: a far-future clock event times out every remaining open
+    # session (user 1's [20:00]) and closes the clock's own [05:30]
+    # data-driven; the far-future session itself stays open
+    drop([(8, day(5, 23, 0), 9, 0.10)])
+    assert run() == {
+        (1, _us(day(1, 20, 0)), _us(day(1, 20, 0)), 1, 400),
+        (9, _us(day(2, 5, 30)), _us(day(2, 5, 30)), 1, 10),
+    }
