@@ -310,3 +310,89 @@ def pii_scrub(
     return docs.select(
         F.col(id_col).alias("doc_id"), scrubbed.alias("scrubbed"), *counts
     )
+
+
+# C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the public
+# "Colossal Clean Crawled Corpus" heuristics).  Constants shared with
+# the generated DuckDB oracle in queries.py so the engines cannot
+# drift.  Terminal set: the paper's "terminal punctuation mark"
+# (period, exclamation, question mark, end quotation mark).
+C4_TERMINAL_CHARS = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+# words = runs of non-space (explicit class — no \s shorthand: Java's
+# \s includes \x0b where RE2's does not, and lines are already
+# newline-split so only spaces/tabs remain inside a line)
+C4_WORD_PATTERN = r"[^ \t]+"
+# sentence proxy: terminal sentence marks in the CLEANED text (the
+# paper counts nltk sentences; a deterministic cross-engine gate wants
+# a closed form, documented as the approximation it is)
+C4_SENTENCE_MARK_PATTERN = "[.!?]"
+
+
+def c4_keep_line_col(line: Column) -> Column:
+    """The C4 per-line keep predicate: ends in a terminal punctuation
+    mark, has >= C4_MIN_LINE_WORDS words, and does not mention
+    "javascript" (the paper's cookie/JS-notice heuristic)."""
+    rt = F.rtrim(line)
+    return (
+        F.substring(rt, -1, 1).isin(*C4_TERMINAL_CHARS)
+        & (F.regexp_count(line, F.lit(C4_WORD_PATTERN)) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 line-level cleaning: drop lines that don't end in terminal
+    punctuation / are shorter than 5 words / mention javascript, then
+    drop whole documents that contain ``{`` (code), "lorem ipsum"
+    (placeholder boilerplate), or end up with fewer than 3 sentences.
+    (The paper's bad-words page gate is list-driven and out of scope —
+    documented descope, the mechanism is identical to the lorem gate.)
+
+    Scale shape: a pure map — split/filter/join per row, zero
+    exchanges.  The line filter is a JVM higher-order lambda ON
+    PURPOSE: per PLANS.md's round-4 negative result, payload-dominated
+    text transforms lose more to the Arrow transfer tax than
+    interpreted HOF evaluation costs (the dedup ops that went to Arrow
+    are hash-dominated, not payload-dominated).
+
+    Output: ``doc_id``, ``clean_text`` (kept lines re-joined),
+    ``n_lines`` / ``n_kept`` / ``n_sentences`` counters, ``keep`` and
+    the first-failing ``drop_reason`` (brace > lorem_ipsum >
+    too_few_sentences — the cascade order a curation report uses).
+    """
+    x = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(x, "\n")
+    kept = F.filter(lines, c4_keep_line_col)
+    clean = F.array_join(kept, "\n")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        x.alias("_x"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        clean.alias("clean_text"),
+    ).withColumn(
+        "n_sentences",
+        F.regexp_count(F.col("clean_text"), F.lit(C4_SENTENCE_MARK_PATTERN)).cast(
+            "long"
+        ),
+    )
+    reason = (
+        F.when(F.col("_x").contains("{"), F.lit("brace"))
+        .when(F.lower(F.col("_x")).contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(F.col("n_sentences") < C4_MIN_SENTENCES, F.lit("too_few_sentences"))
+    )
+    return d.select(
+        "doc_id",
+        "clean_text",
+        "n_lines",
+        "n_kept",
+        "n_sentences",
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )

@@ -3939,6 +3939,111 @@ FROM anchored GROUP BY user_id, session_no
 """
 
 
+# Planted line-structured fixture for the C4 line filter: the raw
+# documents are single-line and punctuation-free, so the query plants a
+# deterministic multi-line page per doc.  Spark column AND DuckDB SQL
+# are BOTH generated from this spec (the lang_id / pii_scrub pattern)
+# so the engines cannot drift.  Tuples: (modulus, invert, line) —
+# modulus None = every doc, invert = line present when doc_id % mod != 0.
+_C4_PLANT = (
+    (None, False, "This kept line has plenty of words and ends fine."),
+    (None, False, "Too short."),  # < 5 words -> line dropped
+    (None, False, "this line has seven words but no terminal punctuation"),
+    (None, False, 'He said the quoted clause closes with "punctuation."'),
+    (3, False, "Please enable javascript to view the full content here."),
+    # the only multi-sentence line: docs on %17 lose it and fall under
+    # the 3-sentence page gate
+    (17, True, "It starts here. It continues strongly. It ends with room to spare!"),
+    (11, False, "function f() { return 1; }"),  # page gate: brace
+    (13, False, "Lorem ipsum dolor sit amet filler text."),  # page gate
+)
+
+
+def _c4_planted_col():
+    parts = [F.coalesce(F.col("text"), F.lit(""))]
+    for mod, invert, line in _C4_PLANT:
+        lit = F.lit("\n" + line)
+        if mod is None:
+            parts.append(lit)
+        else:
+            cond = (F.col("doc_id") % mod != 0) if invert else (
+                F.col("doc_id") % mod == 0
+            )
+            parts.append(F.when(cond, lit).otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+def _c4_planted_sql() -> str:
+    parts = ["coalesce(text, '')"]
+    for mod, invert, line in _C4_PLANT:
+        lit = "chr(10) || '" + line.replace("'", "''") + "'"
+        if mod is None:
+            parts.append(lit)
+        else:
+            op = "<>" if invert else "="
+            parts.append(
+                f"CASE WHEN doc_id % {mod} {op} 0 THEN {lit} ELSE '' END"
+            )
+    return " ||\n      ".join(parts)
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-level cleaning (Raffel et al. 2020): keep lines
+    ending in terminal punctuation with >= 5 words and no "javascript";
+    drop pages with braces / "lorem ipsum" / fewer than 3 sentences."""
+    from bookextract_spark.operators.curation import c4_line_filter
+
+    d = _load(spark, sf_dir, "documents")
+    return c4_line_filter(d.select("doc_id", _c4_planted_col().alias("text")))
+
+
+def _c4_sql() -> str:
+    from bookextract_spark.operators.curation import (
+        C4_MIN_LINE_WORDS,
+        C4_MIN_SENTENCES,
+        C4_SENTENCE_MARK_PATTERN,
+        C4_TERMINAL_CHARS,
+        C4_WORD_PATTERN,
+    )
+
+    terminals = ", ".join("'" + c.replace("'", "''") + "'" for c in C4_TERMINAL_CHARS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+      {_c4_planted_sql()} AS x
+  FROM documents
+),
+filt AS (
+  SELECT doc_id, x,
+    len(string_split(x, chr(10)))::BIGINT AS n_lines,
+    list_filter(string_split(x, chr(10)), l ->
+      right(rtrim(l), 1) IN ({terminals})
+      AND len(regexp_extract_all(l, '{C4_WORD_PATTERN}')) >= {C4_MIN_LINE_WORDS}
+      AND lower(l) NOT LIKE '%javascript%') AS kept
+  FROM base
+),
+agg AS (
+  SELECT doc_id, x, n_lines,
+    array_to_string(kept, chr(10)) AS clean_text,
+    len(kept)::BIGINT AS n_kept,
+    len(regexp_extract_all(array_to_string(kept, chr(10)),
+        '{C4_SENTENCE_MARK_PATTERN}'))::BIGINT AS n_sentences
+  FROM filt
+),
+reasoned AS (
+  SELECT *,
+    CASE WHEN contains(x, '{{') THEN 'brace'
+         WHEN contains(lower(x), 'lorem ipsum') THEN 'lorem_ipsum'
+         WHEN n_sentences < {C4_MIN_SENTENCES} THEN 'too_few_sentences'
+         END AS drop_reason
+  FROM agg
+)
+SELECT doc_id, clean_text, n_lines, n_kept, n_sentences,
+  (drop_reason IS NULL) AS keep, drop_reason
+FROM reasoned
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3966,9 +4071,9 @@ FROM anchored GROUP BY user_id, session_no
 #          by a2_book_totals, t10 carries green r02+r03 rows) — if the
 #          driver truncates, ONLY these lose rows and no operator loses
 #          its driver proof across rounds.  One exception is explicit:
-#          tfidf_keywords and sessionize (tail head, new in round 4)
-#          have local parity + pytest only — no safely-demotable head
-#          slot remained for them.
+#          tfidf_keywords, sessionize, and c4_line_filter (tail head,
+#          new in round 4) have local parity + pytest only — no
+#          safely-demotable head slot remained for them.
 # Twin variants whose only job is cross-checking a default-hash path
 # (md5 twins of minhash/simhash, the sha-fake image plumbing twin, the
 # O(n^2) near-dup verifier) live in _LOCAL_REGISTRY: still oracle-checked
@@ -4091,6 +4196,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # fully covered by the local parity replica + pytest.
     "tfidf_keywords": (q_tfidf_keywords, _sql_tfidf),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    # c4_line_filter ships in the final round-4 session under the same
+    # no-head-slot-remained policy as the two entries above.
+    "c4_line_filter": (q_c4_line_filter, _c4_sql),
     # o15_chapter_titles demoted here in round 4 (swap with
     # simhash_near): its operator surface (S12 title lookup incl. the
     # 00_title edge) has a green driver row in CORRECTNESS_r03 and S12

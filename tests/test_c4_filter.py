@@ -1,0 +1,147 @@
+"""C4 line-level cleaning (Raffel et al. 2020): pure-Python twin of the
+engine's predicate/gates, edge-case pins, and a fixture-shaped
+cross-check against the Spark operator."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from bookextract_spark.operators.curation import (
+    C4_MIN_LINE_WORDS,
+    C4_MIN_SENTENCES,
+    C4_TERMINAL_CHARS,
+    C4_WORD_PATTERN,
+    c4_line_filter,
+)
+
+WORD_RE = re.compile(C4_WORD_PATTERN)
+
+
+def py_keep_line(line: str) -> bool:
+    rt = line.rstrip(" ")
+    return (
+        rt[-1:] in C4_TERMINAL_CHARS
+        and len(WORD_RE.findall(line)) >= C4_MIN_LINE_WORDS
+        and "javascript" not in line.lower()
+    )
+
+
+def py_c4(doc_id, text):
+    x = text or ""
+    lines = x.split("\n")
+    kept = [l for l in lines if py_keep_line(l)]
+    clean = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", clean))
+    if "{" in x:
+        reason = "brace"
+    elif "lorem ipsum" in x.lower():
+        reason = "lorem_ipsum"
+    elif n_sent < C4_MIN_SENTENCES:
+        reason = "too_few_sentences"
+    else:
+        reason = None
+    return {
+        "doc_id": doc_id,
+        "clean_text": clean,
+        "n_lines": len(lines),
+        "n_kept": len(kept),
+        "n_sentences": n_sent,
+        "keep": reason is None,
+        "drop_reason": reason,
+    }
+
+
+CASES = [
+    # (text, expect_keep, expect_reason, comment)
+    ("", False, "too_few_sentences", "empty text"),
+    (None, False, "too_few_sentences", "null text"),
+    # three sentences on one long kept line -> page kept
+    (
+        "One kept sentence sits right here. Another kept sentence follows it. "
+        "A third kept sentence closes the page!",
+        True,
+        None,
+        "single multi-sentence line",
+    ),
+    # trailing spaces before the terminal mark still count (rtrim)
+    (
+        "This line ends after some trailing spaces.   \n"
+        "Another full sentence sits on this line. And one more follows here.",
+        True,
+        None,
+        "rtrim before the terminal check",
+    ),
+    # end-quote is terminal
+    (
+        'He said the line may end with a "quoted period."\n'
+        "A second sentence lands here. A third sentence closes it out.",
+        True,
+        None,
+        "end-quote terminal",
+    ),
+    # JavaScript mention drops the LINE (case-insensitive), not the page
+    (
+        "Please enable JAVASCRIPT to continue reading this content.\n"
+        "First real sentence sits here. Second one follows. Third one ends!",
+        True,
+        None,
+        "javascript is a line gate",
+    ),
+    # brace wins over lorem (cascade order)
+    (
+        "lorem ipsum { both page gates fire on this one }",
+        False,
+        "brace",
+        "brace before lorem_ipsum",
+    ),
+    ("Lorem Ipsum dolor sit amet text here.", False, "lorem_ipsum", "lorem page gate"),
+    # tab-separated words count via the explicit [^ \t]+ class
+    (
+        "tab\tseparated\twords\tstill\tcount\there.\n"
+        "Spaces also separate words in this sentence. It ends with enough marks!",
+        True,
+        None,
+        "tabs separate words",
+    ),
+]
+
+
+def test_c4_twin_and_edges(spark):
+    rows = [(i, t) for i, (t, _, _, _) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_line_filter(df).collect()}
+    for i, (text, keep, reason, why) in enumerate(CASES):
+        exp = py_c4(i, text)
+        assert got[i] == exp, f"case {i} ({why}): {got[i]} != {exp}"
+        assert exp["keep"] is keep, f"case {i} ({why}): twin keep {exp['keep']}"
+        assert exp["drop_reason"] == reason, f"case {i} ({why})"
+
+
+def test_c4_matches_twin_on_planted_fixture(spark):
+    from bookextract_spark import queries as Q
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = docs.select("doc_id", Q._c4_planted_col().alias("text"))
+    got = {r["doc_id"]: r.asDict() for r in c4_line_filter(planted).collect()}
+    for row in planted.collect():
+        exp = py_c4(row["doc_id"], row["text"])
+        assert got[row["doc_id"]] == exp, f"doc {row['doc_id']}"
+    # every branch carries weight in the fixture
+    reasons = {r["drop_reason"] for r in got.values()}
+    assert reasons == {None, "brace", "lorem_ipsum", "too_few_sentences"}
+    assert any(r["keep"] for r in got.values())
+    # the line gates each fire somewhere: some doc keeps fewer lines
+    # than it has, and no doc keeps everything
+    assert all(r["n_kept"] < r["n_lines"] for r in got.values())
+
+
+def test_c4_short_line_word_count_boundary(spark):
+    # exactly C4_MIN_LINE_WORDS words is kept; one fewer is dropped
+    at = " ".join(["word"] * C4_MIN_LINE_WORDS)[:-4] + "ends."
+    under = " ".join(["word"] * (C4_MIN_LINE_WORDS - 1))[:-4] + "ends."
+    df = spark.createDataFrame([(0, at), (1, under)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in c4_line_filter(df).collect()}
+    assert rows[0]["n_kept"] == 1
+    assert rows[1]["n_kept"] == 0
+    assert len(WORD_RE.findall(at)) == C4_MIN_LINE_WORDS
+    assert len(WORD_RE.findall(under)) == C4_MIN_LINE_WORDS - 1

@@ -191,6 +191,11 @@ BUDGETS = {
     # and the session aggregation reuse it (partition-local sorts,
     # map-side partial combine on the groupBy).
     "sessionize": (1, 0, 0, 1),
+    # c4_line_filter: pure map (split/HOF-filter/join + page-gate
+    # CASE) — zero exchanges; the line filter stays a JVM higher-order
+    # lambda per the round-4 Arrow-negative result on payload-dominated
+    # text transforms.
+    "c4_line_filter": (0, 0, 0, 1),
     # streaming_extract's callable executes the two-drop availableNow
     # ingest scenario before returning the read-back frame — the
     # pinned plan is the per-conv digest over the output dir (one
