@@ -13,7 +13,8 @@ sandbox evidence for the north rule's N-vs-4N criterion (no real
 cluster available here).  Sibling modes on other axes:
 --skew-scaling (pathological 1.2M-turn conversation, salted vs plain),
 --data-scaling (fixed cores, 1x/2x/4x input),
---dedup-scaling (the MinHash dedup pass at N vs 4N cores).
+--dedup-scaling (the MinHash dedup pass at N vs 4N cores),
+--weak-scaling (fixed turns/core: N cores on 1x vs 4N cores on 4x).
 
 The transcripts fixture is generated deterministically (seed 42) at a
 size proportional to the scale factor and cached as parquet next to
@@ -277,6 +278,52 @@ def run_data_scaling() -> None:
     print(json.dumps(out))
 
 
+def run_weak_scaling() -> None:
+    """``--weak-scaling``: the third axis of the scale argument — FIXED
+    work per core.  local[N] runs the 1x organic fixture and local[4N]
+    runs the 4x fixture (same generator/seed family), so each core owns
+    the same number of turns at both points.  On a real cluster this is
+    the grow-the-fleet-with-the-corpus case; efficiency =
+    T_N(1x) / T_4N(4x) (ideal 1.0, bar >= 0.8).  Complements
+    --scaling (strong: fixed input, more cores) and --data-scaling
+    (fixed cores, growing input).  Prints one JSON line; recorded in
+    BENCH/BASELINE.md."""
+    n_lo, n_hi = (
+        int(os.environ.get("SPARK_GRAFT_SCALE_LO", 4)),
+        int(os.environ.get("SPARK_GRAFT_SCALE_HI", 16)),
+    )
+    base = int(os.environ.get("SPARK_GRAFT_DATA_SCALE_CONVS", 25_000))
+    warmup = str(transcripts_path(0.1, n_convs=400))
+    out = {
+        "metric": (
+            f"weak scaling (fixed turns/core): local[{n_lo}] on 1x vs "
+            f"local[{n_hi}] on {n_hi // n_lo}x input"
+        ),
+        "points": {},
+    }
+    secs = {}
+    for cores, mult in ((n_lo, 1), (n_hi, n_hi // n_lo)):
+        fixture = str(transcripts_path(0.1, n_convs=base * mult))
+        s = make_spark(cores)
+        sec, n = run_extraction(
+            s,
+            fixture,
+            max_runs=4,
+            min_runs=4,
+            warmup_fixture=warmup,
+            warmup_runs=3,
+        )
+        secs[cores] = sec
+        out["points"][f"local{cores}_{mult}x"] = {
+            "n_turns": n,
+            "sec": round(sec, 3),
+            "turns_per_sec": round(n / sec, 1),
+        }
+        s.stop()
+    out[f"efficiency_{n_lo}_to_{n_hi}"] = round(secs[n_lo] / secs[n_hi], 3)
+    print(json.dumps(out))
+
+
 def run_dedup_scaling() -> None:
     """``--dedup-scaling``: cores-scaling evidence for the DEDUP pass —
     the other headline 100 TB workload next to extraction.  Runs the
@@ -369,6 +416,9 @@ def main() -> None:
         return
     if "--dedup-scaling" in sys.argv:
         run_dedup_scaling()
+        return
+    if "--weak-scaling" in sys.argv:
+        run_weak_scaling()
         return
     scaling = "--scaling" in sys.argv
     sf = sf_factor(SF_DIR)

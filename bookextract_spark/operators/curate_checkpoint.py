@@ -1,0 +1,238 @@
+"""Checkpointed production curation: signals written once, the global
+decision built from the written table.
+
+The job-shaped version of
+:func:`bookextract_spark.operators.curation.curation_decisions` — the
+same two-stage split the dedup job uses
+(:mod:`bookextract_spark.operators.dedup_checkpoint`): the pure-map,
+text-touching half (:func:`curation.curation_signals` + the PII scrub,
+i.e. everything that reads the 100 TB payload) is materialized as a
+partitioned parquet table, bucket-granularly and resumably, and the
+corpus-wide half (:func:`curation.curation_decide` — the exact-dup
+canonicalization window + gate cascade) then reads that table's SLIM
+columns (id, fingerprint, lang, counts — the scrubbed payload is
+pruned at the scan), so a crash during the long payload pass never
+repeats completed work and the global decision touches no raw text.
+
+Layout under ``base_dir``::
+
+    signals/       parquet, partitioned by wbucket: doc_id, _fp,
+                   pred_lang, n_words, punct_ratio, scrubbed (+ the
+                   per-kind PII audit counts)
+    decisions/     parquet: curation_decide output
+    _manifest/     completion rows: stage + wbucket + metrics
+
+Protocol per signals batch: dynamic-partition-overwrite the batch's
+wbucket partitions, then append manifest rows — a crash between the
+two leaves the buckets absent from the manifest and the next run
+re-overwrites them (idempotent convergence, no duplicates).  The
+decisions stage records a ``stage='decisions'`` marker bound to the
+signal-bucket count it saw; a re-submit that adds signal buckets
+invalidates the marker and rebuilds decisions, a re-submit with
+nothing pending is a no-op.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from bookextract_spark.operators.checkpoint import (
+    N_BUCKETS_DEFAULT,
+    bucket_col,
+    load_manifest,
+    manifest_path,
+)
+from bookextract_spark.operators.curation import (
+    curation_decide,
+    curation_signals,
+    pii_columns,
+)
+
+_MANIFEST_SCHEMA = (
+    "stage string, wbucket int, run_id string, "
+    "batch_docs long, sig_buckets_seen int"
+)
+
+# the slim columns the decision stage reads back (scrubbed + audit
+# counts stay in the table for the downstream writer, pruned here)
+_DECISION_COLS = ("doc_id", "_fp", "pred_lang", "n_words", "punct_ratio")
+
+
+def signals_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "signals")
+
+
+def decisions_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "decisions")
+
+
+def _signals_frame(docs: DataFrame, id_col: str, text_col: str, n_buckets: int):
+    """wbucket + curation signals + PII-scrubbed payload, one pure-map
+    projection (the single pass over the raw text; the scrub rides in
+    ``extra_cols`` — join-free by construction)."""
+    extra = pii_columns(F.coalesce(F.col(text_col), F.lit("")))
+    sig = curation_signals(docs, id_col=id_col, text_col=text_col, extra_cols=extra)
+    return sig.select(
+        bucket_col(F.col("doc_id"), n_buckets).alias("wbucket"), "*"
+    )
+
+
+def pending_signal_buckets(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_dir: str,
+    id_col: str,
+    n_buckets: int,
+) -> list[int]:
+    """Work buckets present in the input but absent from the manifest's
+    signals rows — the anti-join that makes re-submits idempotent."""
+    have = docs.select(
+        bucket_col(F.col(id_col), n_buckets).alias("wbucket")
+    ).distinct()
+    manifest = load_manifest(spark, base_dir)
+    if manifest is not None:
+        done = (
+            manifest.where(F.col("stage") == "signals").select("wbucket").distinct()
+        )
+        have = have.join(done, "wbucket", "left_anti")
+    return sorted(r.wbucket for r in have.collect())
+
+
+def _completed_signal_buckets(spark: SparkSession, base_dir: str) -> int:
+    manifest = load_manifest(spark, base_dir)
+    if manifest is None:
+        return 0
+    return (
+        manifest.where(F.col("stage") == "signals")
+        .select("wbucket")
+        .distinct()
+        .count()
+    )
+
+
+def _decisions_marker_buckets(spark: SparkSession, base_dir: str) -> int | None:
+    """Signal-bucket count the last decisions build saw, or None."""
+    manifest = load_manifest(spark, base_dir)
+    if manifest is None:
+        return None
+    rows = (
+        manifest.where(F.col("stage") == "decisions")
+        .agg(F.max("sig_buckets_seen").alias("m"))
+        .collect()
+    )
+    return None if not rows or rows[0].m is None else int(rows[0].m)
+
+
+def run_curate_with_checkpoint(
+    spark: SparkSession,
+    docs: DataFrame,
+    base_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_punct: float = 0.2,
+    lang: str = "en",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    buckets_per_batch: int = 64,
+    fail_after_batches: int | None = None,
+    fail_before_manifest: bool = False,
+) -> dict:
+    """Resumable signals stage + decisions stage; see module docstring.
+
+    ``fail_after_batches`` / ``fail_before_manifest`` inject crashes
+    for the resume tests (after N completed signals batches, and inside
+    the data-write/manifest window, respectively) — mirrors
+    :func:`dedup_checkpoint.run_dedup_with_checkpoint`.
+    """
+    pending = pending_signal_buckets(spark, docs, base_dir, id_col, n_buckets)
+    run_id = uuid.uuid4().hex
+    sig_out = signals_path(base_dir)
+    done_batches = 0
+    written_buckets = 0
+
+    with_bucket = _signals_frame(docs, id_col, text_col, n_buckets)
+
+    for start in range(0, len(pending), buckets_per_batch):
+        batch = pending[start : start + buckets_per_batch]
+        obs = Observation(f"curate_sig_{run_id}_{start}")
+        subset = with_bucket.where(F.col("wbucket").isin(batch)).observe(
+            obs, F.count(F.lit(1)).alias("n_docs")
+        )
+        (
+            subset.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wbucket")
+            .parquet(sig_out)
+        )
+        if fail_before_manifest and done_batches == 0:
+            return {
+                "run_id": run_id,
+                "stage": "signals",
+                "completed_buckets": 0,
+                "pending_before": len(pending),
+                "decisions_built": False,
+                "crashed": True,
+            }
+        got = obs.get
+        rows = [("signals", int(b), run_id, None, None) for b in batch] + [
+            ("signals_metrics", None, run_id, got["n_docs"], None)
+        ]
+        spark.createDataFrame(rows, _MANIFEST_SCHEMA).withColumn(
+            "completed_at", F.current_timestamp()
+        ).write.mode("append").parquet(manifest_path(base_dir))
+        done_batches += 1
+        written_buckets += len(batch)
+        if fail_after_batches is not None and done_batches >= fail_after_batches:
+            return {
+                "run_id": run_id,
+                "stage": "signals",
+                "completed_buckets": written_buckets,
+                "pending_before": len(pending),
+                "decisions_built": False,
+                "crashed": True,
+            }
+
+    # ---- decisions stage: build from the WRITTEN signals table ------
+    sig_buckets = _completed_signal_buckets(spark, base_dir)
+    marker = _decisions_marker_buckets(spark, base_dir)
+    decisions_built = False
+    if sig_buckets > 0 and marker != sig_buckets:
+        # Explicit schema, the dedup-job lesson: an all-empty signals
+        # stage writes a data-less directory and schema inference would
+        # raise UNABLE_TO_INFER_SCHEMA permanently (buckets already
+        # manifest-complete).  With the schema pinned an empty table is
+        # an empty frame and the job converges to empty decisions.
+        slim = (
+            spark.read.schema(with_bucket.schema)
+            .parquet(sig_out)
+            .select(*_DECISION_COLS)
+        )
+        decisions = curation_decide(
+            slim, min_words=min_words, max_punct=max_punct, lang=lang
+        )
+        decisions.write.mode("overwrite").parquet(decisions_path(base_dir))
+        n_dec = (
+            spark.read.schema(decisions.schema)
+            .parquet(decisions_path(base_dir))
+            .count()
+        )
+        spark.createDataFrame(
+            [("decisions", None, run_id, int(n_dec), int(sig_buckets))],
+            _MANIFEST_SCHEMA,
+        ).withColumn("completed_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(manifest_path(base_dir))
+        decisions_built = True
+
+    return {
+        "run_id": run_id,
+        "stage": "decisions" if decisions_built else "noop",
+        "completed_buckets": written_buckets,
+        "pending_before": len(pending),
+        "decisions_built": decisions_built,
+        "crashed": False,
+    }

@@ -22,6 +22,78 @@ from bookextract_spark.operators.quality import (
 from bookextract_spark.functions.text import word_count_col
 
 
+def curation_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: dict[str, Column] | None = None,
+) -> DataFrame:
+    """The PURE-MAP half of the curation cascade: per-document signals
+    (fingerprint, language, word count, 6-dp punctuation ratio) with no
+    exchange.  :func:`curation_decide` adds the corpus-wide
+    canonicalization window and the gate cascade; the checkpointed
+    curation job writes this frame bucket-resumably and runs the
+    decision over the written table (see
+    :mod:`bookextract_spark.operators.curate_checkpoint`).
+
+    ``extra_cols`` (name -> Column over the RAW input row) are computed
+    in the same single pass and passed through — the join-free way to
+    carry e.g. the PII-scrubbed payload alongside the signals.
+    """
+    extra = extra_cols or {}
+    # hoisted lang-ID: the signal scans land as named columns in the
+    # first projection and the decision reads them in the second, so
+    # each regex runs once per row (see lang_id_from_score_cols — the
+    # single-Column form re-scans ~3x and dominated this op)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint_col(F.col(text_col)).alias("_fp"),
+        word_count_col(F.col(text_col)).alias("n_words"),
+        F.round(punct_ratio_col(F.col(text_col)), 6).alias("punct_ratio"),
+        *lang_score_cols(F.col(text_col)),
+        *[c.alias(n) for n, c in extra.items()],
+    ).select(
+        "doc_id",
+        "_fp",
+        lang_id_from_score_cols().alias("pred_lang"),
+        "n_words",
+        "punct_ratio",
+        *extra.keys(),
+    )
+
+
+def curation_decide(
+    signals: DataFrame,
+    min_words: int = 10,
+    max_punct: float = 0.2,
+    lang: str = "en",
+) -> DataFrame:
+    """The GLOBAL half of the curation cascade over a
+    :func:`curation_signals` frame: exact-dup canonicalization (lowest
+    id per fingerprint wins) + the gate cascade with the first failing
+    rule as the drop reason."""
+    w = Window.partitionBy("_fp")
+    d = signals.withColumn(
+        "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    reason = (
+        F.when(~F.col("is_canonical"), F.lit("duplicate"))
+        .when(F.col("pred_lang") != lang, F.lit("language"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("punct_ratio") > max_punct, F.lit("punctuation"))
+        .otherwise(F.lit("keep"))
+    )
+    return d.select(
+        "doc_id",
+        "pred_lang",
+        "n_words",
+        "punct_ratio",
+        "is_canonical",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
 def curation_decisions(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -39,42 +111,15 @@ def curation_decisions(
     Scale shape: one window over the fingerprint hash (same shuffle the
     exact-dedup groupBy needs anyway) + pure map columns; the
     punctuation ratio is compared on its 6-dp rounding so the gate is
-    reproducible across engines.
+    reproducible across engines.  Composed as
+    ``curation_decide(curation_signals(docs))`` so the checkpointed job
+    shares both halves by construction.
     """
-    # hoisted lang-ID: the signal scans land as named columns in the
-    # first projection and the decision reads them in the second, so
-    # each regex runs once per row (see lang_id_from_score_cols — the
-    # single-Column form re-scans ~3x and dominated this op)
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        fingerprint_col(F.col(text_col)).alias("_fp"),
-        word_count_col(F.col(text_col)).alias("n_words"),
-        F.round(punct_ratio_col(F.col(text_col)), 6).alias("punct_ratio"),
-        *lang_score_cols(F.col(text_col)),
-    ).select(
-        "doc_id",
-        "_fp",
-        lang_id_from_score_cols().alias("pred_lang"),
-        "n_words",
-        "punct_ratio",
-    )
-    w = Window.partitionBy("_fp")
-    d = d.withColumn("is_canonical", F.col("doc_id") == F.min("doc_id").over(w))
-    reason = (
-        F.when(~F.col("is_canonical"), F.lit("duplicate"))
-        .when(F.col("pred_lang") != lang, F.lit("language"))
-        .when(F.col("n_words") < min_words, F.lit("too_short"))
-        .when(F.col("punct_ratio") > max_punct, F.lit("punctuation"))
-        .otherwise(F.lit("keep"))
-    )
-    return d.select(
-        "doc_id",
-        "pred_lang",
-        "n_words",
-        "punct_ratio",
-        "is_canonical",
-        reason.alias("reason"),
-        (reason == "keep").alias("keep"),
+    return curation_decide(
+        curation_signals(docs, id_col=id_col, text_col=text_col),
+        min_words=min_words,
+        max_punct=max_punct,
+        lang=lang,
     )
 
 
@@ -294,22 +339,28 @@ def pii_scrub(
     both counts let the audit tell them apart).  Pure map — one chained
     regexp projection, no exchange; the Luhn fold is a higher-order
     expression over the (rare) matches only."""
-    x = F.coalesce(F.col(text_col), F.lit(""))
-    counts = []
+    cols = pii_columns(F.coalesce(F.col(text_col), F.lit("")))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+def pii_columns(x: Column) -> dict[str, Column]:
+    """The column-level form of :func:`pii_scrub` (name -> unaliased
+    Column): ``scrubbed`` first, then the per-kind audit counts — so
+    the checkpointed curation job can compose the scrub into its
+    signals projection without a self-join."""
+    counts: dict[str, Column] = {}
     scrubbed = x
     for kind, pat, repl in PII_PATTERNS:
         matches = F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))
-        counts.append(F.size(matches).cast("long").alias(f"n_{kind}"))
+        counts[f"n_{kind}"] = F.size(matches).cast("long")
         if kind == "credit_card":
-            counts.append(
-                F.size(F.filter(matches, luhn_valid_col))
-                .cast("long")
-                .alias("n_luhn_valid")
-            )
+            counts["n_luhn_valid"] = F.size(
+                F.filter(matches, luhn_valid_col)
+            ).cast("long")
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    return docs.select(
-        F.col(id_col).alias("doc_id"), scrubbed.alias("scrubbed"), *counts
-    )
+    return {"scrubbed": scrubbed, **counts}
 
 
 # C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the public

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the checkpointed curation pass.
+
+Ship with the packaged library::
+
+    spark-submit --py-files dist/bookextract_spark.zip jobs/curate_job.py \
+        --input /path/to/docs.parquet --output /path/to/curate_out
+
+The job materializes the per-document curation signals (fingerprint,
+language, counts) PLUS the PII-scrubbed payload ONCE as a partitioned
+parquet table (resumable at work-bucket granularity: a re-submit
+anti-joins the input's id buckets against the manifest and processes
+only missing buckets — second run on a completed output reports zero
+pending), then builds the corpus-wide keep/drop decisions (exact-dup
+canonicalization window + gate cascade) from the written table's slim
+columns so the global pass never re-reads raw text.  See
+:mod:`bookextract_spark.operators.curate_checkpoint`.
+
+Transcript-shaped inputs (conv_id, turn_idx, text) are supported via
+``--id-expr``, e.g. ``--id-expr "concat_ws(':', conv_id, turn_idx)"``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="iceberg:<table> | parquet path | table name")
+    p.add_argument("--output", required=True, help="output base dir (signals/ decisions/ _manifest/)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--id-expr", default=None, help="SQL expression for the doc id (overrides --id-col)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-words", type=int, default=10)
+    p.add_argument("--max-punct", type=float, default=0.2)
+    p.add_argument("--lang", default="en")
+    p.add_argument("--n-buckets", type=int, default=256)
+    p.add_argument("--buckets-per-batch", type=int, default=64)
+    p.add_argument("--where", default=None, help="optional pushdown predicate (SQL string)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from bookextract_spark.operators.curate_checkpoint import (
+        run_curate_with_checkpoint,
+    )
+    from bookextract_spark.session import get_spark
+    from bookextract_spark.sources.transcripts import load_transcripts
+
+    spark = get_spark(
+        app_name="bookextract-curate",
+        master="",
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    docs = load_transcripts(spark, args.input, where=args.where)
+    if args.id_expr:
+        docs = docs.withColumn("_curate_id", F.expr(args.id_expr))
+        id_col = "_curate_id"
+    else:
+        id_col = args.id_col
+    result = run_curate_with_checkpoint(
+        spark,
+        docs,
+        args.output,
+        id_col=id_col,
+        text_col=args.text_col,
+        min_words=args.min_words,
+        max_punct=args.max_punct,
+        lang=args.lang,
+        n_buckets=args.n_buckets,
+        buckets_per_batch=args.buckets_per_batch,
+    )
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,167 @@
+"""Checkpointed curation job (signals written once + global decisions):
+crash/resume semantics mirror test_dedup_job's three-run scenario, and
+the written decisions must equal the direct operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def _run(spark, docs, base, **kw):
+    from bookextract_spark.operators.curate_checkpoint import (
+        run_curate_with_checkpoint,
+    )
+
+    return run_curate_with_checkpoint(
+        spark, docs, str(base), n_buckets=16, buckets_per_batch=4, **kw
+    )
+
+
+def test_curate_job_three_run_crash_resume(spark, tmp_path, docs):
+    from bookextract_spark.operators.curate_checkpoint import (
+        decisions_path,
+        pending_signal_buckets,
+        signals_path,
+    )
+    from bookextract_spark.operators.curation import curation_decisions, pii_scrub
+
+    base = tmp_path / "curate_out"
+
+    # run 1: crash inside the data-write/manifest window of batch 1 —
+    # the written wbucket partitions are orphaned (absent from manifest)
+    r1 = _run(spark, docs, base, fail_before_manifest=True)
+    assert r1["crashed"] and r1["completed_buckets"] == 0
+    assert not r1["decisions_built"]
+    assert (
+        len(pending_signal_buckets(spark, docs, str(base), "doc_id", 16)) == 16
+    ), "orphaned partitions must NOT count as done"
+
+    # run 2: crash after two completed batches (8 of 16 buckets)
+    r2 = _run(spark, docs, base, fail_after_batches=2)
+    assert r2["crashed"] and r2["completed_buckets"] == 8
+    assert not r2["decisions_built"]
+    assert len(pending_signal_buckets(spark, docs, str(base), "doc_id", 16)) == 8
+
+    # run 3: completes the rest and builds decisions from the written
+    # table
+    r3 = _run(spark, docs, base)
+    assert not r3["crashed"] and r3["completed_buckets"] == 8
+    assert r3["decisions_built"]
+    assert pending_signal_buckets(spark, docs, str(base), "doc_id", 16) == []
+
+    # signals on disk: one row per doc (no dupes from the
+    # orphaned-partition re-overwrite), scrubbed payload matches the
+    # direct pii_scrub operator
+    sig = spark.read.parquet(signals_path(str(base)))
+    assert sig.count() == docs.count()
+    assert sig.select("doc_id").distinct().count() == docs.count()
+    got_scrub = sig.select("doc_id", "scrubbed", "n_email", "n_luhn_valid")
+    want_scrub = pii_scrub(docs).select(
+        "doc_id", "scrubbed", "n_email", "n_luhn_valid"
+    )
+    assert got_scrub.exceptAll(want_scrub).count() == 0
+    assert want_scrub.exceptAll(got_scrub).count() == 0
+
+    # decisions on disk == the direct operator output
+    got = spark.read.parquet(decisions_path(str(base)))
+    want = curation_decisions(docs)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() == docs.count()
+    # both branches of the cascade carry weight on this fixture
+    reasons = {r["reason"] for r in got.select("reason").distinct().collect()}
+    assert "keep" in reasons and len(reasons) > 1
+
+    # run 4: fully-complete output -> zero pending, decisions NOT
+    # rebuilt
+    r4 = _run(spark, docs, base)
+    assert r4["pending_before"] == 0
+    assert r4["completed_buckets"] == 0
+    assert not r4["decisions_built"] and r4["stage"] == "noop"
+
+
+def test_curate_job_empty_input_converges(spark, tmp_path):
+    """Zero input rows -> zero pending buckets, zero signal buckets, no
+    decisions stage — and the re-submit is the same no-op rather than a
+    schema-inference crash (the dedup-job lesson, pinned here too)."""
+    base = tmp_path / "curate_empty"
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r1 = _run(spark, empty, base)
+    assert not r1["crashed"] and r1["stage"] == "noop"
+    assert r1["pending_before"] == 0 and not r1["decisions_built"]
+    r2 = _run(spark, empty, base)
+    assert r2["stage"] == "noop" and r2["pending_before"] == 0
+
+
+def test_curate_job_decisions_rebuilt_when_buckets_grow(spark, tmp_path, docs):
+    """A re-submit that adds NEW id buckets must re-run decisions over
+    the widened signals table (the marker binds to the bucket count).
+    Work-unit granularity is the id BUCKET — new docs landing in
+    already-completed buckets are invisible by contract (append-only
+    corpora get a fresh base dir per drop, or the streaming ingest
+    path) — so the growth here is bucket-shaped by construction."""
+    from bookextract_spark.operators.checkpoint import bucket_col
+    from bookextract_spark.operators.curate_checkpoint import decisions_path
+    from bookextract_spark.operators.curation import curation_decisions
+
+    base = tmp_path / "curate_grow"
+    wb = bucket_col(F.col("doc_id"), 16)
+    low = docs.where(wb < 8)
+    r1 = _run(spark, low, base)
+    assert r1["decisions_built"]
+    assert spark.read.parquet(decisions_path(str(base))).count() == low.count()
+
+    r2 = _run(spark, docs, base)
+    assert r2["completed_buckets"] == 8, "only the new buckets run"
+    assert r2["decisions_built"], "new buckets must invalidate the marker"
+    got = spark.read.parquet(decisions_path(str(base)))
+    want = curation_decisions(docs)
+    assert got.count() == docs.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_curate_job_cli_smoke(spark, tmp_path, monkeypatch):
+    """jobs/curate_job.py end-to-end through its argparse surface,
+    including the --id-expr path for transcript-shaped input.  The
+    CLI's session teardown is neutered so it cannot stop the shared
+    test session (get_spark getOrCreate's the same one)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    try:
+        import curate_job
+    finally:
+        sys.path.pop(0)
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    out = tmp_path / "cli_out"
+    rc = curate_job.main(
+        [
+            "--input",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--id-expr",
+            "cast(doc_id as string)",
+            "--output",
+            str(out),
+            "--n-buckets",
+            "8",
+            "--buckets-per-batch",
+            "8",
+        ]
+    )
+    assert rc == 0
+    sig = spark.read.parquet(str(out / "signals"))
+    assert sig.count() > 0 and "scrubbed" in sig.columns
+    dec = spark.read.parquet(str(out / "decisions"))
+    assert dec.columns == [
+        "doc_id",
+        "pred_lang",
+        "n_words",
+        "punct_ratio",
+        "is_canonical",
+        "reason",
+        "keep",
+    ]
