@@ -292,6 +292,14 @@ def run_weak_scaling() -> None:
         int(os.environ.get("SPARK_GRAFT_SCALE_LO", 4)),
         int(os.environ.get("SPARK_GRAFT_SCALE_HI", 16)),
     )
+    if n_hi % n_lo != 0:
+        # a truncated multiplier would silently measure N vs ~4N cores
+        # against a non-matching input ratio and mislabel it "fixed
+        # turns/core"
+        raise SystemExit(
+            f"--weak-scaling needs SCALE_HI divisible by SCALE_LO "
+            f"(got {n_lo}, {n_hi})"
+        )
     base = int(os.environ.get("SPARK_GRAFT_DATA_SCALE_CONVS", 25_000))
     warmup = str(transcripts_path(0.1, n_convs=400))
     out = {

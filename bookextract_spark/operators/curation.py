@@ -367,14 +367,23 @@ def pii_columns(x: Column) -> dict[str, Column]:
 # "Colossal Clean Crawled Corpus" heuristics).  Constants shared with
 # the generated DuckDB oracle in queries.py so the engines cannot
 # drift.  Terminal set: the paper's "terminal punctuation mark"
-# (period, exclamation, question mark, end quotation mark).
-C4_TERMINAL_CHARS = (".", "!", "?", '"')
+# (period, exclamation, question mark, end quotation mark) — including
+# the typographic forms real web text uses (curly double/single close
+# quotes, ellipsis): a smart-quoted corpus would otherwise lose every
+# line.
+C4_TERMINAL_CHARS = (".", "!", "?", '"', "”", "’", "…")
 C4_MIN_LINE_WORDS = 5
 C4_MIN_SENTENCES = 3
-# words = runs of non-space (explicit class — no \s shorthand: Java's
-# \s includes \x0b where RE2's does not, and lines are already
-# newline-split so only spaces/tabs remain inside a line)
-C4_WORD_PATTERN = r"[^ \t]+"
+# trailing junk stripped before the terminal check: spaces, tabs, and
+# the \r a CRLF document leaves on every '\n'-split line (rtrim alone
+# strips only spaces — a CRLF page would drop every line).  Lines
+# contain no \n, so Java's $-before-final-terminator quirk and RE2's
+# end-of-text $ agree here.
+C4_LINE_TRAIL_PATTERN = r"[ \t\r]+$"
+# words = runs of non-whitespace (explicit class — no \s shorthand:
+# Java's \s includes \x0b where RE2's does not; \r excluded so a CRLF
+# line's last word isn't fused with the terminator)
+C4_WORD_PATTERN = r"[^ \t\r]+"
 # sentence proxy: terminal sentence marks in the CLEANED text (the
 # paper counts nltk sentences; a deterministic cross-engine gate wants
 # a closed form, documented as the approximation it is)
@@ -385,7 +394,7 @@ def c4_keep_line_col(line: Column) -> Column:
     """The C4 per-line keep predicate: ends in a terminal punctuation
     mark, has >= C4_MIN_LINE_WORDS words, and does not mention
     "javascript" (the paper's cookie/JS-notice heuristic)."""
-    rt = F.rtrim(line)
+    rt = F.regexp_replace(line, C4_LINE_TRAIL_PATTERN, "")
     return (
         F.substring(rt, -1, 1).isin(*C4_TERMINAL_CHARS)
         & (F.regexp_count(line, F.lit(C4_WORD_PATTERN)) >= C4_MIN_LINE_WORDS)

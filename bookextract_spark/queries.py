@@ -3951,6 +3951,12 @@ _C4_PLANT = (
     (None, False, "this line has seven words but no terminal punctuation"),
     (None, False, 'He said the quoted clause closes with "punctuation."'),
     (3, False, "Please enable javascript to view the full content here."),
+    # typographic close-quote terminal (kept) and a CRLF-style line
+    # whose trailing \r must be stripped before the terminal check
+    # (kept) — on sparse moduli so the %17 too-few-sentences branch
+    # keeps carrying weight
+    (7, False, "She closed the quoted thought with a curly mark.”"),
+    (19, False, "A carriage-return terminated sentence still keeps its words.\r"),
     # the only multi-sentence line: docs on %17 lose it and fall under
     # the 3-sentence page gate
     (17, True, "It starts here. It continues strongly. It ends with room to spare!"),
@@ -3977,6 +3983,8 @@ def _c4_planted_sql() -> str:
     parts = ["coalesce(text, '')"]
     for mod, invert, line in _C4_PLANT:
         lit = "chr(10) || '" + line.replace("'", "''") + "'"
+        # control chars go in as chr() concats, not raw bytes in the SQL
+        lit = lit.replace("\r", "' || chr(13) || '")
         if mod is None:
             parts.append(lit)
         else:
@@ -3999,6 +4007,7 @@ def q_c4_line_filter(spark, sf_dir):
 
 def _c4_sql() -> str:
     from bookextract_spark.operators.curation import (
+        C4_LINE_TRAIL_PATTERN,
         C4_MIN_LINE_WORDS,
         C4_MIN_SENTENCES,
         C4_SENTENCE_MARK_PATTERN,
@@ -4017,7 +4026,7 @@ filt AS (
   SELECT doc_id, x,
     len(string_split(x, chr(10)))::BIGINT AS n_lines,
     list_filter(string_split(x, chr(10)), l ->
-      right(rtrim(l), 1) IN ({terminals})
+      right(regexp_replace(l, '{C4_LINE_TRAIL_PATTERN}', ''), 1) IN ({terminals})
       AND len(regexp_extract_all(l, '{C4_WORD_PATTERN}')) >= {C4_MIN_LINE_WORDS}
       AND lower(l) NOT LIKE '%javascript%') AS kept
   FROM base

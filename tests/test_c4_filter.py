@@ -7,6 +7,7 @@ import re
 from pyspark.sql import functions as F
 
 from bookextract_spark.operators.curation import (
+    C4_LINE_TRAIL_PATTERN,
     C4_MIN_LINE_WORDS,
     C4_MIN_SENTENCES,
     C4_TERMINAL_CHARS,
@@ -15,10 +16,11 @@ from bookextract_spark.operators.curation import (
 )
 
 WORD_RE = re.compile(C4_WORD_PATTERN)
+TRAIL_RE = re.compile(C4_LINE_TRAIL_PATTERN)
 
 
 def py_keep_line(line: str) -> bool:
-    rt = line.rstrip(" ")
+    rt = TRAIL_RE.sub("", line)
     return (
         rt[-1:] in C4_TERMINAL_CHARS
         and len(WORD_RE.findall(line)) >= C4_MIN_LINE_WORDS
@@ -95,13 +97,33 @@ CASES = [
         "brace before lorem_ipsum",
     ),
     ("Lorem Ipsum dolor sit amet text here.", False, "lorem_ipsum", "lorem page gate"),
-    # tab-separated words count via the explicit [^ \t]+ class
+    # tab-separated words count via the explicit [^ \t\r]+ class
     (
         "tab\tseparated\twords\tstill\tcount\there.\n"
         "Spaces also separate words in this sentence. It ends with enough marks!",
         True,
         None,
         "tabs separate words",
+    ),
+    # CRLF document: every '\n'-split line carries a trailing \r that
+    # must be stripped before the terminal check, or the whole page
+    # is wrongly dropped
+    (
+        "First sentence of a Windows page lands here.\r\n"
+        "Second sentence of the same page follows along.\r\n"
+        "Third sentence closes the page with room to spare.\r",
+        True,
+        None,
+        "CRLF line endings",
+    ),
+    # typographic terminals: curly close quote and ellipsis count
+    (
+        "He agreed with the whole plan immediately.”\n"
+        "She trailed off while thinking about all of it…\n"
+        "It ended on plain periods like most sentences do. Twice over!",
+        True,
+        None,
+        "smart quote and ellipsis terminals",
     ),
 ]
 
