@@ -1,7 +1,10 @@
 #!/usr/bin/env bash
-# Package the library and spark-submit the extraction job.
+# Package the library and spark-submit one of the production jobs.
 #
-#   scripts/submit.sh --input <src> --output <dir> [job args...]
+#   scripts/submit.sh [extract|dedup|curate|stream] --input <src> --output <dir> [job args...]
+#
+# The job selector is optional and defaults to extract (backwards
+# compatible: a first argument starting with '-' goes to the job).
 #
 # Extra spark-submit conf via SUBMIT_EXTRA_OPTS, e.g.
 # (not SPARK_SUBMIT_OPTS — that env var is reserved by spark-submit itself
@@ -12,6 +15,16 @@ set -euo pipefail
 REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
 DIST="$REPO/dist"
 mkdir -p "$DIST"
+
+JOB="extract"
+if [[ $# -gt 0 && "$1" != -* ]]; then
+  JOB="$1"
+  shift
+fi
+case "$JOB" in
+  extract|dedup|curate|stream) ;;
+  *) echo "unknown job '$JOB' (expected extract|dedup|curate|stream)" >&2; exit 2 ;;
+esac
 
 # --py-files zip: the package only (tests/fixtures excluded)
 ( cd "$REPO" && rm -f "$DIST/bookextract_spark.zip" \
@@ -27,4 +40,4 @@ fi
 exec spark-submit \
   "${SUBMIT_OPTS[@]}" \
   --py-files "$DIST/bookextract_spark.zip" \
-  "$REPO/jobs/extract_job.py" "$@"
+  "$REPO/jobs/${JOB}_job.py" "$@"

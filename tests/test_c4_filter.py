@@ -167,3 +167,50 @@ def test_c4_short_line_word_count_boundary(spark):
     assert rows[1]["n_kept"] == 0
     assert len(WORD_RE.findall(at)) == C4_MIN_LINE_WORDS
     assert len(WORD_RE.findall(under)) == C4_MIN_LINE_WORDS - 1
+
+
+# --- property gate: Spark == pure-Python twin on adversarial pages ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# line fragments steering into every predicate branch: terminals
+# (ASCII + typographic), CRLF tails, tabs, javascript, page gates
+_C4_TOKENS = [
+    "A full sentence with enough words lands here.",
+    "short one.",
+    "no terminal punctuation on this line at all",
+    'quoted end with several words inside."',
+    "curly quoted close with plenty of words here.”",
+    "an ellipsis trail with words enough to count…",
+    "Enable JavaScript to continue reading this now.",
+    "tab\tseparated\twords\tcounting\tfine\there.",
+    "trailing spaces after the period land here.   ",
+    "crlf terminated sentence with enough words here.\r",
+    "lorem ipsum",
+    "{ code }",
+    "It starts. It continues. It ends!",
+    "",
+    " ",
+    "…",
+    ".",
+]
+
+_page = st.lists(st.sampled_from(_C4_TOKENS), min_size=0, max_size=8).map(
+    lambda parts: "\n".join(parts)
+)
+_pages = st.lists(st.one_of(st.none(), _page), min_size=1, max_size=12)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pages=_pages)
+def test_c4_matches_twin_on_generated_pages(spark, pages):
+    rows = [(i, t) for i, t in enumerate(pages)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_line_filter(df).collect()}
+    for i, t in enumerate(pages):
+        assert got[i] == py_c4(i, t), f"doc {i}: {t!r}"
