@@ -563,3 +563,131 @@ def lm_perplexity(docs, id_col: str = "doc_id", text_col: str = "text"):
         F.when(F.col("n_bigrams") > 0, avg).alias("avg_logp"),
         F.when(F.col("n_bigrams") > 0, F.round(F.exp(-avg), 6)).alias("perplexity"),
     )
+
+
+# Gopher document-quality rules (Rae et al. 2021, Appendix A1.1 — the
+# MassiveText filtering heuristics).  Constants shared with the
+# generated DuckDB oracle in queries.py so the engines cannot drift.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLET_CHARS = ("•", "-", "*")
+# symbols counted for the symbol-to-word ratio: hash marks plus both
+# ellipsis spellings ('...' counts as ONE symbol per run of three)
+GOPHER_SYMBOL_HASH = "#"
+GOPHER_SYMBOL_ELLIPSIS = "…"
+GOPHER_LINE_TRAIL = r"[ \t\r]+$"
+
+
+def gopher_rules(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+):
+    """Gopher-style document-quality gate (Rae et al. 2021): word-count
+    window, mean-word-length window, symbol-to-word ratio, bullet-/
+    ellipsis-line fractions, alphabetic-word fraction, and the
+    required-stopword presence count — with the FIRST failing rule as
+    the drop reason, in the paper's listing order.
+
+    Scale shape: a pure map, zero exchanges — two stacked projections
+    (the lang-ID hoisting lesson: signal scans land as named columns in
+    the first select, the cascade reads them in the second, so each
+    regex runs once per row).  Every ratio gate compares on its 6-dp
+    rounding (the cross-engine reproducibility pattern).  The intra-
+    document repetition gates from the same appendix live in
+    :func:`repetition_signals`.
+    """
+    x = F.coalesce(F.col(text_col), F.lit(""))
+    nx = collapse_ws_col(strip_col(x))
+    words = F.split(strip_col(x), r"\s+")
+    lines = F.split(x, "\n")
+
+    def rt(line):
+        return F.regexp_replace(line, GOPHER_LINE_TRAIL, "")
+
+    def lead_char(line):
+        return F.substring(F.ltrim(line), 1, 1)
+
+    n_hash = F.length(x) - F.length(F.replace(x, F.lit(GOPHER_SYMBOL_HASH)))
+    n_ell = F.length(x) - F.length(F.replace(x, F.lit(GOPHER_SYMBOL_ELLIPSIS)))
+    n_dots = (
+        (F.length(x) - F.length(F.replace(x, F.lit("...")))) / F.lit(3)
+    ).cast("long")
+    lx = F.lower(x)
+    n_req = None
+    for w in GOPHER_REQUIRED_STOPWORDS:
+        hit = (F.regexp_count(lx, F.lit(rf"\b{w}\b")) > 0).cast("int")
+        n_req = hit if n_req is None else n_req + hit
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_count_col(F.col(text_col)).alias("n_words"),
+        F.round(mean_word_len_col(F.col(text_col)), 6).alias("mean_word_len"),
+        (n_hash + n_ell + n_dots).cast("long").alias("_n_symbols"),
+        F.size(lines).cast("long").alias("_n_lines"),
+        F.size(
+            F.filter(lines, lambda l: lead_char(l).isin(*GOPHER_BULLET_CHARS))
+        ).cast("long").alias("_n_bullet"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: rt(l).endswith(GOPHER_SYMBOL_ELLIPSIS)
+                | rt(l).endswith("..."),
+            )
+        ).cast("long").alias("_n_ell_lines"),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("long")
+        .alias("_n_alpha"),
+        n_req.cast("int").alias("n_required_stopwords"),
+    )
+
+    def frac(num, den):
+        return F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(
+                num.cast("double") / den.cast("double")
+            ),
+            6,
+        )
+
+    d = d.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        frac(F.col("_n_symbols"), F.col("n_words")).alias("symbol_word_ratio"),
+        frac(F.col("_n_bullet"), F.col("_n_lines")).alias("bullet_line_frac"),
+        frac(F.col("_n_ell_lines"), F.col("_n_lines")).alias("ellipsis_line_frac"),
+        frac(F.col("_n_alpha"), F.col("n_words")).alias("alpha_word_frac"),
+        "n_required_stopwords",
+    )
+    reason = (
+        F.when(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+            F.lit("word_count"),
+        )
+        .when(
+            (F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len),
+            F.lit("mean_word_len"),
+        )
+        .when(F.col("symbol_word_ratio") > max_symbol_ratio, F.lit("symbol_ratio"))
+        .when(F.col("bullet_line_frac") > max_bullet_frac, F.lit("bullet_lines"))
+        .when(
+            F.col("ellipsis_line_frac") > max_ellipsis_frac, F.lit("ellipsis_lines")
+        )
+        .when(F.col("alpha_word_frac") < min_alpha_frac, F.lit("alpha_words"))
+        .when(
+            F.col("n_required_stopwords") < min_stopwords, F.lit("stopwords")
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return d.select(
+        "*", reason.alias("reason"), (reason == "keep").alias("keep")
+    )

@@ -4053,6 +4053,173 @@ FROM reasoned
 """
 
 
+# Planted fixture for the Gopher document-quality rules: replacement
+# payloads steer single gates, append payloads steer line/symbol/alpha
+# gates, and a stopword tail line keeps ordinary docs above the
+# required-stopword floor (the base vocabulary only contains 'the').
+# Spark column and DuckDB SQL are both generated from these constants.
+_GOPHER_SHORT = "tiny doc"  # %13: word_count (low)
+_GOPHER_LONGWORDS = " ".join(["incomprehensibilities"] * 50)  # %17: mean len high
+_GOPHER_TINYWORDS = " ".join(["a b c d e f g h i j"] * 6)  # %23: mean len low
+_GOPHER_BULLETS = "\n".join(["• item listed"] * 30)  # %5: bullet lines
+_GOPHER_ELLIPSIS = (
+    "first trailing thought goes on…\nsecond trailing thought goes on…"
+)  # %7: ellipsis lines
+_GOPHER_SYMBOLS = "### ### ### ### ### ... ... ..."  # %11: symbol ratio
+_GOPHER_NUMERICS = " ".join(["12345"] * 30)  # %19: alpha words
+_GOPHER_STOPLINE = "and that have with the story continues onward."  # omitted on %29
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB string-literal expression for ``s`` (quotes doubled,
+    control chars emitted as chr() concats, never raw bytes)."""
+    lit = "'" + s.replace("'", "''") + "'"
+    return lit.replace("\n", "' || chr(10) || '").replace("\r", "' || chr(13) || '")
+
+
+def _gopher_planted_col():
+    doc = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    body = (
+        F.when(doc % 13 == 0, F.lit(_GOPHER_SHORT))
+        .when(doc % 17 == 0, F.lit(_GOPHER_LONGWORDS))
+        .when(doc % 23 == 0, F.lit(_GOPHER_TINYWORDS))
+        .otherwise(
+            F.concat(
+                base,
+                F.when(doc % 5 == 0, F.lit("\n" + _GOPHER_BULLETS)).otherwise(
+                    F.lit("")
+                ),
+                F.when(doc % 7 == 0, F.lit("\n" + _GOPHER_ELLIPSIS)).otherwise(
+                    F.lit("")
+                ),
+                F.when(doc % 11 == 0, F.lit(" " + _GOPHER_SYMBOLS)).otherwise(
+                    F.lit("")
+                ),
+                F.when(doc % 19 == 0, F.lit(" " + _GOPHER_NUMERICS)).otherwise(
+                    F.lit("")
+                ),
+            )
+        )
+    )
+    return F.when(doc % 29 == 0, body).otherwise(
+        F.concat(body, F.lit("\n" + _GOPHER_STOPLINE))
+    )
+
+
+def _gopher_planted_sql() -> str:
+    return f"""CASE
+      WHEN doc_id % 13 = 0 THEN {_sql_str(_GOPHER_SHORT)}
+      WHEN doc_id % 17 = 0 THEN {_sql_str(_GOPHER_LONGWORDS)}
+      WHEN doc_id % 23 = 0 THEN {_sql_str(_GOPHER_TINYWORDS)}
+      ELSE coalesce(text, '')
+        || CASE WHEN doc_id % 5 = 0 THEN chr(10) || {_sql_str(_GOPHER_BULLETS)} ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN chr(10) || {_sql_str(_GOPHER_ELLIPSIS)} ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ' ' || {_sql_str(_GOPHER_SYMBOLS)} ELSE '' END
+        || CASE WHEN doc_id % 19 = 0 THEN ' ' || {_sql_str(_GOPHER_NUMERICS)} ELSE '' END
+      END
+      || CASE WHEN doc_id % 29 = 0 THEN '' ELSE chr(10) || {_sql_str(_GOPHER_STOPLINE)} END"""
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher document-quality gate (Rae et al. 2021 A1.1): word-count
+    and mean-word-length windows, symbol ratio, bullet/ellipsis line
+    fractions, alpha-word fraction, required-stopword floor — first
+    failing rule wins."""
+    from bookextract_spark.operators.quality import gopher_rules
+
+    d = _load(spark, sf_dir, "documents")
+    return gopher_rules(d.select("doc_id", _gopher_planted_col().alias("text")))
+
+
+def _gopher_sql() -> str:
+    import inspect
+
+    from bookextract_spark.operators.quality import (
+        GOPHER_BULLET_CHARS,
+        GOPHER_LINE_TRAIL,
+        GOPHER_REQUIRED_STOPWORDS,
+        gopher_rules,
+    )
+
+    # thresholds read off the operator's own signature defaults — the
+    # same no-drift rule as the pattern-generated oracles
+    g = {
+        k: v.default
+        for k, v in inspect.signature(gopher_rules).parameters.items()
+        if v.default is not inspect.Parameter.empty
+    }
+    bullets = ", ".join("'" + c + "'" for c in GOPHER_BULLET_CHARS)
+    req = " + ".join(
+        rf"CASE WHEN regexp_matches(lower(x), '\b{w}\b') THEN 1 ELSE 0 END"
+        for w in GOPHER_REQUIRED_STOPWORDS
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, {_gopher_planted_sql()} AS x FROM documents
+),
+n AS (
+  SELECT doc_id, x,
+    regexp_replace(regexp_replace(x, '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS nx
+  FROM base
+),
+w AS (
+  SELECT doc_id, x, nx,
+    CASE WHEN nx = '' THEN 0
+         ELSE length(nx) - length(replace(nx, ' ', '')) + 1 END AS n_words,
+    string_split(nx, ' ') AS words,
+    string_split(x, chr(10)) AS lines
+  FROM n
+),
+s AS (
+  SELECT doc_id, n_words::BIGINT AS n_words,
+    round(CASE WHEN n_words = 0 THEN 0.0
+          ELSE length(replace(nx, ' ', '')) / CAST(n_words AS DOUBLE) END, 6)
+      AS mean_word_len,
+    (length(x) - length(replace(x, '#', '')))
+      + (length(x) - length(replace(x, '…', '')))
+      + ((length(x) - length(replace(x, '...', ''))) // 3) AS n_symbols,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> left(ltrim(l), 1) IN ({bullets}))) AS n_bullet,
+    len(list_filter(lines, l ->
+        ends_with(regexp_replace(l, '{GOPHER_LINE_TRAIL}', ''), '…')
+        OR ends_with(regexp_replace(l, '{GOPHER_LINE_TRAIL}', ''), '...')))
+      AS n_ell_lines,
+    CASE WHEN nx = '' THEN 0
+         ELSE len(list_filter(words, t -> regexp_matches(t, '[A-Za-z]'))) END
+      AS n_alpha,
+    CAST({req} AS INT) AS n_required_stopwords
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_words, mean_word_len,
+    round(CASE WHEN n_words = 0 THEN 0.0
+          ELSE n_symbols / CAST(n_words AS DOUBLE) END, 6) AS symbol_word_ratio,
+    round(CASE WHEN n_lines = 0 THEN 0.0
+          ELSE n_bullet / CAST(n_lines AS DOUBLE) END, 6) AS bullet_line_frac,
+    round(CASE WHEN n_lines = 0 THEN 0.0
+          ELSE n_ell_lines / CAST(n_lines AS DOUBLE) END, 6) AS ellipsis_line_frac,
+    round(CASE WHEN n_words = 0 THEN 0.0
+          ELSE n_alpha / CAST(n_words AS DOUBLE) END, 6) AS alpha_word_frac,
+    n_required_stopwords
+  FROM s
+),
+reasoned AS (
+  SELECT *,
+    CASE WHEN n_words < {g['min_words']} OR n_words > {g['max_words']} THEN 'word_count'
+         WHEN mean_word_len < {g['min_mean_word_len']} OR mean_word_len > {g['max_mean_word_len']} THEN 'mean_word_len'
+         WHEN symbol_word_ratio > {g['max_symbol_ratio']} THEN 'symbol_ratio'
+         WHEN bullet_line_frac > {g['max_bullet_frac']} THEN 'bullet_lines'
+         WHEN ellipsis_line_frac > {g['max_ellipsis_frac']} THEN 'ellipsis_lines'
+         WHEN alpha_word_frac < {g['min_alpha_frac']} THEN 'alpha_words'
+         WHEN n_required_stopwords < {g['min_stopwords']} THEN 'stopwords'
+         ELSE 'keep' END AS reason
+  FROM r
+)
+SELECT *, (reason = 'keep') AS keep FROM reasoned
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4205,9 +4372,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # fully covered by the local parity replica + pytest.
     "tfidf_keywords": (q_tfidf_keywords, _sql_tfidf),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    # c4_line_filter ships in the final round-4 session under the same
-    # no-head-slot-remained policy as the two entries above.
+    # c4_line_filter and gopher_rules ship in the final round-4 session
+    # under the same no-head-slot-remained policy as the two entries
+    # above.
     "c4_line_filter": (q_c4_line_filter, _c4_sql),
+    "gopher_rules": (q_gopher_rules, _gopher_sql),
     # o15_chapter_titles demoted here in round 4 (swap with
     # simhash_near): its operator surface (S12 title lookup incl. the
     # 00_title edge) has a green driver row in CORRECTNESS_r03 and S12

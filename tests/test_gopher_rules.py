@@ -1,0 +1,133 @@
+"""Gopher document-quality rules (Rae et al. 2021 A1.1): pure-Python
+twin, per-reason hand cases, and the fixture-shaped cross-check."""
+
+import re
+
+from bookextract_spark.operators.quality import (
+    GOPHER_BULLET_CHARS,
+    GOPHER_LINE_TRAIL,
+    GOPHER_REQUIRED_STOPWORDS,
+    gopher_rules,
+)
+
+TRAIL_RE = re.compile(GOPHER_LINE_TRAIL)
+
+
+def _round6(v: float) -> float:
+    # half-away-from-zero, the engines' rounding (Python round is banker's)
+    import math
+
+    return math.floor(v * 1e6 + 0.5) / 1e6 if v >= 0 else -math.floor(-v * 1e6 + 0.5) / 1e6
+
+
+def py_gopher(doc_id, text):
+    x = text or ""
+    nx = re.sub(r"\s+", " ", x.strip())
+    words = x.split()
+    n_words = len(words)
+    mean_wl = _round6(len(nx.replace(" ", "")) / n_words) if n_words else 0.0
+    n_symbols = (
+        x.count("#") + x.count("…") + (len(x) - len(x.replace("...", ""))) // 3
+    )
+    lines = x.split("\n")
+    n_bullet = sum(1 for l in lines if l.lstrip(" ")[:1] in GOPHER_BULLET_CHARS)
+
+    def rt(l):
+        return TRAIL_RE.sub("", l)
+
+    n_ell = sum(1 for l in lines if rt(l).endswith("…") or rt(l).endswith("..."))
+    n_alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    lx = x.lower()
+    n_req = sum(1 for w in GOPHER_REQUIRED_STOPWORDS if re.search(rf"\b{w}\b", lx))
+
+    def frac(num, den):
+        return _round6(num / den) if den else 0.0
+
+    sym = frac(n_symbols, n_words)
+    bull = frac(n_bullet, len(lines))
+    ell = frac(n_ell, len(lines))
+    alpha = frac(n_alpha, n_words)
+    if n_words < 50 or n_words > 100_000:
+        reason = "word_count"
+    elif mean_wl < 3.0 or mean_wl > 10.0:
+        reason = "mean_word_len"
+    elif sym > 0.1:
+        reason = "symbol_ratio"
+    elif bull > 0.9:
+        reason = "bullet_lines"
+    elif ell > 0.3:
+        reason = "ellipsis_lines"
+    elif alpha < 0.8:
+        reason = "alpha_words"
+    elif n_req < 2:
+        reason = "stopwords"
+    else:
+        reason = "keep"
+    return {
+        "doc_id": doc_id,
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": sym,
+        "bullet_line_frac": bull,
+        "ellipsis_line_frac": ell,
+        "alpha_word_frac": alpha,
+        "n_required_stopwords": n_req,
+        "reason": reason,
+        "keep": reason == "keep",
+    }
+
+
+_OK_TAIL = " the and that have with words keep flowing through the page now"
+_FIFTY = " ".join(["plain"] * 50)
+
+CASES = [
+    (_FIFTY + _OK_TAIL, "keep"),
+    (" ".join(["word"] * 49), "word_count"),  # 49 < 50
+    (" ".join(["word"] * 50) + " the and", "keep"),  # 52 words, boundary passed
+    ("", "word_count"),
+    (None, "word_count"),
+    (" ".join(["ab"] * 60) + _OK_TAIL, "mean_word_len"),  # low mean
+    (" ".join(["incomprehensibilities"] * 60), "mean_word_len"),  # high mean
+    (_FIFTY + " # # # # # # # #" + _OK_TAIL, "symbol_ratio"),
+    ("\n".join(["• bullet line"] * 40) + "\n" + _FIFTY + _OK_TAIL, "bullet_lines"),
+    (
+        "\n".join([_FIFTY + "…"] * 2) + "\n" + _FIFTY + _OK_TAIL,
+        "ellipsis_lines",
+    ),  # 2 of 3 lines end in ellipsis
+    (" ".join(["123"] * 30) + " " + _FIFTY + _OK_TAIL, "alpha_words"),
+    (_FIFTY + " nothing matches here beyond plain vocabulary", "stopwords"),
+]
+
+
+def test_gopher_twin_and_reasons(spark):
+    rows = [(i, t) for i, (t, _) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    for i, (text, reason) in enumerate(CASES):
+        exp = py_gopher(i, text)
+        assert exp["reason"] == reason, f"case {i}: twin says {exp['reason']}"
+        assert got[i] == exp, f"case {i}: {got[i]} != {exp}"
+
+
+def test_gopher_matches_twin_on_planted_fixture(spark):
+    from bookextract_spark import queries as Q
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = docs.select("doc_id", Q._gopher_planted_col().alias("text"))
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(planted).collect()}
+    reasons = set()
+    for row in planted.collect():
+        exp = py_gopher(row["doc_id"], row["text"])
+        assert got[row["doc_id"]] == exp, f"doc {row['doc_id']}"
+        reasons.add(exp["reason"])
+    # every gate carries weight in the driver fixture
+    assert reasons == {
+        "keep",
+        "word_count",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_lines",
+        "ellipsis_lines",
+        "alpha_words",
+        "stopwords",
+    }

@@ -196,6 +196,9 @@ BUDGETS = {
     # lambda per the round-4 Arrow-negative result on payload-dominated
     # text transforms.
     "c4_line_filter": (0, 0, 0, 1),
+    # gopher_rules: pure map, two stacked projections (hoisted signal
+    # scans), zero exchanges.
+    "gopher_rules": (0, 0, 0, 1),
     # streaming_extract's callable executes the two-drop availableNow
     # ingest scenario before returning the read-back frame — the
     # pinned plan is the per-conv digest over the output dir (one
