@@ -131,3 +131,47 @@ def test_gopher_matches_twin_on_planted_fixture(spark):
         "alpha_words",
         "stopwords",
     }
+
+
+# --- property gate: Spark == pure-Python twin on adversarial pages ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# fragments steering into every gate: bullets, ellipsis (both
+# spellings), symbols, numerics, long/short words, stopwords, CRLF
+_G_TOKENS = [
+    "plain words fill the line here",
+    "• bullet item",
+    "- dashed item",
+    "* starred item",
+    "trailing thought goes on…",
+    "dotted trail goes on...",
+    "### ### ###",
+    "12345 67890 13579",
+    "incomprehensibilities internationalization",
+    "a b c d e",
+    "the and that have with",
+    "crlf tail\r",
+    "",
+    " ",
+]
+
+_g_page = st.lists(st.sampled_from(_G_TOKENS), min_size=0, max_size=10).map(
+    lambda parts: "\n".join(parts)
+)
+_g_pages = st.lists(st.one_of(st.none(), _g_page), min_size=1, max_size=12)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(pages=_g_pages)
+def test_gopher_matches_twin_on_generated_pages(spark, pages):
+    rows = [(i, t) for i, t in enumerate(pages)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    for i, t in enumerate(pages):
+        assert got[i] == py_gopher(i, t), f"doc {i}: {t!r}"
