@@ -63,6 +63,19 @@ def pending_buckets(
     return sorted(r.bucket for r in have.collect())
 
 
+def observation_metrics(obs, zeros: dict) -> dict:
+    """``obs.get`` tolerant of AQE empty-relation propagation: when a
+    batch's plan is provably empty (e.g. every doc too short to emit a
+    signature row), AQE collapses the subtree to an empty relation and
+    the CollectMetrics node never runs — ``obs.get`` then raises
+    instead of returning a zero row.  Metrics can only be missing in
+    that no-rows case, so ``zeros`` IS the exact answer."""
+    try:
+        return obs.get
+    except Exception:
+        return dict(zeros)
+
+
 def run_with_checkpoint(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -73,6 +86,7 @@ def run_with_checkpoint(
     fail_before_manifest: bool = False,
     salt_bucket_size: int | str | None = None,
     unicode_ws: bool = False,
+    repartition_output: bool = True,
 ) -> dict:
     """Extraction with bucket-granular checkpointing.
 
@@ -128,17 +142,29 @@ def run_with_checkpoint(
             # octet_length = real utf-8 bytes (length() counts chars)
             F.sum(F.octet_length(F.col("extracted_text"))).alias("bytes_out"),
         )
+        # extract_turns prunes to (conv_id, turn_idx, ...); the bucket
+        # is a pure function of conv_id, so recompute it for the
+        # partitioned write
+        out_frame = observed.select(
+            bucket_col(F.col("conv_id"), n_buckets).alias("bucket"),
+            "conv_id",
+            "turn_idx",
+            "extracted_text",
+        )
+        if repartition_output:
+            # co-locate each bucket on one task before partitionBy:
+            # without this every write task emits a file into every
+            # bucket dir (tasks x buckets files — measured 8192 files
+            # and a ~70 s SERIAL driver-side commit per run on the
+            # 3.47M-turn fixture, the term that did not scale with
+            # cores).  One extra exchange of the output rows buys
+            # 1 file per bucket and a commit proportional to buckets,
+            # not tasks x buckets.  Disable for pathologically skewed
+            # outputs where one bucket dominates (the old layout
+            # spreads a hot bucket's write across all tasks).
+            out_frame = out_frame.repartition(F.col("bucket"))
         (
-            # extract_turns prunes to (conv_id, turn_idx, ...); the bucket
-            # is a pure function of conv_id, so recompute it for the
-            # partitioned write
-            observed.select(
-                bucket_col(F.col("conv_id"), n_buckets).alias("bucket"),
-                "conv_id",
-                "turn_idx",
-                "extracted_text",
-            )
-            .write.mode("overwrite")
+            out_frame.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(out_path)
@@ -156,7 +182,9 @@ def run_with_checkpoint(
         # (bucket NULL) carrying the observed totals.  Batch totals on a
         # single row cannot be over-attributed per bucket by downstream
         # aggregation, and the manifest append job reads no input data.
-        got = obs.get
+        got = observation_metrics(
+            obs, {"n_turns": 0, "n_convs": 0, "bytes_out": 0}
+        )
         bucket_rows = [
             (int(b), run_id, None, None, None) for b in batch
         ] + [(None, run_id, got["n_turns"], got["n_convs"], got["bytes_out"])]

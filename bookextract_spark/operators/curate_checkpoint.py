@@ -45,6 +45,7 @@ from bookextract_spark.operators.checkpoint import (
     bucket_col,
     load_manifest,
     manifest_path,
+    observation_metrics,
 )
 from bookextract_spark.operators.curation import (
     curation_decide,
@@ -163,7 +164,10 @@ def run_curate_with_checkpoint(
             obs, F.count(F.lit(1)).alias("n_docs")
         )
         (
-            subset.write.mode("overwrite")
+            # co-locate each wbucket on one task before partitionBy —
+            # see the measurement note in checkpoint.run_with_checkpoint
+            subset.repartition(F.col("wbucket"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("wbucket")
             .parquet(sig_out)
@@ -177,7 +181,7 @@ def run_curate_with_checkpoint(
                 "decisions_built": False,
                 "crashed": True,
             }
-        got = obs.get
+        got = observation_metrics(obs, {"n_docs": 0})
         rows = [("signals", int(b), run_id, None, None) for b in batch] + [
             ("signals_metrics", None, run_id, got["n_docs"], None)
         ]

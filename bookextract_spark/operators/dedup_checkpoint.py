@@ -43,6 +43,7 @@ from bookextract_spark.operators.checkpoint import (
     bucket_col,
     load_manifest,
     manifest_path,
+    observation_metrics,
 )
 from bookextract_spark.operators.dedup import (
     _banded_candidates,
@@ -160,7 +161,13 @@ def run_dedup_with_checkpoint(
             F.approx_count_distinct("id").alias("n_docs"),
         )
         (
-            banded.write.mode("overwrite")
+            # co-locate each wbucket on one task before partitionBy —
+            # without this every write task emits a file into every
+            # wbucket dir (tasks x buckets files and a serial commit
+            # proportional to that product; see the measurement note in
+            # checkpoint.run_with_checkpoint)
+            banded.repartition(F.col("wbucket"))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("wbucket")
             .parquet(sig_out)
@@ -174,7 +181,7 @@ def run_dedup_with_checkpoint(
                 "pairs_built": False,
                 "crashed": True,
             }
-        got = obs.get
+        got = observation_metrics(obs, {"sig_rows": 0, "n_docs": 0})
         rows = [("signatures", int(b), run_id, None, None, None) for b in batch] + [
             ("signatures_metrics", None, run_id, got["n_docs"], got["sig_rows"], None)
         ]

@@ -1,0 +1,71 @@
+"""Partitioned-write layout: each checkpoint runner must co-locate a
+bucket on one task before partitionBy, so a bucket dir holds ONE data
+file instead of one per write task (tasks x buckets files made the
+serial driver-side commit the non-scaling term of the submitted job —
+measured 8192 files / ~70 s commit on the 3.47M-turn fixture before
+the fix; see checkpoint.run_with_checkpoint)."""
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+
+def _files_per_partition(root: str, prefix: str):
+    counts = {}
+    for d in Path(root).iterdir():
+        if d.is_dir() and d.name.startswith(prefix):
+            counts[d.name] = len(list(d.glob("*.parquet")))
+    return counts
+
+
+def test_extraction_write_one_file_per_bucket(spark, tmp_path):
+    from bookextract_spark.operators.checkpoint import run_with_checkpoint
+
+    rows = [(f"c{i}", j, f"turn text {i} {j}") for i in range(40) for j in range(3)]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    # many more tasks than buckets: repartition(20) makes the pre-fix
+    # layout emit up to 20 files per bucket dir
+    r = run_with_checkpoint(
+        spark, t.repartition(20), str(tmp_path / "x"), n_buckets=8
+    )
+    assert not r["crashed"]
+    counts = _files_per_partition(str(tmp_path / "x" / "turns"), "bucket=")
+    assert counts and all(n == 1 for n in counts.values()), counts
+
+
+def test_dedup_signatures_one_file_per_bucket(spark, tmp_path):
+    from bookextract_spark.operators.dedup_checkpoint import (
+        run_dedup_with_checkpoint,
+        signatures_path,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared document text number {i} with enough words")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    r = run_dedup_with_checkpoint(
+        spark, docs.repartition(20), str(tmp_path / "d"), n_buckets=8
+    )
+    assert not r["crashed"]
+    counts = _files_per_partition(signatures_path(str(tmp_path / "d")), "wbucket=")
+    assert counts and all(n == 1 for n in counts.values()), counts
+
+
+def test_curate_signals_one_file_per_bucket(spark, tmp_path):
+    from bookextract_spark.operators.curate_checkpoint import (
+        run_curate_with_checkpoint,
+        signals_path,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"plain document text number {i} with several words")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    r = run_curate_with_checkpoint(
+        spark, docs.repartition(20), str(tmp_path / "c"), n_buckets=8
+    )
+    assert not r["crashed"]
+    counts = _files_per_partition(signals_path(str(tmp_path / "c")), "wbucket=")
+    assert counts and all(n == 1 for n in counts.values()), counts
