@@ -691,3 +691,84 @@ def gopher_rules(
     return d.select(
         "*", reason.alias("reason"), (reason == "keep").alias("keep")
     )
+
+
+def corpus_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_bucket_width: int = 100,
+):
+    """Corpus data-card: the summary table a dataset release reports —
+    global totals (docs, words, chars, distinct fingerprints), the
+    language histogram, and a fixed-width document-length histogram —
+    as ONE long-format frame ``(metric, key, value)``.
+
+    Scale shape: a single GROUPING SETS pass — one scan, one shuffle
+    (partial-combined; the distinct-fingerprint count rides the same
+    exchange via Spark's expand) — then the few-row aggregate is
+    locally checkpointed (the lm_perplexity single-execution pattern)
+    so the three shape-specific projections and their union never
+    re-touch the corpus.  ``key`` is NULL on global rows, the language
+    on ``lang_docs`` rows, and the bucket's start offset on
+    ``len_bucket_docs`` rows.
+    """
+    x = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(
+        fingerprint_col(F.col(text_col)).alias("_fp"),
+        word_count_col(F.col(text_col)).alias("_w"),
+        F.length(x).cast("long").alias("_c"),
+        *lang_score_cols(F.col(text_col)),
+    ).select(
+        "_fp",
+        "_w",
+        "_c",
+        lang_id_from_score_cols().alias("_lang"),
+        (F.floor(F.col("_c") / len_bucket_width) * len_bucket_width)
+        .cast("long")
+        .alias("_bucket"),
+    )
+    agg = (
+        base.groupingSets([[], ["_lang"], ["_bucket"]], "_lang", "_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_w").alias("_sw"),
+            F.sum("_c").alias("_sc"),
+            F.countDistinct("_fp").alias("_d"),
+        )
+        # few rows (languages + buckets + 1); one execution feeds the
+        # three branch projections below
+        .localCheckpoint(eager=True)
+    )
+
+    def row(metric, key, value):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            key.cast("string").alias("key"),
+            value.cast("long").alias("value"),
+        )
+
+    langs = agg.where(F.col("_lang").isNotNull()).select(
+        F.lit("lang_docs").alias("metric"),
+        F.col("_lang").alias("key"),
+        F.col("_cnt").cast("long").alias("value"),
+    )
+    buckets = agg.where(F.col("_bucket").isNotNull()).select(
+        F.lit("len_bucket_docs").alias("metric"),
+        F.col("_bucket").cast("string").alias("key"),
+        F.col("_cnt").cast("long").alias("value"),
+    )
+    null_key = F.lit(None).cast("string")
+    glob = agg.where(
+        F.col("_lang").isNull() & F.col("_bucket").isNull()
+    ).select(
+        F.inline(
+            F.array(
+                row("n_docs", null_key, F.col("_cnt")),
+                row("n_words", null_key, F.col("_sw")),
+                row("n_chars", null_key, F.col("_sc")),
+                row("n_distinct_fp", null_key, F.col("_d")),
+            )
+        )
+    )
+    return langs.unionByName(buckets).unionByName(glob)

@@ -4220,6 +4220,57 @@ SELECT *, (reason = 'keep') AS keep FROM reasoned
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Corpus data-card: global totals + language and length histograms
+    in one GROUPING SETS pass over the documents table."""
+    from bookextract_spark.operators.quality import corpus_stats
+
+    return corpus_stats(_load(spark, sf_dir, "documents"))
+
+
+def _corpus_stats_sql() -> str:
+    return rf"""
+WITH s AS (
+  SELECT doc_id,
+    md5(lower(regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
+        '\s+', ' ', 'g'))) AS fp,
+    CASE WHEN regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
+              '\s+', ' ', 'g') = '' THEN 0
+         ELSE length(regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
+              '\s+', ' ', 'g'))
+            - length(replace(regexp_replace(regexp_replace(coalesce(text,''),
+              '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'), ' ', '')) + 1 END AS w,
+    length(coalesce(text, '')) AS c,
+    {_lang_sql_scores()}
+  FROM documents
+),
+base AS (
+  SELECT fp, w, c,
+    {_lang_sql_case()} AS lang,
+    (c // 100) * 100 AS bucket
+  FROM s
+),
+agg AS (
+  SELECT lang, bucket,
+    count(*) AS cnt, sum(w) AS sw, sum(c) AS sc, count(DISTINCT fp) AS d
+  FROM base GROUP BY GROUPING SETS ((), (lang), (bucket))
+)
+SELECT 'lang_docs' AS metric, lang AS key, cnt::BIGINT AS value
+FROM agg WHERE lang IS NOT NULL
+UNION ALL
+SELECT 'len_bucket_docs', CAST(bucket AS VARCHAR), cnt::BIGINT
+FROM agg WHERE bucket IS NOT NULL
+UNION ALL
+SELECT 'n_docs', NULL, cnt::BIGINT FROM agg WHERE lang IS NULL AND bucket IS NULL
+UNION ALL
+SELECT 'n_words', NULL, sw::BIGINT FROM agg WHERE lang IS NULL AND bucket IS NULL
+UNION ALL
+SELECT 'n_chars', NULL, sc::BIGINT FROM agg WHERE lang IS NULL AND bucket IS NULL
+UNION ALL
+SELECT 'n_distinct_fp', NULL, d::BIGINT FROM agg WHERE lang IS NULL AND bucket IS NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4247,9 +4298,10 @@ SELECT *, (reason = 'keep') AS keep FROM reasoned
 #          by a2_book_totals, t10 carries green r02+r03 rows) — if the
 #          driver truncates, ONLY these lose rows and no operator loses
 #          its driver proof across rounds.  One exception is explicit:
-#          tfidf_keywords, sessionize, and c4_line_filter (tail head,
-#          new in round 4) have local parity + pytest only — no
-#          safely-demotable head slot remained for them.
+#          tfidf_keywords, sessionize, c4_line_filter, gopher_rules,
+#          and corpus_stats (tail head, new in round 4) have local
+#          parity + pytest only — no safely-demotable head slot
+#          remained for them.
 # Twin variants whose only job is cross-checking a default-hash path
 # (md5 twins of minhash/simhash, the sha-fake image plumbing twin, the
 # O(n^2) near-dup verifier) live in _LOCAL_REGISTRY: still oracle-checked
@@ -4372,11 +4424,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # fully covered by the local parity replica + pytest.
     "tfidf_keywords": (q_tfidf_keywords, _sql_tfidf),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    # c4_line_filter and gopher_rules ship in the final round-4 session
-    # under the same no-head-slot-remained policy as the two entries
-    # above.
+    # c4_line_filter, gopher_rules, and corpus_stats ship in the final
+    # round-4 session under the same no-head-slot-remained policy as
+    # the two entries above.
     "c4_line_filter": (q_c4_line_filter, _c4_sql),
     "gopher_rules": (q_gopher_rules, _gopher_sql),
+    "corpus_stats": (q_corpus_stats, _corpus_stats_sql),
     # o15_chapter_titles demoted here in round 4 (swap with
     # simhash_near): its operator surface (S12 title lookup incl. the
     # 00_title edge) has a green driver row in CORRECTNESS_r03 and S12

@@ -1,0 +1,50 @@
+"""Corpus data-card (`quality.corpus_stats`): histogram/total
+consistency invariants plus a hand-built frame with known values."""
+
+from pyspark.sql import functions as F
+
+from bookextract_spark.operators.quality import corpus_stats
+
+
+def _rows(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["metric"], {})[r["key"]] = r["value"]
+    return out
+
+
+def test_corpus_stats_hand_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # 43 chars, 9 words
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (3, "a" * 250),  # bucket 200, 1 word
+            (4, None),  # empty: 0 words, 0 chars, bucket 0
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(corpus_stats(docs))
+    assert got["n_docs"][None] == 4
+    assert got["n_words"][None] == 9 + 9 + 1 + 0
+    assert got["n_chars"][None] == 43 + 43 + 250 + 0
+    # docs 1 and 2 share a fingerprint
+    assert got["n_distinct_fp"][None] == 3
+    assert got["len_bucket_docs"] == {"0": 3, "200": 1}
+    # histograms partition the corpus
+    assert sum(got["lang_docs"].values()) == 4
+    assert sum(got["len_bucket_docs"].values()) == 4
+
+
+def test_corpus_stats_consistency_on_fixture(spark):
+    from bookextract_spark.operators.quality import fingerprint_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = _rows(corpus_stats(docs))
+    n = docs.count()
+    assert got["n_docs"][None] == n
+    assert sum(got["lang_docs"].values()) == n
+    assert sum(got["len_bucket_docs"].values()) == n
+    d = docs.select(fingerprint_col(F.col("text")).alias("f")).distinct().count()
+    assert got["n_distinct_fp"][None] == d
+    # bucket keys are width-aligned offsets
+    assert all(int(k) % 100 == 0 for k in got["len_bucket_docs"])

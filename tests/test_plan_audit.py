@@ -199,6 +199,12 @@ BUDGETS = {
     # gopher_rules: pure map, two stacked projections (hoisted signal
     # scans), zero exchanges.
     "gopher_rules": (0, 0, 0, 1),
+    # corpus_stats: the corpus-touching work is ONE grouping-sets pass
+    # (one scan + one expand-combined exchange) materialized by
+    # localCheckpoint (the lm_perplexity pattern); the audited final
+    # plan is the three-branch union over the checkpointed few-row
+    # frame — ExistingRDD scans only.
+    "corpus_stats": (0, 0, 0, 0),
     # streaming_extract's callable executes the two-drop availableNow
     # ingest scenario before returning the read-back frame — the
     # pinned plan is the per-conv digest over the output dir (one
