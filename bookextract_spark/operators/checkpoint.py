@@ -63,17 +63,24 @@ def pending_buckets(
     return sorted(r.bucket for r in have.collect())
 
 
-def observation_metrics(obs, zeros: dict) -> dict:
+def observation_metrics(obs, fallback) -> dict:
     """``obs.get`` tolerant of AQE empty-relation propagation: when a
     batch's plan is provably empty (e.g. every doc too short to emit a
-    signature row), AQE collapses the subtree to an empty relation and
-    the CollectMetrics node never runs — ``obs.get`` then raises
-    instead of returning a zero row.  Metrics can only be missing in
-    that no-rows case, so ``zeros`` IS the exact answer."""
+    signature row), AQE can collapse the subtree to an empty relation,
+    the CollectMetrics node never runs, and ``obs.get`` raises instead
+    of returning a zero row (observed under repartition + dynamic
+    partition overwrite on an all-empty batch).  The failure cannot be
+    distinguished from a transient driver error, so the fallback is
+    never an assumption: ``fallback()`` must RECOMPUTE the metrics
+    from ground truth (read back the batch that was just written) —
+    a transient failure on a non-empty batch then records correct
+    totals, not silent zeros.  Delivered rows from genuinely empty
+    input carry NULL sums; those are normalized to 0."""
     try:
-        return obs.get
+        got = obs.get
     except Exception:
-        return dict(zeros)
+        return fallback()
+    return {k: (0 if v is None else v) for k, v in got.items()}
 
 
 def run_with_checkpoint(
@@ -182,9 +189,25 @@ def run_with_checkpoint(
         # (bucket NULL) carrying the observed totals.  Batch totals on a
         # single row cannot be over-attributed per bucket by downstream
         # aggregation, and the manifest append job reads no input data.
-        got = observation_metrics(
-            obs, {"n_turns": 0, "n_convs": 0, "bytes_out": 0}
-        )
+        def _recount(batch=batch, schema=out_frame.schema):
+            # ground-truth fallback: the batch's partitions were just
+            # written, so re-derive the metrics from them (explicit
+            # schema: an all-empty batch writes a data-less dir)
+            df = (
+                spark.read.schema(schema)
+                .parquet(out_path)
+                .where(F.col("bucket").isin(batch))
+            )
+            r = df.agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.approx_count_distinct("conv_id").alias("n_convs"),
+                F.coalesce(
+                    F.sum(F.octet_length("extracted_text")), F.lit(0)
+                ).alias("bytes_out"),
+            ).first()
+            return r.asDict()
+
+        got = observation_metrics(obs, _recount)
         bucket_rows = [
             (int(b), run_id, None, None, None) for b in batch
         ] + [(None, run_id, got["n_turns"], got["n_convs"], got["bytes_out"])]

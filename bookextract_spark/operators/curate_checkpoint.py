@@ -141,6 +141,7 @@ def run_curate_with_checkpoint(
     buckets_per_batch: int = 64,
     fail_after_batches: int | None = None,
     fail_before_manifest: bool = False,
+    repartition_output: bool = True,
 ) -> dict:
     """Resumable signals stage + decisions stage; see module docstring.
 
@@ -163,11 +164,15 @@ def run_curate_with_checkpoint(
         subset = with_bucket.where(F.col("wbucket").isin(batch)).observe(
             obs, F.count(F.lit(1)).alias("n_docs")
         )
+        # co-locate each wbucket on one task before partitionBy — see
+        # the measurement note in checkpoint.run_with_checkpoint;
+        # repartition_output=False restores the spread layout for a
+        # pathologically hot bucket
+        to_write = (
+            subset.repartition(F.col("wbucket")) if repartition_output else subset
+        )
         (
-            # co-locate each wbucket on one task before partitionBy —
-            # see the measurement note in checkpoint.run_with_checkpoint
-            subset.repartition(F.col("wbucket"))
-            .write.mode("overwrite")
+            to_write.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("wbucket")
             .parquet(sig_out)
@@ -181,7 +186,18 @@ def run_curate_with_checkpoint(
                 "decisions_built": False,
                 "crashed": True,
             }
-        got = observation_metrics(obs, {"n_docs": 0})
+        def _recount(batch=batch, schema=with_bucket.schema):
+            # ground-truth fallback: re-count the just-written
+            # partitions (explicit schema: an all-empty batch writes a
+            # data-less dir)
+            return {
+                "n_docs": spark.read.schema(schema)
+                .parquet(sig_out)
+                .where(F.col("wbucket").isin(batch))
+                .count()
+            }
+
+        got = observation_metrics(obs, _recount)
         rows = [("signals", int(b), run_id, None, None) for b in batch] + [
             ("signals_metrics", None, run_id, got["n_docs"], None)
         ]

@@ -126,6 +126,7 @@ def run_dedup_with_checkpoint(
     buckets_per_batch: int = 64,
     fail_after_batches: int | None = None,
     fail_before_manifest: bool = False,
+    repartition_output: bool = True,
 ) -> dict:
     """Resumable signatures stage + pairs stage; see module docstring.
 
@@ -160,14 +161,18 @@ def run_dedup_with_checkpoint(
             F.count(F.lit(1)).alias("sig_rows"),
             F.approx_count_distinct("id").alias("n_docs"),
         )
+        # co-locate each wbucket on one task before partitionBy —
+        # without this every write task emits a file into every
+        # wbucket dir (tasks x buckets files and a serial commit
+        # proportional to that product; see the measurement note in
+        # checkpoint.run_with_checkpoint).  repartition_output=False
+        # restores the spread layout for a pathologically hot bucket
+        # (the band-exploded frame amplifies a hot bucket's write).
+        to_write = (
+            banded.repartition(F.col("wbucket")) if repartition_output else banded
+        )
         (
-            # co-locate each wbucket on one task before partitionBy —
-            # without this every write task emits a file into every
-            # wbucket dir (tasks x buckets files and a serial commit
-            # proportional to that product; see the measurement note in
-            # checkpoint.run_with_checkpoint)
-            banded.repartition(F.col("wbucket"))
-            .write.mode("overwrite")
+            to_write.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("wbucket")
             .parquet(sig_out)
@@ -181,7 +186,23 @@ def run_dedup_with_checkpoint(
                 "pairs_built": False,
                 "crashed": True,
             }
-        got = observation_metrics(obs, {"sig_rows": 0, "n_docs": 0})
+        def _recount(batch=batch, schema=banded.schema):
+            # ground-truth fallback: re-derive from the just-written
+            # partitions (explicit schema: an all-empty batch writes a
+            # data-less dir; countDistinct is exact here — the happy
+            # path's approx_count_distinct is an Observation restriction)
+            df = (
+                spark.read.schema(schema)
+                .parquet(sig_out)
+                .where(F.col("wbucket").isin(batch))
+            )
+            r = df.agg(
+                F.count(F.lit(1)).alias("sig_rows"),
+                F.countDistinct("id").alias("n_docs"),
+            ).first()
+            return r.asDict()
+
+        got = observation_metrics(obs, _recount)
         rows = [("signatures", int(b), run_id, None, None, None) for b in batch] + [
             ("signatures_metrics", None, run_id, got["n_docs"], got["sig_rows"], None)
         ]

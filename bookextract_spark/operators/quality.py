@@ -606,7 +606,6 @@ def gopher_rules(
     :func:`repetition_signals`.
     """
     x = F.coalesce(F.col(text_col), F.lit(""))
-    nx = collapse_ws_col(strip_col(x))
     words = F.split(strip_col(x), r"\s+")
     lines = F.split(x, "\n")
 
@@ -759,15 +758,27 @@ def corpus_stats(
         F.col("_cnt").cast("long").alias("value"),
     )
     null_key = F.lit(None).cast("string")
-    glob = agg.where(
-        F.col("_lang").isNull() & F.col("_bucket").isNull()
-    ).select(
-        F.inline(
-            F.array(
-                row("n_docs", null_key, F.col("_cnt")),
-                row("n_words", null_key, F.col("_sw")),
-                row("n_chars", null_key, F.col("_sc")),
-                row("n_distinct_fp", null_key, F.col("_d")),
+    # re-aggregate the (0 or 1)-row global slice so an EMPTY corpus
+    # still yields the totals rows: Spark's Expand-based grouping sets
+    # produce NO groups on empty input, while SQL's () grouping set
+    # (the DuckDB oracle) emits the global row — counts coalesce to 0,
+    # sums stay NULL, matching SQL aggregate semantics on empty input
+    glob = (
+        agg.where(F.col("_lang").isNull() & F.col("_bucket").isNull())
+        .agg(
+            F.coalesce(F.sum("_cnt"), F.lit(0)).cast("long").alias("_cnt"),
+            F.sum("_sw").cast("long").alias("_sw"),
+            F.sum("_sc").cast("long").alias("_sc"),
+            F.coalesce(F.sum("_d"), F.lit(0)).cast("long").alias("_d"),
+        )
+        .select(
+            F.inline(
+                F.array(
+                    row("n_docs", null_key, F.col("_cnt")),
+                    row("n_words", null_key, F.col("_sw")),
+                    row("n_chars", null_key, F.col("_sc")),
+                    row("n_distinct_fp", null_key, F.col("_d")),
+                )
             )
         )
     )

@@ -4142,6 +4142,11 @@ def _gopher_sql() -> str:
         gopher_rules,
     )
 
+    from bookextract_spark.operators.quality import (
+        GOPHER_SYMBOL_ELLIPSIS,
+        GOPHER_SYMBOL_HASH,
+    )
+
     # thresholds read off the operator's own signature defaults — the
     # same no-drift rule as the pattern-generated oracles
     g = {
@@ -4150,6 +4155,7 @@ def _gopher_sql() -> str:
         if v.default is not inspect.Parameter.empty
     }
     bullets = ", ".join("'" + c + "'" for c in GOPHER_BULLET_CHARS)
+    sym_h, sym_e = GOPHER_SYMBOL_HASH, GOPHER_SYMBOL_ELLIPSIS
     req = " + ".join(
         rf"CASE WHEN regexp_matches(lower(x), '\b{w}\b') THEN 1 ELSE 0 END"
         for w in GOPHER_REQUIRED_STOPWORDS
@@ -4176,13 +4182,13 @@ s AS (
     round(CASE WHEN n_words = 0 THEN 0.0
           ELSE length(replace(nx, ' ', '')) / CAST(n_words AS DOUBLE) END, 6)
       AS mean_word_len,
-    (length(x) - length(replace(x, '#', '')))
-      + (length(x) - length(replace(x, '…', '')))
+    (length(x) - length(replace(x, '{sym_h}', '')))
+      + (length(x) - length(replace(x, '{sym_e}', '')))
       + ((length(x) - length(replace(x, '...', ''))) // 3) AS n_symbols,
     len(lines) AS n_lines,
     len(list_filter(lines, l -> left(ltrim(l), 1) IN ({bullets}))) AS n_bullet,
     len(list_filter(lines, l ->
-        ends_with(regexp_replace(l, '{GOPHER_LINE_TRAIL}', ''), '…')
+        ends_with(regexp_replace(l, '{GOPHER_LINE_TRAIL}', ''), '{sym_e}')
         OR ends_with(regexp_replace(l, '{GOPHER_LINE_TRAIL}', ''), '...')))
       AS n_ell_lines,
     CASE WHEN nx = '' THEN 0
@@ -4229,6 +4235,13 @@ def q_corpus_stats(spark, sf_dir):
 
 
 def _corpus_stats_sql() -> str:
+    import inspect
+
+    from bookextract_spark.operators.quality import corpus_stats
+
+    # bucket width read off the operator's own signature default (the
+    # gopher-oracle no-drift rule)
+    width = inspect.signature(corpus_stats).parameters["len_bucket_width"].default
     return rf"""
 WITH s AS (
   SELECT doc_id,
@@ -4247,7 +4260,7 @@ WITH s AS (
 base AS (
   SELECT fp, w, c,
     {_lang_sql_case()} AS lang,
-    (c // 100) * 100 AS bucket
+    (c // {width}) * {width} AS bucket
   FROM s
 ),
 agg AS (

@@ -48,3 +48,18 @@ def test_corpus_stats_consistency_on_fixture(spark):
     assert got["n_distinct_fp"][None] == d
     # bucket keys are width-aligned offsets
     assert all(int(k) % 100 == 0 for k in got["len_bucket_docs"])
+
+
+def test_corpus_stats_empty_corpus_emits_global_rows(spark):
+    """Spark's Expand-based grouping sets yield NO groups on empty
+    input while SQL's () grouping set emits the global row — the
+    operator must match the SQL/oracle behavior: counts 0, sums NULL,
+    histograms empty."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = _rows(corpus_stats(empty))
+    assert got == {
+        "n_docs": {None: 0},
+        "n_words": {None: None},
+        "n_chars": {None: None},
+        "n_distinct_fp": {None: 0},
+    }

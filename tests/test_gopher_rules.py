@@ -21,9 +21,14 @@ def _round6(v: float) -> float:
 
 
 def py_gopher(doc_id, text):
+    # ASCII regex dialect throughout — the engines' semantics (Java
+    # ASCII \s / \b, RE2 defaults), NOT Python's Unicode-aware
+    # str.split()/\b (an NBSP or accented-adjacent stopword would make
+    # an un-pinned twin diverge from BOTH agreeing engines)
     x = text or ""
-    nx = re.sub(r"\s+", " ", x.strip())
-    words = x.split()
+    stripped = re.sub(r"^\s+|\s+$", "", x, flags=re.ASCII)
+    nx = re.sub(r"\s+", " ", stripped, flags=re.ASCII)
+    words = [w for w in re.split(r"\s+", stripped, flags=re.ASCII) if w != ""]
     n_words = len(words)
     mean_wl = _round6(len(nx.replace(" ", "")) / n_words) if n_words else 0.0
     n_symbols = (
@@ -38,7 +43,11 @@ def py_gopher(doc_id, text):
     n_ell = sum(1 for l in lines if rt(l).endswith("…") or rt(l).endswith("..."))
     n_alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
     lx = x.lower()
-    n_req = sum(1 for w in GOPHER_REQUIRED_STOPWORDS if re.search(rf"\b{w}\b", lx))
+    n_req = sum(
+        1
+        for w in GOPHER_REQUIRED_STOPWORDS
+        if re.search(rf"\b{w}\b", lx, re.ASCII)
+    )
 
     def frac(num, den):
         return _round6(num / den) if den else 0.0
