@@ -1327,7 +1327,7 @@ def _sessionize_python(rows, gap_minutes):
     Cents use the half-away formula (floor(x + 0.5) on the positive
     domain) — Python's round() is banker's and WOULD diverge from
     Spark/DuckDB half-away on exact midpoints (the engine-boundary
-    rounding rule in .claude/skills/verify).  first_event_id is the
+    rounding rule recorded in PLANS.md).  first_event_id is the
     session's OPENING event under the (us, event_id) order."""
     import math
 
