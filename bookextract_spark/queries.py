@@ -4310,11 +4310,12 @@ SELECT 'n_distinct_fp', NULL, d::BIGINT FROM agg WHERE lang IS NULL AND bucket I
 #          head-proven by s7_quarantine, t11's word_count_col is summed
 #          by a2_book_totals, t10 carries green r02+r03 rows) — if the
 #          driver truncates, ONLY these lose rows and no operator loses
-#          its driver proof across rounds.  One exception is explicit:
-#          tfidf_keywords, sessionize, c4_line_filter, gopher_rules,
-#          and corpus_stats (tail head, new in round 4) have local
-#          parity + pytest only — no safely-demotable head slot
-#          remained for them.
+#          its driver proof across rounds.  Round 5 closed the round-4
+#          exception: tfidf_keywords, sessionize, c4_line_filter,
+#          gopher_rules, and corpus_stats (never driver-checked through
+#          r04) were swapped into the head in place of five 3-4x-green,
+#          head-co-proven entries (quality_scores, lang_id, dedup_exact,
+#          ngram_jaccard, simhash — rationale at each swap site).
 # Twin variants whose only job is cross-checking a default-hash path
 # (md5 twins of minhash/simhash, the sha-fake image plumbing twin, the
 # O(n^2) near-dup verifier) live in _LOCAL_REGISTRY: still oracle-checked
@@ -4359,8 +4360,19 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "a3_ordered_fold": (q_a3_ordered_fold, SQL_A3),
     "o15_cumulative_offsets": (q_o15_cumulative_offsets, SQL_O15),
     "j1_equi_join": (q_j1_equi_join, SQL_J1),
-    "quality_scores": (q_quality_scores, SQL_QUALITY),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
+    # tfidf_keywords promoted into the head in round 5 (the round-4
+    # verdict's item 1: five late-round-4 operators had never had a
+    # driver row).  quality_scores was demoted to make room: it has
+    # green driver rows in r01-r04 (four rounds), word_count_col stays
+    # head-proven via a2_book_totals' sums and curation_filter's gate,
+    # and punct_ratio_col via curation_filter's punctuation gate.
+    "tfidf_keywords": (q_tfidf_keywords, _sql_tfidf),
+    # gopher_rules promoted into the head in round 5 (same item).
+    # lang_id was demoted to make room: green r01-r04, and the IDENTICAL
+    # functions (lang_score_cols + lang_id_from_score_cols) drive
+    # curation_filter's language gate — a wrong language decision
+    # changes keep/drop rows and fails that head row.
+    "gopher_rules": (q_gopher_rules, _gopher_sql),
     # image_resize swapped into the head in the fifth round-4 session
     # (newest-operator-gets-a-driver-row policy): full-pixel-plane PNG
     # decode -> 2x box downscale -> re-encode, with JPEG rows null by
@@ -4370,7 +4382,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # fingerprint changes duplicate groups and fails that row).
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "repetition_signals": (q_repetition_signals, SQL_REPETITION),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    # c4_line_filter promoted into the head in round 5 (verdict item 1).
+    # dedup_exact was demoted to make room: green r01-r04, and its hash
+    # groupBy runs over the very same fingerprint_col that
+    # curation_filter's exact-dup canonicalization window partitions on
+    # (a wrong fingerprint changes duplicate groups and fails that row).
+    "c4_line_filter": (q_c4_line_filter, _c4_sql),
     # substring_dedup promoted into the head in the seventh round-4
     # session (newest-operator-gets-a-driver-row policy): ExactSubstr
     # duplicated-span detection (Lee et al. 2022) — k-token window
@@ -4380,14 +4397,25 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # whose filename column runs the very same function (a wrong
     # sanitize changes that row's hashes).
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # corpus_stats promoted into the head in round 5 (verdict item 1).
+    # ngram_jaccard was demoted to make room: green r01-r04, and the
+    # exact shingle-Jaccard computation stays head-proven through
+    # minhash_dedup's verify stage (dedup.py:642-648 computes the same
+    # shared/jaccard columns over the same Arrow shingle path — a wrong
+    # Jaccard changes the verified pair set and fails that row).
+    "corpus_stats": (q_corpus_stats, _corpus_stats_sql),
     # the xxhash64 scale paths carry real oracles: minhash via the
     # blocking-independent verified-pairs argument (see q_minhash_dedup
     # docstring), simhash via the inlined pure-Python XXH64 hash table
     "minhash_dedup": (q_minhash_dedup, SQL_MINHASH_MD5),
-    # callable: resolved lazily by oracle_sql() — building this SQL
-    # scans fixture vocabulary with DuckDB and must not run at import
-    "simhash": (q_simhash, _sql_simhash_xxh),
+    # sessionize promoted into the head in round 5 (verdict item 1).
+    # simhash was demoted to make room: green r02-r04, and the full
+    # simhash computation stays head-proven through simhash_near, whose
+    # oracle recomputes the identical XXH64-LUT simhash CTE and whose
+    # Spark side derives its 4x16-bit block keys from the same
+    # simhash64_col (a wrong simhash changes the neighbor set and fails
+    # that row).
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # round-4 promotion into the <=50 head (the one registry operator
     # with no driver row in any round; the round-3 verdict's item 2):
     # Hamming-neighbor search over the 4x16-bit simhash blocks, oracled
@@ -4429,20 +4457,19 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c1_html_classify": (q_c1_html_classify, SQL_C1),
     "c3_density": (q_c3_density, SQL_C3),
     # ---- redundant-coverage tail (see ordering note above) ----
-    # tfidf_keywords and sessionize ship late in round 4, but only ONE
-    # safely-demotable head entry remained for this session's three new
-    # operators (lm_perplexity took it; every other head query is the
-    # unique driver proof of its operator), so these two lead the tail
-    # instead: first to gain rows if the driver ever runs past 50, and
-    # fully covered by the local parity replica + pytest.
-    "tfidf_keywords": (q_tfidf_keywords, _sql_tfidf),
-    "sessionize": (q_sessionize, SQL_SESSIONIZE),
-    # c4_line_filter, gopher_rules, and corpus_stats ship in the final
-    # round-4 session under the same no-head-slot-remained policy as
-    # the two entries above.
-    "c4_line_filter": (q_c4_line_filter, _c4_sql),
-    "gopher_rules": (q_gopher_rules, _gopher_sql),
-    "corpus_stats": (q_corpus_stats, _corpus_stats_sql),
+    # The five operators below were demoted in round 5 to give the five
+    # never-driver-checked round-4 operators (tfidf_keywords, sessionize,
+    # c4_line_filter, gopher_rules, corpus_stats) their head slots — the
+    # round-4 verdict's item 1.  Each demoted entry has 3-4 rounds of
+    # green driver rows AND a co-proving head row (see the inline note
+    # at each promotion site above).
+    "quality_scores": (q_quality_scores, SQL_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    # callable: resolved lazily by oracle_sql() — building this SQL
+    # scans fixture vocabulary with DuckDB and must not run at import
+    "simhash": (q_simhash, _sql_simhash_xxh),
     # o15_chapter_titles demoted here in round 4 (swap with
     # simhash_near): its operator surface (S12 title lookup incl. the
     # 00_title edge) has a green driver row in CORRECTNESS_r03 and S12

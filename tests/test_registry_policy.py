@@ -1,0 +1,80 @@
+"""Registry-ordering hygiene: the driver hash-checks only the FIRST 50
+``queries()`` entries, so a query parked beyond position 50 never earns
+a driver CORRECTNESS row.  Rounds 3-4 each shipped operators post-freeze
+into the tail and the round-4 verdict flagged five of them as "never
+driver-checked" — this test makes the post-freeze-add policy mechanical
+(round-4 verdict item 3): every tail entry must already hold at least
+one green driver row from a prior round's ``CORRECTNESS_r0*.json``; a
+brand-new query MUST be swapped into the head (demoting a multi-round-
+green, co-proven entry — see the swap-site comments in queries.py).
+"""
+
+import json
+from pathlib import Path
+
+from bookextract_spark import queries as Q
+
+REPO = Path(__file__).resolve().parents[1]
+DRIVER_HEAD = 50
+
+
+def _driver_green_rows() -> dict[str, list[str]]:
+    """query name -> rounds with a green (hash_match) driver row."""
+    hist: dict[str, list[str]] = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                hist.setdefault(name, []).append(p.stem)
+    return hist
+
+
+def test_head_is_at_most_driver_budget():
+    # the head is *defined* as the first DRIVER_HEAD entries; this pins
+    # the assumption that the registry has more entries than the budget
+    # (if it ever shrinks below 50, every entry is driver-checked and
+    # the tail policy is vacuous)
+    names = list(Q.queries())
+    assert len(set(names)) == len(names), "duplicate registry names"
+
+
+def test_every_tail_entry_has_a_prior_driver_row():
+    names = list(Q.queries())
+    tail = names[DRIVER_HEAD:]
+    hist = _driver_green_rows()
+    never_checked = [n for n in tail if n not in hist]
+    assert not never_checked, (
+        f"registry entries {never_checked} sit beyond position {DRIVER_HEAD} "
+        "but have NO green driver row in any CORRECTNESS_r*.json — the "
+        "driver will never hash-verify them there.  Swap each into the "
+        "head, demoting an entry with >=2 prior green rounds and a "
+        "co-proving head row (see the round-5 swap comments in "
+        "bookextract_spark/queries.py for the pattern)."
+    )
+
+
+def test_demoted_entries_are_multi_round_green():
+    """Every tail entry should carry >=1 green round; entries demoted
+    FROM the head (i.e. that ever appeared in a driver run) should have
+    been green in the round they were last checked — a red entry must
+    never be hidden in the tail."""
+    names = list(Q.queries())
+    tail = set(names[DRIVER_HEAD:])
+    last: dict[str, tuple[str, bool]] = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rows = json.loads(p.read_text())
+        for name, row in rows.items():
+            if name in tail and isinstance(row, dict):
+                # judged by the LAST driver appearance: e.g. simhash's
+                # r01 row was a weaker rows-only "no_oracle" check,
+                # superseded by green hash rows in r02-r04
+                last[name] = (p.name, bool(row.get("hash_match")))
+    red = {n: rnd for n, (rnd, green) in last.items() if not green}
+    assert not red, (
+        f"tail entries whose LAST driver check was not hash-green: {red} — "
+        "a non-green entry must stay in the head until the driver "
+        "re-verifies it."
+    )
