@@ -123,6 +123,76 @@ def curation_decisions(
     )
 
 
+def curation_cluster_decisions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_punct: float = 0.2,
+    lang: str = "en",
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    hash_mode: str = "xxhash64",
+    arrow: bool = True,
+) -> DataFrame:
+    """The cluster-aware curation cascade (round-4 verdict item 4):
+    like :func:`curation_decisions`, but the dedup gate consumes the
+    NEAR-dup cluster-canonical keep flag from
+    ``operators/dedup.dedup_clusters`` (MinHash pairs → connected
+    components → min-id canonical) in addition to the exact-fingerprint
+    window — the RefinedWeb/FineWeb ordering where near-dedup runs
+    before the quality gates.  Reasons, first-failing-rule order:
+    ``exact_duplicate`` (not the lowest id of its fingerprint group),
+    ``near_duplicate`` (exact-canonical but not its near-dup cluster's
+    canonical), then language / too_short / punctuation.
+
+    Docs too short to shingle (< ``n`` words) are singleton clusters —
+    they can only be dropped by the exact window or the quality gates,
+    never by ``near_duplicate``.
+
+    Scale shape: signals are a pure map; the exact window and the
+    cluster pipeline's banded join are the two key shuffles (ids +
+    labels only iterate inside connected components — text never
+    enters the loop); the final join is id-keyed on two slim frames.
+    """
+    from bookextract_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        docs, id_col, text_col, threshold, n, k, bands, hash_mode, arrow=arrow
+    )
+    sig = curation_signals(docs, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy("_fp")
+    d = sig.withColumn(
+        "is_exact_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+    )
+    j = d.join(
+        clusters.select(
+            "doc_id", "cluster_id", F.col("keep").alias("_cluster_keep")
+        ),
+        "doc_id",
+    )
+    reason = (
+        F.when(~F.col("is_exact_canonical"), F.lit("exact_duplicate"))
+        .when(~F.col("_cluster_keep"), F.lit("near_duplicate"))
+        .when(F.col("pred_lang") != lang, F.lit("language"))
+        .when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("punct_ratio") > max_punct, F.lit("punctuation"))
+        .otherwise(F.lit("keep"))
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "pred_lang",
+        "n_words",
+        "punct_ratio",
+        "is_exact_canonical",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
 def split_assign(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -53,6 +53,39 @@ def epoch_micros_col(events: DataFrame, ts_col: str):
     return F.unix_micros(F.col(ts_col))
 
 
+def assign_sessions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = DEFAULT_GAP_MINUTES,
+    us_col: str | None = None,
+    out_col: str = "session_no",
+) -> DataFrame:
+    """Per-event session ASSIGNMENT: the gaps-and-islands flag stage of
+    :func:`sessionize`, returned per event (input columns + ``out_col``)
+    instead of aggregated per session — the form the extraction
+    pipeline consumes when slicing a long agent trace into episodes
+    before the cross-turn merge (``pipeline.sessionized_extract``).
+
+    ``us_col`` names a precomputed integer-microseconds column to use
+    directly (the pipeline computes it once, map-side, before the
+    keyed exchange); otherwise ``ts_col`` is converted with the same
+    timezone-proof :func:`epoch_micros_col` rule ``sessionize`` uses.
+
+    Scale shape: ONE user-keyed exchange (the window); when the input
+    is already partitioned by ``user_col`` the window needs only a
+    partition-local sort.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    us = F.col(us_col) if us_col else epoch_micros_col(events, ts_col)
+    w = Window.partitionBy(user_col).orderBy(us, F.col(id_col))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    return events.withColumn(out_col, F.sum(is_new).over(run).cast("int"))
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

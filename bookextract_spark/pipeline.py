@@ -96,6 +96,70 @@ def extract_turns(
     return df.withColumn("extracted_text", extracted_text_col(F.col("merged_blocks")))
 
 
+def sessionized_extract(
+    transcripts: DataFrame,
+    ts_col: str = "ts",
+    gap_minutes: int = 480,
+    html_mode: str = "auto",
+    unicode_ws: bool = False,
+) -> DataFrame:
+    """Session-aware flagship: slice each conversation into sessions
+    (maximal runs of turns with no ``ts`` gap exceeding
+    ``gap_minutes`` — ``operators/sessions.py``'s gaps-and-islands
+    rule) and run the cross-turn merge WITHIN sessions, so a dangling
+    sentence fragment never merges across a session boundary (an agent
+    resuming hours later is a new episode, not a continuation).
+    Returns one row per turn: ``(conv_id, session_no, turn_idx,
+    extracted_text)``.
+
+    Scale shape: boilerplate frequency maps stay PER-CONVERSATION
+    (sessions must not starve the repeated-line statistics) and the
+    classify stages are maps, exactly as in :func:`extract_turns`; the
+    timestamp is folded to integer micros map-side and rides the
+    pruned ``(conv_id, turn_idx, us, blocks)`` frame, so the session
+    window's conv-keyed exchange carries blocks — the raw text never
+    shuffles for session assignment.  The merge then re-keys on
+    ``conv_id#session_no`` (one further pruned exchange; a conv-
+    partitioning-satisfies-subkey fusion would eliminate it but
+    requires threading the session column through every merge window).
+    Plain merge only: sessions already split the giant conversations
+    the salted mode exists for.
+    """
+    from bookextract_spark.operators.sessions import assign_sessions, epoch_micros_col
+
+    df = strip_boilerplate(
+        transcripts.withColumn("_us", epoch_micros_col(transcripts, ts_col)),
+        unicode_ws=unicode_ws,
+    )
+    df = classify_turns(
+        df, text_col="clean_text", html_mode=html_mode, unicode_ws=unicode_ws
+    )
+    df = df.select("conv_id", "turn_idx", "_us", "blocks")
+    df = assign_sessions(
+        df,
+        user_col="conv_id",
+        id_col="turn_idx",
+        gap_minutes=gap_minutes,
+        us_col="_us",
+    )
+    # '#' cannot appear in conv ids (fixture + input_hint contract), so
+    # the composite key round-trips through split_part losslessly
+    df = df.select(
+        F.concat_ws("#", F.col("conv_id"), F.col("session_no")).alias("conv_id"),
+        "turn_idx",
+        "blocks",
+    )
+    out = merge_across_turns(df, blocks_col="blocks", out_col="merged_blocks")
+    return out.select(
+        F.split_part(F.col("conv_id"), F.lit("#"), F.lit(1)).alias("conv_id"),
+        F.split_part(F.col("conv_id"), F.lit("#"), F.lit(2))
+        .cast("int")
+        .alias("session_no"),
+        "turn_idx",
+        extracted_text_col(F.col("merged_blocks")).alias("extracted_text"),
+    )
+
+
 def extract_all(
     transcripts: DataFrame,
     with_density: bool = False,

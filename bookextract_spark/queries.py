@@ -1857,10 +1857,12 @@ def q_pipeline_extract(spark, sf_dir):
 # block content (header and paragraph both emit the stripped piece, and
 # page_division emits NULL), so a contents-only list is sufficient for
 # the merge + extract stages.
-SQL_PIPELINE = f"""
-WITH {_SQL_TRANSCRIPTS_CTE},
-t AS (SELECT conv_id, turn_idx, content AS text FROM transcripts_v),
-{_sql_boiler_ctes("t")},
+# The pre-merge stages (boilerplate strip -> ... -> classified block
+# lists) and the merge stages (m0..amended) are separate constants so
+# the session-keyed variant (q_session_extract) can re-key BETWEEN
+# them — per-conversation boilerplate statistics, per-session merge —
+# exactly mirroring pipeline.sessionized_extract's stage order.
+_SQL_PIPELINE_PRE = f"""{_sql_boiler_ctes("t")},
 cleaned AS (SELECT conv_id, turn_idx, clean_text FROM kept),
 reflowed AS (
   SELECT conv_id, turn_idx,
@@ -1892,8 +1894,15 @@ blocks AS (
         THEN regexp_replace(regexp_replace(p, '^\\s+|\\s+$', '', 'g'), '^[>\\s]+', '')
       ELSE regexp_replace(p, '^\\s+|\\s+$', '', 'g') END) AS c
   FROM pieces
-),
-m0 AS (SELECT conv_id, turn_idx, c, len(c) AS nb, c[1] AS first_c, c[-1] AS last_c FROM blocks),
+)"""
+
+
+def _sql_pipeline_merge(src: str) -> str:
+    """The O8 merge + extract CTE chain (m0..amended) over a
+    ``(conv_id, turn_idx, c)`` source CTE — ``conv_id`` is whatever key
+    the merge should window on (the composite ``conv#session`` key in
+    the session variant)."""
+    return f"""m0 AS (SELECT conv_id, turn_idx, c, len(c) AS nb, c[1] AS first_c, c[-1] AS last_c FROM {src}),
 m1 AS (
   SELECT *, last_value(CASE WHEN nb > 0 THEN {{'v': last_c}} END IGNORE NULLS)
     OVER (PARTITION BY conv_id ORDER BY turn_idx
@@ -1929,10 +1938,71 @@ amended AS (
          ELSE list_append(m.kept[1:len(m.kept)-1], m.kept[len(m.kept)] || ' ' || f.extra)
     END AS final_blocks
   FROM m4 m LEFT JOIN frags f ON m.conv_id = f.conv_id AND m.turn_idx = f.receiver
+)"""
+
+
+_SQL_EXTRACT_EXPR = (
+    "coalesce(array_to_string(list_filter(final_blocks, x -> x IS NOT NULL AND x <> ''),"
+    " chr(10)||chr(10)), '')"
 )
-SELECT conv_id, turn_idx,
-  coalesce(array_to_string(list_filter(final_blocks, x -> x IS NOT NULL AND x <> ''),
-           chr(10)||chr(10)), '') AS extracted_text
+
+SQL_PIPELINE = f"""
+WITH {_SQL_TRANSCRIPTS_CTE},
+t AS (SELECT conv_id, turn_idx, content AS text FROM transcripts_v),
+{_SQL_PIPELINE_PRE},
+{_sql_pipeline_merge("blocks")}
+SELECT conv_id, turn_idx, {_SQL_EXTRACT_EXPR} AS extracted_text
+FROM amended
+"""
+
+
+def q_session_extract(spark, sf_dir):
+    """Session-aware flagship (round-4 verdict item 5): the transcripts
+    view gains a deterministic per-turn timestamp (10-minute cadence
+    with a 10-hour gap every 4th turn, phase-shifted per conversation
+    by conv_no % 4), sessions are assigned with the 8-hour gap rule,
+    and the cross-turn merge runs WITHIN ``conv_id#session_no`` keys —
+    so a dangling fragment never merges across a session boundary.
+    Boilerplate statistics stay per-conversation (sessions must not
+    starve the repeated-line frequency maps)."""
+    from bookextract_spark.pipeline import sessionized_extract
+
+    t = _derived_transcripts(spark, sf_dir).withColumnRenamed("content", "text")
+    tix = F.col("turn_idx").cast("long")
+    r = F.col("conv_id").substr(F.lit(2), F.lit(18)).cast("long") % 4
+    n_gaps = F.when(tix >= r, F.floor((tix - r) / F.lit(4)) + 1).otherwise(F.lit(0))
+    us = tix * F.lit(600_000_000) + n_gaps.cast("long") * F.lit(36_000_000_000)
+    t = t.withColumn("ts", F.timestamp_micros(us.cast("long")))
+    return sessionized_extract(t, ts_col="ts", gap_minutes=480)
+
+
+SQL_SESSION_EXTRACT = f"""
+WITH {_SQL_TRANSCRIPTS_CTE},
+t AS (SELECT conv_id, turn_idx, content AS text FROM transcripts_v),
+{_SQL_PIPELINE_PRE},
+su AS (
+  SELECT conv_id, turn_idx, c,
+    turn_idx::BIGINT * 600000000
+      + (CASE WHEN turn_idx >= CAST(substring(conv_id, 2) AS INT) % 4
+              THEN ((turn_idx - CAST(substring(conv_id, 2) AS INT) % 4) // 4) + 1
+              ELSE 0 END)::BIGINT * 36000000000 AS us
+  FROM blocks
+),
+sl AS (
+  SELECT *, lag(us) OVER (PARTITION BY conv_id ORDER BY us, turn_idx) AS prev_us
+  FROM su
+),
+sblocks AS (
+  SELECT conv_id || '#' || CAST(
+      sum(CASE WHEN prev_us IS NULL OR us - prev_us > {480 * 60 * 1_000_000} THEN 1 ELSE 0 END)
+        OVER (PARTITION BY conv_id ORDER BY us, turn_idx) AS VARCHAR) AS conv_id,
+    turn_idx, c
+  FROM sl
+),
+{_sql_pipeline_merge("sblocks")}
+SELECT split_part(conv_id, '#', 1) AS conv_id,
+  CAST(split_part(conv_id, '#', 2) AS INT) AS session_no,
+  turn_idx, {_SQL_EXTRACT_EXPR} AS extracted_text
 FROM amended
 """
 
@@ -1951,8 +2021,9 @@ def q_curation_filter(spark, sf_dir):
     return curation_decisions(_load(spark, sf_dir, "documents"))
 
 
-SQL_CURATION = rf"""
-WITH sig AS (
+# shared by SQL_CURATION and SQL_CLUSTER_CURATION: the per-document
+# signal scan (fingerprint, word count, punct ratio, language scores)
+_SQL_CURATION_SIG = rf"""
   SELECT doc_id,
     md5(lower(regexp_replace(regexp_replace(coalesce(text,''), '^\s+|\s+$', '', 'g'),
         '\s+', ' ', 'g'))) AS fp,
@@ -1966,7 +2037,11 @@ WITH sig AS (
                 length(regexp_replace(coalesce(text,''), '[.,!?;:''"()\[\]-]', '', 'g')))
                / CAST(length(coalesce(text,'')) AS DOUBLE) END, 6) AS punct_ratio,
     {_lang_sql_scores()}
-  FROM documents
+  FROM documents"""
+
+SQL_CURATION = f"""
+WITH sig AS (
+{_SQL_CURATION_SIG}
 ),
 langed AS (
   SELECT *, {_lang_sql_case()} AS pred_lang,
@@ -1985,6 +2060,69 @@ SELECT doc_id, pred_lang, n_words, punct_ratio, is_canonical,
        WHEN punct_ratio > 0.2 THEN 'punctuation'
        ELSE 'keep' END) = 'keep' AS keep
 FROM langed
+"""
+
+
+def q_curation_cluster_filter(spark, sf_dir):
+    """Cluster-aware curation cascade (round-4 verdict item 4): the
+    dedup gate consumes dedup_clusters' NEAR-dup cluster-canonical keep
+    flag (MinHash pairs -> connected components -> min-id canonical) on
+    top of the exact-fingerprint window — the RefinedWeb/FineWeb
+    ordering (near-dedup before quality gates).  Oracle-checked via the
+    same blocking-independent verified-pairs argument as dedup_clusters
+    (md5-twin pairs + recursive-CTE components predict the xxhash64
+    path's clusters exactly)."""
+    from bookextract_spark.operators.curation import curation_cluster_decisions
+
+    return curation_cluster_decisions(
+        _load(spark, sf_dir, "documents"), threshold=0.05
+    )
+
+
+SQL_CLUSTER_CURATION = f"""
+WITH RECURSIVE pairs AS (
+{SQL_MINHASH_MD5}
+),
+edges AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION ALL
+  SELECT b_id AS s, a_id AS d FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s
+),
+sig AS (
+{_SQL_CURATION_SIG}
+),
+langed AS (
+  SELECT *, {_lang_sql_case()} AS pred_lang,
+    doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_exact_canonical
+  FROM sig
+),
+clustered AS (
+  SELECT l.*, coalesce(c.cluster, l.doc_id) AS cluster_id,
+    coalesce(c.cluster, l.doc_id) = l.doc_id AS cluster_keep
+  FROM langed l LEFT JOIN comp c ON l.doc_id = c.id
+)
+SELECT doc_id, cluster_id, pred_lang, n_words, punct_ratio, is_exact_canonical,
+  CASE WHEN NOT is_exact_canonical THEN 'exact_duplicate'
+       WHEN NOT cluster_keep THEN 'near_duplicate'
+       WHEN pred_lang <> 'en' THEN 'language'
+       WHEN n_words < 10 THEN 'too_short'
+       WHEN punct_ratio > 0.2 THEN 'punctuation'
+       ELSE 'keep' END AS reason,
+  (CASE WHEN NOT is_exact_canonical THEN 'exact_duplicate'
+       WHEN NOT cluster_keep THEN 'near_duplicate'
+       WHEN pred_lang <> 'en' THEN 'language'
+       WHEN n_words < 10 THEN 'too_short'
+       WHEN punct_ratio > 0.2 THEN 'punctuation'
+       ELSE 'keep' END) = 'keep' AS keep
+FROM clustered
 """
 
 
@@ -4424,7 +4562,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # S12 stays driver-proven by o15_cumulative_offsets and the
     # 00_title edge has its green r03 row.
     "simhash_near": (q_simhash_near, _sql_simhash_near),
-    "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
+    # session_extract is NEW in round 5 (verdict item 5: exercise the
+    # session operator on the primary transcript shape, feeding the
+    # cross-turn merge).  ann_brute_topk was demoted to make room:
+    # green r01-r04, and the shared cosine kernel (cosine_col /
+    # dot_col, similarity.py:31-44) stays head-proven through
+    # ann_lsh_topk, ivf_ann_topk and embedding_near_dup, whose
+    # candidate ranking computes the identical expression.
+    "session_extract": (q_session_extract, SQL_SESSION_EXTRACT),
     "ann_lsh_topk": (q_ann_lsh_topk, _sql_ann_lsh()),
     "ivf_ann_topk": (q_ivf_ann_topk, _sql_ivf_ann()),
     "embedding_near_dup": (q_embedding_near_dup, _sql_embedding_near_dup()),
@@ -4435,7 +4580,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "train_val_split": (q_train_val_split, SQL_SPLIT),
     "seq_packing": (q_seq_packing, SQL_PACKING),
     "decontaminate": (q_decontaminate, SQL_DECONTAM),
-    "mixture_sample": (q_mixture_sample, _sql_mixture()),
+    # curation_cluster_filter is NEW in round 5 (verdict item 4: the
+    # near-dup cluster keep flag consumed by the curation cascade).
+    # mixture_sample was demoted to make room: green r02-r04, and its
+    # md5-threshold mechanism twin (the same first-8-hex-digits bucket
+    # map) stays head-proven through train_val_split.
+    "curation_cluster_filter": (q_curation_cluster_filter, SQL_CLUSTER_CURATION),
     "pii_scrub": (q_pii_scrub, _sql_pii()),
     "s5_roundtrip": (q_s5_roundtrip, SQL_S5),
     # s7_quarantine promoted into the head (fourth round-4 session) so
@@ -4466,6 +4616,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    # ann_brute_topk and mixture_sample demoted in round 5 to make head
+    # room for the two NEW operators (session_extract,
+    # curation_cluster_filter) — co-proof rationale at the swap sites.
+    "ann_brute_topk": (q_ann_brute_topk, SQL_ANN_BRUTE),
+    "mixture_sample": (q_mixture_sample, _sql_mixture()),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     # callable: resolved lazily by oracle_sql() — building this SQL
     # scans fixture vocabulary with DuckDB and must not run at import

@@ -216,6 +216,20 @@ BUDGETS = {
     # returning the manifest frame — the pinned plan is the final
     # manifest read (2 slim bucket exchanges, 1 scan of the run dir).
     "j3_resume": (2, 0, 0, 1),
+    # session_extract: pipeline_extract's budget (4 hash exchanges /
+    # 2 broadcasts / 1 Arrow classify stage / 3 scans) plus EXACTLY ONE
+    # extra hash exchange — the conv-keyed session-assignment window
+    # over the pruned (conv_id, turn_idx, us, blocks) frame; the merge
+    # then re-keys on conv#session (raw text never shuffles for session
+    # assignment — see pipeline.sessionized_extract's docstring).
+    "session_extract": (5, 2, 1, 3),
+    # curation_cluster_filter: dedup_clusters' pinned tail (the CC loop
+    # executes during construction, lineage cut by localCheckpoint)
+    # joined to the curation signals: the fingerprint window + the two
+    # SMJ sides of documents-vs-labels = 3 hash exchanges; the slim
+    # cluster keep frame joins the signal frame as a broadcast; signals
+    # + cluster base = 2 scans.
+    "curation_cluster_filter": (3, 1, 0, 2),
     # dedup_clusters: the CC loop EXECUTES during construction (each
     # round localCheckpoint'ed — lineage is cut, so the minhash
     # pipeline and the per-round joins never appear in the final

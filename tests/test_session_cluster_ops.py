@@ -1,0 +1,161 @@
+"""Round-5 operators: session-aware extraction
+(pipeline.sessionized_extract / operators.sessions.assign_sessions) and
+the cluster-aware curation cascade
+(operators.curation.curation_cluster_decisions).
+
+The registry parity sweep proves end-to-end oracle equality; these
+tests pin the SEMANTIC edges the oracles cannot isolate: the merge
+actually stops at a session boundary, and the near-dup gate actually
+drops transitive chain members the pair list never connected directly.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(
+        minutes=minute
+    )
+
+
+@pytest.fixture(scope="module")
+def session_frame(spark):
+    # one conversation, three turns; turn 2 is a lowercase continuation
+    # fragment ("and then more") that the plain merge WOULD pull into
+    # turn 1 — but it arrives 10 hours later, across the session gap
+    rows = [
+        ("c0", 0, "First paragraph ends here", _ts(0)),
+        ("c0", 1, "without a terminator", _ts(10)),
+        ("c0", 2, "and then more after a long silence.", _ts(10 + 600)),
+        ("c1", 0, "Solo conversation.", _ts(0)),
+    ]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, ts timestamp")
+
+
+def test_assign_sessions_splits_on_gap(spark, session_frame):
+    from bookextract_spark.operators.sessions import assign_sessions
+
+    out = assign_sessions(
+        session_frame, user_col="conv_id", ts_col="ts", id_col="turn_idx",
+        gap_minutes=480,
+    )
+    got = {(r.conv_id, r.turn_idx): r.session_no for r in out.collect()}
+    assert got == {("c0", 0): 1, ("c0", 1): 1, ("c0", 2): 2, ("c1", 0): 1}
+
+
+def test_sessionized_extract_stops_merge_at_boundary(spark, session_frame):
+    from bookextract_spark.pipeline import extract_turns, sessionized_extract
+
+    out = sessionized_extract(session_frame, gap_minutes=480)
+    rows = {(r.conv_id, r.turn_idx): r for r in out.collect()}
+    # within session 1 the fragment of turn 1 merges back into turn 0
+    assert rows[("c0", 0)].extracted_text == (
+        "First paragraph ends here without a terminator"
+    )
+    assert rows[("c0", 1)].extracted_text == ""
+    # turn 2 opens session 2: NOT merged into turn 1 despite being a
+    # lowercase continuation
+    assert rows[("c0", 2)].session_no == 2
+    assert rows[("c0", 2)].extracted_text == (
+        "and then more after a long silence."
+    )
+    # contrast: the sessionless flagship DOES bridge the gap
+    plain = {
+        (r.conv_id, r.turn_idx): r.extracted_text
+        for r in extract_turns(session_frame.drop("ts"))
+        .select("conv_id", "turn_idx", "extracted_text")
+        .collect()
+    }
+    assert plain[("c0", 2)] == ""
+    assert "and then more" in plain[("c0", 1)] or "and then more" in plain[("c0", 0)]
+
+
+def test_sessionized_extract_timezone_proof(spark, session_frame):
+    """Session boundaries must not move with the driver timezone (the
+    sessions.py epoch contract, re-pinned on the pipeline surface)."""
+    from bookextract_spark.pipeline import sessionized_extract
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    base = sessionized_extract(session_frame).collect()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        shifted = sessionized_extract(session_frame).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shifted)), (
+        "session assignment moved with the session timezone"
+    )
+
+
+@pytest.fixture(scope="module")
+def chain_docs(spark):
+    # A~B and B~C are near-dups (high shingle overlap) but A and C are
+    # just under the pair threshold against each other at threshold 0.5
+    # -> the transitive chain is only recoverable via components.
+    a = "the cat sat on the mat with a dog today"
+    b = "the cat sat on the mat with a dog tonight"
+    c = "my bird sat on the mat with a dog tonight"
+    rows = [
+        (1, a),
+        (2, b),
+        (3, c),
+        (4, a),  # exact duplicate of doc 1
+        (5, "the tiny"),  # too short to shingle AND too short to keep
+        (
+            6,
+            "the quick brown fox jumps over the lazy dog repeatedly today "
+            "and that is all there is in it",
+        ),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cluster_curation_drops_transitive_chain(spark, chain_docs):
+    from bookextract_spark.operators.curation import curation_cluster_decisions
+    from bookextract_spark.operators.dedup import minhash_dedup
+
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in minhash_dedup(chain_docs, threshold=0.5).collect()
+    }
+    # the fixture premise: chain edges exist but A-C is below the pair
+    # threshold (J(a,c)=5/11) — doc 3 can ONLY be dropped through the
+    # connected component, never through a direct pair
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert (1, 3) not in pairs
+
+    out = {r.doc_id: r for r in curation_cluster_decisions(
+        chain_docs, threshold=0.5
+    ).collect()}
+    assert out[1].reason == "keep" and out[1].keep
+    assert out[2].reason == "near_duplicate" and not out[2].keep
+    assert out[3].reason == "near_duplicate" and not out[3].keep
+    # exact duplicate outranks near_duplicate in the cascade
+    assert out[4].reason == "exact_duplicate" and not out[4].keep
+    assert out[4].cluster_id == 1
+    # unshingleable doc: singleton cluster, dropped by the quality gate
+    assert out[5].reason == "too_short"
+    assert out[5].cluster_id == 5
+    assert out[6].reason == "keep" and out[6].keep
+
+
+def test_cluster_curation_matches_plain_cascade_on_non_dups(spark, chain_docs):
+    """For documents untouched by any near-dup cluster, the clustered
+    cascade must agree with curation_decisions exactly."""
+    from bookextract_spark.operators.curation import (
+        curation_cluster_decisions,
+        curation_decisions,
+    )
+
+    plain = {r.doc_id: r for r in curation_decisions(chain_docs).collect()}
+    clustered = {
+        r.doc_id: r
+        for r in curation_cluster_decisions(chain_docs, threshold=0.5).collect()
+    }
+    for doc_id in (5, 6):
+        assert clustered[doc_id].reason == plain[doc_id].reason
+        assert clustered[doc_id].keep == plain[doc_id].keep
