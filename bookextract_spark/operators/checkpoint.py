@@ -78,7 +78,22 @@ def observation_metrics(obs, fallback) -> dict:
     input carry NULL sums; those are normalized to 0."""
     try:
         got = obs.get
-    except Exception:
+    except Exception as exc:
+        # Loud, not silent: a RECURRING non-AQE failure here would
+        # double per-batch cost (every batch recounted from disk) with
+        # no visibility.  The warning names the path so an operator
+        # watching job logs can tell recount-sourced manifest metrics
+        # rows from observation-sourced ones.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "observation_metrics: obs.get failed (%s: %s); recomputing "
+            "metrics from ground truth (expected once per all-empty "
+            "batch via AQE empty-relation collapse — investigate if "
+            "this fires on every batch)",
+            type(exc).__name__,
+            exc,
+        )
         return fallback()
     return {k: (0 if v is None else v) for k, v in got.items()}
 

@@ -226,9 +226,24 @@ def run_curate_with_checkpoint(
         # raise UNABLE_TO_INFER_SCHEMA permanently (buckets already
         # manifest-complete).  With the schema pinned an empty table is
         # an empty frame and the job converges to empty decisions.
+        # Only manifest-VOUCHED buckets feed the decisions: a crashed
+        # batch can leave orphaned signals/ partitions (written, crash
+        # before the manifest append) whose buckets a later submit's
+        # input no longer contains — never re-overwritten, never
+        # manifested, but present on disk.  Filtering to the manifest's
+        # stage='signals' rows keeps them out of the corpus-wide pass.
+        vouched = [
+            r.wbucket
+            for r in load_manifest(spark, base_dir)
+            .where((F.col("stage") == "signals") & F.col("wbucket").isNotNull())
+            .select("wbucket")
+            .distinct()
+            .collect()
+        ]
         slim = (
             spark.read.schema(with_bucket.schema)
             .parquet(sig_out)
+            .where(F.col("wbucket").isin(vouched))
             .select(*_DECISION_COLS)
         )
         decisions = curation_decide(

@@ -458,6 +458,16 @@ C4_WORD_PATTERN = r"[^ \t\r]+"
 # paper counts nltk sentences; a deterministic cross-engine gate wants
 # a closed form, documented as the approximation it is)
 C4_SENTENCE_MARK_PATTERN = "[.!?]"
+# Bad-words page gate (the paper's list-driven gate; Raffel et al.
+# 2020 §2.2 drop any page containing a word from an external blocklist).
+# This ships a small clinical stand-in list — spam/adult markers of the
+# kind real blocklists lead with — as the CONFIGURABLE seed; a
+# production run swaps in the full list, the mechanism (word-boundary
+# alternation over the lowered page) is list-size independent.  The
+# regex is GENERATED from the tuple so the DuckDB oracle (built from
+# the same constants in queries.py) cannot drift.
+C4_BAD_WORDS = ("porn", "xxx", "viagra", "erotica", "jackpot")
+C4_BAD_WORDS_PATTERN = r"\b(?:" + "|".join(C4_BAD_WORDS) + r")\b"
 
 
 def c4_keep_line_col(line: Column) -> Column:
@@ -480,9 +490,10 @@ def c4_line_filter(
     """C4 line-level cleaning: drop lines that don't end in terminal
     punctuation / are shorter than 5 words / mention javascript, then
     drop whole documents that contain ``{`` (code), "lorem ipsum"
-    (placeholder boilerplate), or end up with fewer than 3 sentences.
-    (The paper's bad-words page gate is list-driven and out of scope —
-    documented descope, the mechanism is identical to the lorem gate.)
+    (placeholder boilerplate), a :data:`C4_BAD_WORDS` list word (the
+    paper's blocklist page gate, word-boundary matched on the lowered
+    raw page — seed list, see the constant's note), or end up with
+    fewer than 3 sentences.
 
     Scale shape: a pure map — split/filter/join per row, zero
     exchanges.  The line filter is a JVM higher-order lambda ON
@@ -493,8 +504,8 @@ def c4_line_filter(
 
     Output: ``doc_id``, ``clean_text`` (kept lines re-joined),
     ``n_lines`` / ``n_kept`` / ``n_sentences`` counters, ``keep`` and
-    the first-failing ``drop_reason`` (brace > lorem_ipsum >
-    too_few_sentences — the cascade order a curation report uses).
+    the first-failing ``drop_reason`` (brace > lorem_ipsum > bad_words
+    > too_few_sentences — the cascade order a curation report uses).
     """
     x = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(x, "\n")
@@ -515,6 +526,9 @@ def c4_line_filter(
     reason = (
         F.when(F.col("_x").contains("{"), F.lit("brace"))
         .when(F.lower(F.col("_x")).contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(
+            F.lower(F.col("_x")).rlike(C4_BAD_WORDS_PATTERN), F.lit("bad_words")
+        )
         .when(F.col("n_sentences") < C4_MIN_SENTENCES, F.lit("too_few_sentences"))
     )
     return d.select(

@@ -239,9 +239,24 @@ def run_dedup_with_checkpoint(
             "id",
             F.posexplode(band_keys(F.col("_norm"))).alias("band", "bucket"),
         ).schema
+        # Only manifest-VOUCHED buckets feed the pair join: a crashed
+        # batch can leave orphaned signatures/ partitions (written,
+        # crash before the manifest append) whose wbuckets a later
+        # submit's input no longer contains — never re-overwritten,
+        # never manifested, but present on disk (same guard as
+        # curate_checkpoint's decisions stage).
+        vouched = [
+            r.wbucket
+            for r in load_manifest(spark, base_dir)
+            .where((F.col("stage") == "signatures") & F.col("wbucket").isNotNull())
+            .select("wbucket")
+            .distinct()
+            .collect()
+        ]
         banded = (
             spark.read.schema(sig_schema)
             .parquet(sig_out)
+            .where(F.col("wbucket").isin(vouched))
             .select("id", "band", "bucket")
         )
         pairs = _banded_candidates(banded)

@@ -4100,6 +4100,10 @@ _C4_PLANT = (
     (17, True, "It starts here. It continues strongly. It ends with room to spare!"),
     (11, False, "function f() { return 1; }"),  # page gate: brace
     (13, False, "Lorem ipsum dolor sit amet filler text."),  # page gate
+    # page gate: bad_words (line itself is kept-shaped — >= 5 words,
+    # terminal '.' — so ONLY the blocklist drops the page; %23 avoids
+    # every other modulus except doc 0, where the brace cascade wins)
+    (23, False, "Win the casino jackpot with bonus spins tonight here."),
 )
 
 
@@ -4145,6 +4149,7 @@ def q_c4_line_filter(spark, sf_dir):
 
 def _c4_sql() -> str:
     from bookextract_spark.operators.curation import (
+        C4_BAD_WORDS_PATTERN,
         C4_LINE_TRAIL_PATTERN,
         C4_MIN_LINE_WORDS,
         C4_MIN_SENTENCES,
@@ -4181,6 +4186,7 @@ reasoned AS (
   SELECT *,
     CASE WHEN contains(x, '{{') THEN 'brace'
          WHEN contains(lower(x), 'lorem ipsum') THEN 'lorem_ipsum'
+         WHEN regexp_matches(lower(x), '{C4_BAD_WORDS_PATTERN}') THEN 'bad_words'
          WHEN n_sentences < {C4_MIN_SENTENCES} THEN 'too_few_sentences'
          END AS drop_reason
   FROM agg

@@ -17,6 +17,13 @@ signature pipeline.  See
 
 Transcript-shaped inputs (conv_id, turn_idx, text) are supported via
 ``--id-expr``, e.g. ``--id-expr "concat_ws(':', conv_id, turn_idx)"``.
+
+RESUME CONTRACT — the anti-join is BUCKET-granular: a re-submit skips
+every work bucket the manifest marks complete, so new documents that
+hash into an already-completed bucket are INVISIBLE to the resume.
+Append-only corpora therefore need a fresh ``--output`` base dir per
+corpus snapshot (or a ``--where`` predicate restricted to the new
+slice); the same contract applies to extract_job.py and curate_job.py.
 """
 
 from __future__ import annotations
@@ -39,6 +46,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets-per-batch", type=int, default=64)
     p.add_argument("--where", default=None, help="optional pushdown predicate (SQL string)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--no-repartition-output",
+        action="store_true",
+        help=(
+            "skip the per-wbucket repartition before the partitioned "
+            "signatures write — the escape hatch for a pathologically "
+            "hot bucket (keeps the upstream spread layout at the cost "
+            "of many small files per partition)"
+        ),
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -69,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         bands=args.bands,
         n_buckets=args.n_buckets,
         buckets_per_batch=args.buckets_per_batch,
+        repartition_output=not args.no_repartition_output,
     )
     print(json.dumps(result))
     spark.stop()

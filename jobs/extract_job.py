@@ -16,6 +16,13 @@ against the output manifest and processes only missing buckets, so a
 failed run resumes by re-submitting the same command (north rule:
 "resumable from checkpoint with per-partition lineage + metrics").
 
+RESUME CONTRACT — the anti-join is BUCKET-granular: a re-submit skips
+every bucket the manifest marks complete, so new conversations that
+hash into an already-completed bucket are INVISIBLE to the resume.
+Append-only corpora therefore need a fresh ``--output`` base dir per
+corpus snapshot (or a ``--where`` predicate restricted to the new
+slice); the same contract applies to dedup_job.py and curate_job.py.
+
 Cluster sizing knobs are ordinary spark-submit conf (executors, cores,
 ``spark.sql.shuffle.partitions``); the N-vs-4N scaling evidence for
 this sandbox lives in ``bench.py --scaling`` / BENCH/BASELINE.md.
@@ -45,6 +52,16 @@ def main(argv: list[str] | None = None) -> int:
         ),
     )
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--no-repartition-output",
+        action="store_true",
+        help=(
+            "skip the per-bucket repartition before the partitioned "
+            "turns write — the escape hatch for a pathologically hot "
+            "bucket (keeps the upstream spread layout at the cost of "
+            "many small files per partition)"
+        ),
+    )
     p.add_argument(
         "--unicode-ws",
         action="store_true",
@@ -76,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         buckets_per_batch=args.buckets_per_batch,
         salt_bucket_size=args.salt_bucket_size,
         unicode_ws=args.unicode_ws,
+        repartition_output=not args.no_repartition_output,
     )
     print(json.dumps(result))
     spark.stop()

@@ -7,6 +7,7 @@ import re
 from pyspark.sql import functions as F
 
 from bookextract_spark.operators.curation import (
+    C4_BAD_WORDS_PATTERN,
     C4_LINE_TRAIL_PATTERN,
     C4_MIN_LINE_WORDS,
     C4_MIN_SENTENCES,
@@ -14,6 +15,8 @@ from bookextract_spark.operators.curation import (
     C4_WORD_PATTERN,
     c4_line_filter,
 )
+
+BAD_WORDS_RE = re.compile(C4_BAD_WORDS_PATTERN)
 
 WORD_RE = re.compile(C4_WORD_PATTERN)
 TRAIL_RE = re.compile(C4_LINE_TRAIL_PATTERN)
@@ -38,6 +41,8 @@ def py_c4(doc_id, text):
         reason = "brace"
     elif "lorem ipsum" in x.lower():
         reason = "lorem_ipsum"
+    elif BAD_WORDS_RE.search(x.lower()):
+        reason = "bad_words"
     elif n_sent < C4_MIN_SENTENCES:
         reason = "too_few_sentences"
     else:
@@ -97,6 +102,31 @@ CASES = [
         "brace before lorem_ipsum",
     ),
     ("Lorem Ipsum dolor sit amet text here.", False, "lorem_ipsum", "lorem page gate"),
+    # bad-words page gate: kept-shaped line, but the blocklist drops
+    # the whole page (case-insensitive, word-boundary)
+    (
+        "Win the casino JACKPOT with bonus spins right here tonight.\n"
+        "First real sentence sits here. Second one follows. Third one ends!",
+        False,
+        "bad_words",
+        "blocklist is a page gate",
+    ),
+    # word boundary: a list word embedded inside a longer word must NOT
+    # fire (the scunthorpe guard)
+    (
+        "The jackpots compound daily at this establishment we visited.\n"
+        "First real sentence sits here. Second one follows. Third one ends!",
+        True,
+        None,
+        "no substring false positive",
+    ),
+    # cascade: lorem outranks bad_words
+    (
+        "lorem ipsum viagra text sits on this page today.",
+        False,
+        "lorem_ipsum",
+        "lorem_ipsum before bad_words",
+    ),
     # tab-separated words count via the explicit [^ \t\r]+ class
     (
         "tab\tseparated\twords\tstill\tcount\there.\n"
@@ -150,7 +180,9 @@ def test_c4_matches_twin_on_planted_fixture(spark):
         assert got[row["doc_id"]] == exp, f"doc {row['doc_id']}"
     # every branch carries weight in the fixture
     reasons = {r["drop_reason"] for r in got.values()}
-    assert reasons == {None, "brace", "lorem_ipsum", "too_few_sentences"}
+    assert reasons == {
+        None, "brace", "lorem_ipsum", "bad_words", "too_few_sentences",
+    }
     assert any(r["keep"] for r in got.values())
     # the line gates each fire somewhere: some doc keeps fewer lines
     # than it has, and no doc keeps everything

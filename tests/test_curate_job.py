@@ -123,6 +123,44 @@ def test_curate_job_decisions_rebuilt_when_buckets_grow(spark, tmp_path, docs):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
+def test_curate_job_orphan_partitions_excluded_from_decisions(
+    spark, tmp_path, docs
+):
+    """A crashed batch leaves written-but-unmanifested signals
+    partitions; when a later submit's input no longer contains those
+    buckets they are never re-overwritten — and must NOT leak into the
+    decisions (the manifest-vouched read-back filter)."""
+    from bookextract_spark.operators.checkpoint import bucket_col
+    from bookextract_spark.operators.curate_checkpoint import (
+        decisions_path,
+        signals_path,
+    )
+    from bookextract_spark.operators.curation import curation_decisions
+
+    base = tmp_path / "curate_orphan"
+    wb = bucket_col(F.col("doc_id"), 16)
+
+    # run 1 over the FULL corpus crashes before the manifest append —
+    # the first batch's buckets (0-3) are orphaned on disk
+    r1 = _run(spark, docs, base, fail_before_manifest=True)
+    assert r1["crashed"] and r1["completed_buckets"] == 0
+    on_disk = spark.read.parquet(signals_path(str(base)))
+    assert on_disk.count() > 0, "fixture premise: orphans exist on disk"
+
+    # run 2's input dropped those buckets entirely (corpus re-slice):
+    # the orphans are never re-overwritten and never manifested
+    rest = docs.where(wb >= 4)
+    r2 = _run(spark, rest, base)
+    assert not r2["crashed"] and r2["decisions_built"]
+
+    got = spark.read.parquet(decisions_path(str(base)))
+    want = curation_decisions(rest)
+    assert got.count() == rest.count(), (
+        "orphaned unvouched partitions leaked into the decisions"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_curate_job_cli_smoke(spark, tmp_path, monkeypatch):
     """jobs/curate_job.py end-to-end through its argparse surface,
     including the --id-expr path for transcript-shaped input.  The
