@@ -22,6 +22,8 @@ Scale design notes (the point of each variant):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -550,10 +552,17 @@ def _banded_candidates(
     banded = banded.repartition("band", "bucket")
     a = banded.alias("a")
     b2 = banded.alias("b")
+    # join strategy over the reused exchange: exchange reuse cannot
+    # dedupe SORTS, so the merge-join form sorts the banded frame TWICE
+    # (one SortExec per side above the ReusedExchange); SPARK_GRAFT_
+    # DEDUP_JOIN=shuffle_hash swaps in a shuffled-hash join (no sorts,
+    # per-partition hash map over slim rows) — the round-5 cores-
+    # scaling A/B knob (scripts/dedup_join_ab.py)
+    hint = os.environ.get("SPARK_GRAFT_DEDUP_JOIN", "merge")
     return (
-        a.hint("merge")
+        a.hint(hint)
         .join(
-            b2.hint("merge"),
+            b2.hint(hint),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),

@@ -50,6 +50,12 @@ def max_rows_per_conv(df: DataFrame, conv_col: str = "conv_id") -> int:
     return int(row["m"]) if row and row["m"] is not None else 0
 
 
+# hysteresis half-width around the crossover: within +/-10% the two
+# modes measure within noise of each other (the 0.4M/3M endpoints are
+# far outside), so a sticky decision beats a flappy exact one
+HYSTERESIS_FRACTION = 0.1
+
+
 def resolve_salt_bucket_size(
     df: DataFrame,
     salt_bucket_size: int | str | None,
@@ -57,10 +63,23 @@ def resolve_salt_bucket_size(
     crossover_rows: int | None = None,
     bucket_size: int | None = None,
     known_max_rows: int | None = None,
+    prev_bucket_size: int | None = None,
 ) -> int | None:
     """``None``/int pass through; ``"auto"`` resolves to ``bucket_size``
     when the most skewed conversation exceeds ``crossover_rows`` (from
     ``known_max_rows`` if the caller has statistics, else measured).
+
+    Inside the ``crossover_rows * (1 +/- HYSTERESIS_FRACTION)`` band
+    the decision is STICKY: a caller that knows the previous run's
+    mode (e.g. a checkpointed job resuming — the manifest records it)
+    passes ``prev_bucket_size`` (``0`` = previous run ran plain;
+    ``None`` = no prior) and keeps it, so a conversation whose
+    count drifts across the exact threshold between runs does not flip
+    modes run-to-run.  With no prior, the band falls back to the exact
+    rule (strictly-greater: a conv of exactly ``crossover_rows`` rows
+    stays plain, one more row goes salted — pinned at 1.0M +/- 1 in
+    tests/test_salted_windows.py).  Outside the band the measurement
+    overrides any prior.
 
     ``crossover_rows``/``bucket_size`` default to the module constants
     at CALL time, so a deployment (or a test) can retune the crossover
@@ -79,4 +98,8 @@ def resolve_salt_bucket_size(
     if bucket_size is None:
         bucket_size = DEFAULT_BUCKET_SIZE
     mx = known_max_rows if known_max_rows is not None else max_rows_per_conv(df, conv_col)
+    lo = crossover_rows * (1 - HYSTERESIS_FRACTION)
+    hi = crossover_rows * (1 + HYSTERESIS_FRACTION)
+    if prev_bucket_size is not None and lo <= mx <= hi:
+        return prev_bucket_size or None
     return bucket_size if mx > crossover_rows else None

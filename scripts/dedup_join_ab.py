@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""A/B the dedup pass's self-join strategy (merge vs shuffle_hash) at
+two parallelism levels — the round-5 investigation of the 0.666
+single-box cores-scaling number (VERDICT r4 item 2).
+
+The SMJ form sorts the banded exchange output TWICE (one SortExec per
+join side above the ReusedExchange — exchange reuse cannot dedupe
+sorts); a shuffled-hash join skips both sorts at the cost of a
+per-partition hash map over slim (id, band, bucket) rows.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _noop_write, make_spark, transcripts_path  # noqa: E402
+
+
+def run(cores: int, hint: str, n_runs: int = 4):
+    from pyspark.sql import functions as F
+
+    from bookextract_spark.operators import dedup
+
+    s = make_spark(cores)
+    fixture = str(transcripts_path(0.1, n_convs=25_000))
+    t = s.read.parquet(fixture).select(
+        F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    os.environ["SPARK_GRAFT_DEDUP_JOIN"] = hint
+    small = t.limit(40_000)
+    for i in range(2):
+        t0 = time.time()
+        _noop_write(dedup.minhash_dedup(small, threshold=0.8))
+        print(f"# warmup {i} {hint} local[{cores}]: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+    best = float("inf")
+    times = []
+    for i in range(n_runs):
+        t0 = time.time()
+        _noop_write(dedup.minhash_dedup(t, threshold=0.8))
+        dt = time.time() - t0
+        times.append(round(dt, 2))
+        best = min(best, dt)
+        print(f"# run {i} {hint} local[{cores}]: {dt:.1f}s (best {best:.1f})",
+              file=sys.stderr)
+    s.stop()
+    return {"cores": cores, "hint": hint, "best": round(best, 2), "runs": times}
+
+
+if __name__ == "__main__":
+    out = []
+    for hint in sys.argv[1].split(","):
+        for cores in (int(c) for c in sys.argv[2].split(",")):
+            out.append(run(cores, hint))
+            print(json.dumps(out[-1]))
+    print(json.dumps(out))

@@ -98,6 +98,36 @@ def test_resolve_auto_crossover(spark):
     )
 
 
+def test_resolve_auto_boundary_and_hysteresis(spark):
+    """The exact default-crossover boundary (the round-4 V5 edge: a
+    conv of exactly 1.0M turns stays plain, 1.0M + 1 goes salted) and
+    the +/-10% sticky band for callers that know the previous mode."""
+    from bookextract_spark.operators import skew
+
+    empty = spark.createDataFrame([], "conv_id string, turn_idx int")
+
+    def resolve(mx, **kw):
+        return skew.resolve_salt_bucket_size(
+            empty, "auto", known_max_rows=mx, **kw
+        )
+
+    X = skew.DEFAULT_CROSSOVER_ROWS  # 1_000_000
+    B = skew.DEFAULT_BUCKET_SIZE
+    # exact boundary, no prior: strictly-greater rule, pinned at +/-1
+    assert resolve(X - 1) is None
+    assert resolve(X) is None
+    assert resolve(X + 1) == B
+    # inside the band a known previous mode is sticky both ways
+    assert resolve(int(X * 1.05), prev_bucket_size=0) is None
+    assert resolve(int(X * 0.95), prev_bucket_size=123_456) == 123_456
+    # outside the band the measurement overrides the prior
+    assert resolve(int(X * 1.2), prev_bucket_size=0) == B
+    assert resolve(int(X * 0.8), prev_bucket_size=123_456) is None
+    # band edges belong to the band (sticky at exactly 0.9X / 1.1X)
+    assert resolve(int(X * 0.9), prev_bucket_size=77) == 77
+    assert resolve(int(X * 1.1), prev_bucket_size=0) is None
+
+
 def test_auto_merge_matches_manual_modes(spark, classified, monkeypatch):
     """End-to-end through O8: auto below the crossover == plain, auto
     above the crossover == salted, and all three agree on the data."""
