@@ -42,12 +42,11 @@ N_EXECS = 4
 RUNS = int(os.environ.get("SPARK_GRAFT_EXEC_RUNS", 3))
 
 
-def worker(cpu_lo: int, cpu_hi: int) -> None:
+def worker(cpu_lo: int, cpu_hi: int, op: str) -> None:
     os.sched_setaffinity(0, set(range(cpu_lo, cpu_hi + 1)))
     from pyspark.sql import functions as F
 
     from bench import _noop_write, transcripts_path
-    from bookextract_spark.operators.dedup import minhash_dedup
     from bookextract_spark.session import get_spark
 
     s = get_spark(
@@ -56,16 +55,28 @@ def worker(cpu_lo: int, cpu_hi: int) -> None:
         shuffle_partitions=CORES_PER_EXEC * 2,
         extra_conf={"spark.sql.files.maxPartitionBytes": "2m"},
     )
-    t = s.read.parquet(str(transcripts_path(0.1, n_convs=25_000))).select(
-        F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"), "text"
-    )
+    raw = s.read.parquet(str(transcripts_path(0.1, n_convs=25_000)))
+    if op == "dedup":
+        from bookextract_spark.operators.dedup import minhash_dedup
+
+        t = raw.select(
+            F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+        job = lambda d: minhash_dedup(d, threshold=0.8)  # noqa: E731
+    else:  # extract: the flagship pipeline (bench.py's scaling workload)
+        from bookextract_spark.pipeline import extract_turns
+
+        t = raw
+        job = lambda d: extract_turns(d).select(  # noqa: E731
+            "conv_id", "turn_idx", "extracted_text"
+        )
     small = t.limit(40_000)
     for _ in range(2):
-        _noop_write(minhash_dedup(small, threshold=0.8))
+        _noop_write(job(small))
     best = float("inf")
     for _ in range(RUNS):
         t0 = time.time()
-        _noop_write(minhash_dedup(t, threshold=0.8))
+        _noop_write(job(t))
         best = min(best, time.time() - t0)
     n = t.count()
     s.stop()
@@ -73,24 +84,24 @@ def worker(cpu_lo: int, cpu_hi: int) -> None:
                       "n_docs": n}))
 
 
-def launch(i: int):
+def launch(i: int, op: str):
     lo, hi = i * CORES_PER_EXEC, (i + 1) * CORES_PER_EXEC - 1
     return subprocess.Popen(
-        [sys.executable, __file__, "--worker", f"{lo}-{hi}"],
+        [sys.executable, __file__, "--worker", f"{lo}-{hi}", "--op", op],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd=REPO,
     )
 
 
-def orchestrate() -> None:
+def orchestrate(op: str) -> None:
     # fixture warm (page cache + datagen) before any timing
-    p = launch(0)
+    p = launch(0, op)
     solo = json.loads(p.communicate()[0].strip().splitlines()[-1])
-    procs = [launch(i) for i in range(N_EXECS)]
+    procs = [launch(i, op) for i in range(N_EXECS)]
     quad = [json.loads(pr.communicate()[0].strip().splitlines()[-1]) for pr in procs]
     worst = max(q["best"] for q in quad)
     n = solo["n_docs"]
     out = {
-        "metric": "dedup-pass executor-process scaling (1 vs 4 pinned "
+        "metric": f"{op}-pass executor-process scaling (1 vs 4 pinned "
                   "local[4] JVMs on disjoint 4-CPU sets, same box)",
         "solo": solo,
         "quad": quad,
@@ -104,8 +115,11 @@ def orchestrate() -> None:
 
 
 if __name__ == "__main__":
+    op = (
+        sys.argv[sys.argv.index("--op") + 1] if "--op" in sys.argv else "dedup"
+    )
     if "--worker" in sys.argv:
         lo, hi = sys.argv[sys.argv.index("--worker") + 1].split("-")
-        worker(int(lo), int(hi))
+        worker(int(lo), int(hi), op)
     else:
-        orchestrate()
+        orchestrate(op)
