@@ -98,6 +98,36 @@ def observation_metrics(obs, fallback) -> dict:
     return {k: (0 if v is None else v) for k, v in got.items()}
 
 
+def turns_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "turns")
+
+
+def load_extracted_turns(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Manifest-VOUCHED reader for the extraction output — the read
+    API downstream consumers should use instead of a raw
+    ``spark.read.parquet(<base>/turns)``.
+
+    A crashed batch can leave written-but-unmanifested bucket
+    partitions (the data write lands, the crash hits before the
+    manifest append); a later submit whose input no longer contains
+    those buckets never re-overwrites them, so they sit on disk
+    unvouched.  Filtering to the manifest's completed buckets keeps
+    them out — the same guard the dedup pairs build and the curate
+    decisions stage apply to their own stage tables."""
+    manifest = load_manifest(spark, base_dir)
+    df = spark.read.parquet(turns_path(base_dir))
+    if manifest is None:
+        return df.limit(0)
+    vouched = [
+        r.bucket
+        for r in manifest.where(F.col("bucket").isNotNull())
+        .select("bucket")
+        .distinct()
+        .collect()
+    ]
+    return df.where(F.col("bucket").isin(vouched))
+
+
 def run_with_checkpoint(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -130,9 +160,19 @@ def run_with_checkpoint(
     for the resume tests (after a full batch, and inside the
     data-write/manifest window, respectively).
     """
+    from bookextract_spark.operators.skew import resolve_salt_bucket_size
     from bookextract_spark.pipeline import extract_turns
 
     pending = pending_buckets(spark, transcripts, base_dir, n_buckets)
+    # Resolve "auto" ONCE per run over the FULL input, not per batch:
+    # per-batch resolution launches a skew pre-pass every batch AND can
+    # flip modes between batches of one run when a batch's subset sits
+    # near the crossover (the hysteresis band in skew.py addresses the
+    # cross-RUN flavor of the same flappiness — operators resuming a
+    # job pass the previous run's printed `salt_bucket_size_resolved`
+    # back via --salt-bucket-size).  The resolved value is recorded in
+    # the result dict for exactly that purpose.
+    salt_bucket_size = resolve_salt_bucket_size(transcripts, salt_bucket_size)
     run_id = uuid.uuid4().hex
     out_path = os.path.join(base_dir, "turns")
     done_batches = 0
@@ -252,4 +292,7 @@ def run_with_checkpoint(
         "completed_buckets": total_written,
         "pending_before": len(pending),
         "crashed": False,
+        # feed back via --salt-bucket-size on a resume to keep the
+        # mode sticky across runs (skew.py hysteresis contract)
+        "salt_bucket_size_resolved": salt_bucket_size,
     }

@@ -9,6 +9,8 @@ All native Spark SQL; each op is registered with a DuckDB oracle in
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,6 +64,35 @@ def curation_signals(
     )
 
 
+def _fp_canonical_col() -> Column:
+    """Exact-dup canonicalization flag over a signals frame: lowest
+    doc id per fingerprint wins (the one window both cascades share)."""
+    return F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp"))
+
+
+def _gate_cascade(
+    pre_rules: list[tuple[Column, str]],
+    min_words: int,
+    max_punct: float,
+    lang: str,
+) -> Column:
+    """First-failing-rule reason column: ``pre_rules`` (dedup gates,
+    in order) followed by the shared quality tail (language / length /
+    punctuation, compared on the documented 6-dp rounding already
+    baked into the signal columns).  ONE implementation so the plain
+    and cluster-aware cascades cannot drift on a gate change."""
+    chain = list(pre_rules) + [
+        (F.col("pred_lang") != lang, "language"),
+        (F.col("n_words") < min_words, "too_short"),
+        (F.col("punct_ratio") > max_punct, "punctuation"),
+    ]
+    cond0, reason0 = chain[0]
+    expr = F.when(cond0, F.lit(reason0))
+    for cond, reason in chain[1:]:
+        expr = expr.when(cond, F.lit(reason))
+    return expr.otherwise(F.lit("keep"))
+
+
 def curation_decide(
     signals: DataFrame,
     min_words: int = 10,
@@ -72,16 +103,9 @@ def curation_decide(
     :func:`curation_signals` frame: exact-dup canonicalization (lowest
     id per fingerprint wins) + the gate cascade with the first failing
     rule as the drop reason."""
-    w = Window.partitionBy("_fp")
-    d = signals.withColumn(
-        "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
-    )
-    reason = (
-        F.when(~F.col("is_canonical"), F.lit("duplicate"))
-        .when(F.col("pred_lang") != lang, F.lit("language"))
-        .when(F.col("n_words") < min_words, F.lit("too_short"))
-        .when(F.col("punct_ratio") > max_punct, F.lit("punctuation"))
-        .otherwise(F.lit("keep"))
+    d = signals.withColumn("is_canonical", _fp_canonical_col())
+    reason = _gate_cascade(
+        [(~F.col("is_canonical"), "duplicate")], min_words, max_punct, lang
     )
     return d.select(
         "doc_id",
@@ -163,23 +187,21 @@ def curation_cluster_decisions(
         docs, id_col, text_col, threshold, n, k, bands, hash_mode, arrow=arrow
     )
     sig = curation_signals(docs, id_col=id_col, text_col=text_col)
-    w = Window.partitionBy("_fp")
-    d = sig.withColumn(
-        "is_exact_canonical", F.col("doc_id") == F.min("doc_id").over(w)
-    )
+    d = sig.withColumn("is_exact_canonical", _fp_canonical_col())
     j = d.join(
         clusters.select(
             "doc_id", "cluster_id", F.col("keep").alias("_cluster_keep")
         ),
         "doc_id",
     )
-    reason = (
-        F.when(~F.col("is_exact_canonical"), F.lit("exact_duplicate"))
-        .when(~F.col("_cluster_keep"), F.lit("near_duplicate"))
-        .when(F.col("pred_lang") != lang, F.lit("language"))
-        .when(F.col("n_words") < min_words, F.lit("too_short"))
-        .when(F.col("punct_ratio") > max_punct, F.lit("punctuation"))
-        .otherwise(F.lit("keep"))
+    reason = _gate_cascade(
+        [
+            (~F.col("is_exact_canonical"), "exact_duplicate"),
+            (~F.col("_cluster_keep"), "near_duplicate"),
+        ],
+        min_words,
+        max_punct,
+        lang,
     )
     return j.select(
         "doc_id",
@@ -467,7 +489,13 @@ C4_SENTENCE_MARK_PATTERN = "[.!?]"
 # regex is GENERATED from the tuple so the DuckDB oracle (built from
 # the same constants in queries.py) cannot drift.
 C4_BAD_WORDS = ("porn", "xxx", "viagra", "erotica", "jackpot")
-C4_BAD_WORDS_PATTERN = r"\b(?:" + "|".join(C4_BAD_WORDS) + r")\b"
+# re.escape keeps the generated alternation correct when a deployment
+# swaps in a real blocklist with regex metacharacters ('c++', dotted
+# entries); \b boundaries assume word-char-edged entries — phrase or
+# symbol-edged entries need the lookaround form, raise then.
+C4_BAD_WORDS_PATTERN = (
+    r"\b(?:" + "|".join(_re.escape(w) for w in C4_BAD_WORDS) + r")\b"
+)
 
 
 def c4_keep_line_col(line: Column) -> Column:

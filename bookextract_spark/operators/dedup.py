@@ -559,6 +559,14 @@ def _banded_candidates(
     # per-partition hash map over slim rows) — the round-5 cores-
     # scaling A/B knob (scripts/dedup_join_ab.py)
     hint = os.environ.get("SPARK_GRAFT_DEDUP_JOIN", "merge")
+    if hint not in ("merge", "shuffle_hash"):
+        # an unrecognized hint string is silently IGNORED by Spark (the
+        # planner logs a warning and picks its own strategy), which
+        # would let a typo'd A/B run record timings for the wrong plan
+        raise ValueError(
+            f"SPARK_GRAFT_DEDUP_JOIN={hint!r}: expected 'merge' or "
+            "'shuffle_hash'"
+        )
     return (
         a.hint(hint)
         .join(

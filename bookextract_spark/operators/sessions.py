@@ -99,19 +99,20 @@ def sessionize(
     the id of the TEMPORALLY first event — the session's opening event
     under the same (ts, event_id) ordering that numbers the sessions,
     not the numerically smallest id."""
-    gap_us = int(gap_minutes) * 60 * 1_000_000
     us = epoch_micros_col(events, ts_col)
     cents = F.round(F.col(value_col) * 100).cast("long")
-    w = Window.partitionBy(user_col).orderBy(us, F.col(id_col))
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag(us).over(w)
-    is_new = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
-    flagged = events.select(
+    # the gaps-and-islands flag stage is assign_sessions — ONE
+    # implementation, so the per-event and per-session surfaces cannot
+    # drift on the gap comparison or the (ts, id) tiebreak
+    flagged = assign_sessions(
+        events, user_col=user_col, ts_col=ts_col, id_col=id_col,
+        gap_minutes=gap_minutes,
+    ).select(
         F.col(user_col).alias("user_id"),
         F.col(id_col).alias("event_id"),
         us.alias("_us"),
         cents.alias("_cents"),
-        F.sum(is_new).over(run).alias("session_no"),
+        "session_no",
     )
     return (
         flagged.groupBy("user_id", "session_no")

@@ -71,8 +71,10 @@ def resolve_salt_bucket_size(
 
     Inside the ``crossover_rows * (1 +/- HYSTERESIS_FRACTION)`` band
     the decision is STICKY: a caller that knows the previous run's
-    mode (e.g. a checkpointed job resuming — the manifest records it)
-    passes ``prev_bucket_size`` (``0`` = previous run ran plain;
+    mode (the checkpointed extract job prints it as
+    ``salt_bucket_size_resolved`` in its result JSON — pass it back
+    via ``--salt-bucket-size`` on a resume) supplies
+    ``prev_bucket_size`` (``0`` = previous run ran plain;
     ``None`` = no prior) and keeps it, so a conversation whose
     count drifts across the exact threshold between runs does not flip
     modes run-to-run.  With no prior, the band falls back to the exact

@@ -22,6 +22,10 @@ hash into an already-completed bucket are INVISIBLE to the resume.
 Append-only corpora therefore need a fresh ``--output`` base dir per
 corpus snapshot (or a ``--where`` predicate restricted to the new
 slice); the same contract applies to dedup_job.py and curate_job.py.
+Read the output with
+``bookextract_spark.operators.checkpoint.load_extracted_turns`` — it
+filters to manifest-vouched buckets, so orphaned partitions from a
+crashed batch never reach a consumer.
 
 Cluster sizing knobs are ordinary spark-submit conf (executors, cores,
 ``spark.sql.shuffle.partitions``); the N-vs-4N scaling evidence for

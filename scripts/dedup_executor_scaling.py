@@ -88,16 +88,33 @@ def launch(i: int, op: str):
     lo, hi = i * CORES_PER_EXEC, (i + 1) * CORES_PER_EXEC - 1
     return subprocess.Popen(
         [sys.executable, __file__, "--worker", f"{lo}-{hi}", "--op", op],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
     )
 
 
+def _result(proc) -> dict:
+    out, err = proc.communicate()
+    lines = out.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"worker failed (rc={proc.returncode}); stderr tail:\n"
+            + "\n".join(err.strip().splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
+
+
 def orchestrate(op: str) -> None:
+    need = N_EXECS * CORES_PER_EXEC
+    have = len(os.sched_getaffinity(0))
+    if have < need:
+        raise SystemExit(
+            f"need {need} CPUs for {N_EXECS} pinned local[{CORES_PER_EXEC}] "
+            f"workers, have {have}"
+        )
     # fixture warm (page cache + datagen) before any timing
-    p = launch(0, op)
-    solo = json.loads(p.communicate()[0].strip().splitlines()[-1])
+    solo = _result(launch(0, op))
     procs = [launch(i, op) for i in range(N_EXECS)]
-    quad = [json.loads(pr.communicate()[0].strip().splitlines()[-1]) for pr in procs]
+    quad = [_result(pr) for pr in procs]
     worst = max(q["best"] for q in quad)
     n = solo["n_docs"]
     out = {

@@ -19,6 +19,42 @@ def _run(spark, docs, base, **kw):
     )
 
 
+def test_dedup_job_orphan_partitions_excluded_from_pairs(spark, tmp_path, docs):
+    """Written-but-unmanifested signature partitions from a crashed
+    batch must not feed the pair join when a later submit's input no
+    longer contains their buckets (the manifest-vouched read-back
+    filter — twin of the curate-job test)."""
+    from bookextract_spark.operators.checkpoint import bucket_col
+    from bookextract_spark.operators.dedup import minhash_lsh_candidates
+    from bookextract_spark.operators.dedup_checkpoint import (
+        pairs_path,
+        signatures_path,
+    )
+
+    base = tmp_path / "dedup_orphan"
+    wb = bucket_col(F.col("doc_id"), 16)
+
+    # run 1 over the FULL corpus crashes before the manifest append —
+    # the first batch's buckets (0-3) are orphaned on disk
+    r1 = _run(spark, docs, base, fail_before_manifest=True)
+    assert r1["crashed"] and r1["completed_buckets"] == 0
+    assert spark.read.parquet(signatures_path(str(base))).count() > 0, (
+        "fixture premise: orphans exist on disk"
+    )
+
+    # run 2's input dropped those buckets entirely (corpus re-slice)
+    rest = docs.where(wb >= 4)
+    r2 = _run(spark, rest, base)
+    assert not r2["crashed"] and r2["pairs_built"]
+
+    got = spark.read.parquet(pairs_path(str(base)))
+    want = minhash_lsh_candidates(rest)
+    assert got.count() == want.count(), (
+        "orphaned unvouched signature partitions leaked into the pair join"
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
 def test_dedup_job_three_run_crash_resume(spark, tmp_path, docs):
     from bookextract_spark.operators.dedup import minhash_lsh_candidates
     from bookextract_spark.operators.dedup_checkpoint import (

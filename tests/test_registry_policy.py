@@ -35,10 +35,15 @@ def _driver_green_rows() -> dict[str, list[str]]:
 def test_head_is_at_most_driver_budget():
     # the head is *defined* as the first DRIVER_HEAD entries; this pins
     # the assumption that the registry has more entries than the budget
-    # (if it ever shrinks below 50, every entry is driver-checked and
-    # the tail policy is vacuous)
+    # (if it ever shrinks to <= 50, every entry is driver-checked, the
+    # tail-policy tests below become vacuous, and this fails loudly so
+    # the policy is re-examined rather than silently disarmed)
     names = list(Q.queries())
     assert len(set(names)) == len(names), "duplicate registry names"
+    assert len(names) > DRIVER_HEAD, (
+        f"registry has {len(names)} <= {DRIVER_HEAD} entries — the tail "
+        "policy is vacuous; update DRIVER_HEAD or drop this module"
+    )
 
 
 def test_every_tail_entry_has_a_prior_driver_row():

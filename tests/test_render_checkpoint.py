@@ -112,6 +112,47 @@ def test_book_intermediate_assembly_and_book_info(spark):
     assert "First paragraph text." in info["chapters"][0]["content"]
 
 
+def test_load_extracted_turns_excludes_orphans(spark, tmp_path):
+    """The vouched reader must skip written-but-unmanifested bucket
+    partitions from a crashed batch whose buckets a later submit's
+    input no longer contains (twin of the dedup/curate orphan tests)."""
+    from bookextract_spark.datagen import transcripts_df
+    from bookextract_spark.operators.checkpoint import (
+        bucket_col,
+        load_extracted_turns,
+        run_with_checkpoint,
+    )
+
+    base = str(tmp_path / "ckpt_orphan")
+    t = transcripts_df(spark, n_convs=12, seed=7, skew=False)
+    wb = bucket_col(F.col("conv_id"), 16)
+
+    # run 1 over the full corpus crashes before the manifest append
+    r1 = run_with_checkpoint(
+        spark, t, base, n_buckets=16, buckets_per_batch=4,
+        fail_before_manifest=True,
+    )
+    assert r1["crashed"] and r1["completed_buckets"] == 0
+    assert spark.read.parquet(f"{base}/turns").count() > 0, (
+        "fixture premise: orphans exist on disk"
+    )
+
+    # run 2's input no longer contains the orphaned buckets
+    first_four = sorted(
+        r.b for r in t.select(wb.alias("b")).distinct().collect()
+    )[:4]
+    rest = t.where(~wb.isin(first_four))
+    r2 = run_with_checkpoint(spark, rest, base, n_buckets=16, buckets_per_batch=4)
+    assert not r2["crashed"]
+
+    raw = spark.read.parquet(f"{base}/turns")
+    vouched = load_extracted_turns(spark, base)
+    assert vouched.count() == rest.count(), "orphans leaked to the reader"
+    assert raw.count() > rest.count(), (
+        "fixture premise: the raw table still holds the orphans"
+    )
+
+
 def test_checkpoint_resume_idempotent(spark, tmp_path):
     from bookextract_spark.datagen import transcripts_df
     from bookextract_spark.operators.checkpoint import (
