@@ -43,14 +43,22 @@ from bookextract_spark.schemas import BLOCKS_ARRAY
 
 
 @lru_cache(maxsize=None)
-def _plain_stage_exprs(blocks_col: str):
+def _plain_stage_exprs(blocks_col: str, conv_keys: tuple[str, ...] = ("conv_id",)):
     """Memoized Column trees of :func:`_stage_plain` (fixed column
     names -> unresolved, immutable, reusable across jobs).  Building
     them is driver-side py4j round-trips — the dominant term of the
     flagship's per-job plan-build constant (BENCH/BASELINE.md), paid
-    once per process with the cache."""
+    once per process with the cache.
+
+    ``conv_keys``: the merge-scope key columns.  ``("conv_id",)`` is
+    the flagship; the session-aware pipeline passes
+    ``("conv_id", "session_no")`` so merges stop at session boundaries
+    — and because every window here clusters on ``conv_keys`` (or a
+    refinement), an input already hash-partitioned on ``conv_id``
+    alone SATISFIES the wider clustering and no further exchange is
+    planned (partition-local sorts only)."""
     blocks = F.col(blocks_col)
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w = Window.partitionBy(*conv_keys).orderBy("turn_idx")
     has_blocks = F.size(blocks) > 0
     first_content = F.try_element_at(blocks, F.lit(1))["content"]
     last_content = F.try_element_at(blocks, F.lit(-1))["content"]
@@ -78,7 +86,11 @@ def _plain_stage_exprs(blocks_col: str):
     return stage1, merged, stage2
 
 
-def _stage_plain(df: DataFrame, blocks_col: str) -> DataFrame:
+def _stage_plain(
+    df: DataFrame,
+    blocks_col: str,
+    conv_keys: tuple[str, ...] = ("conv_id",),
+) -> DataFrame:
     """Merge decision over one conv-wide window (default path).
 
     Empty turns stay in the frame (no filter+union split — a split
@@ -89,7 +101,7 @@ def _stage_plain(df: DataFrame, blocks_col: str) -> DataFrame:
     a null-content last block still (correctly) blocks the merge rather
     than letting the window skip back to an older turn.
     """
-    stage1, merged, stage2 = _plain_stage_exprs(blocks_col)
+    stage1, merged, stage2 = _plain_stage_exprs(blocks_col, conv_keys)
     return (
         df.withColumns(stage1)
         .withColumn("_merged", merged)
@@ -197,7 +209,7 @@ def _stage_salted(nonempty: DataFrame, blocks, bucket_size: int) -> DataFrame:
 
 
 @lru_cache(maxsize=None)
-def _plain_tail_exprs():
+def _plain_tail_exprs(conv_keys: tuple[str, ...] = ("conv_id",)):
     """Memoized Column trees of the plain path's fragment-delivery
     windows (all over fixed internal column names; same rationale as
     :func:`_plain_stage_exprs`).
@@ -223,7 +235,7 @@ def _plain_tail_exprs():
     (donor_grp, turn_idx) IS turn order — declaring the window that
     way lets Catalyst reuse w2's sort instead of re-sorting the whole
     corpus back to (conv, turn_idx) for this one lead()."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w = Window.partitionBy(*conv_keys).orderBy("turn_idx")
     is_surv = (F.col("_survivors") >= 1).cast("int")
     grp = F.sum(is_surv).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -231,7 +243,7 @@ def _plain_tail_exprs():
     donor_grp = F.col("_grp") - is_surv
 
     w2 = (
-        Window.partitionBy("conv_id", "_donor_grp")
+        Window.partitionBy(*conv_keys, "_donor_grp")
         .orderBy("turn_idx")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
@@ -246,7 +258,7 @@ def _plain_tail_exprs():
         F.array_join(F.transform(F.array_sort(frag_structs), lambda s: s["frag"]), " "),
     )
 
-    w_deliver = Window.partitionBy("conv_id").orderBy("_donor_grp", "turn_idx")
+    w_deliver = Window.partitionBy(*conv_keys).orderBy("_donor_grp", "turn_idx")
     nxt = F.lead(
         F.struct(F.col("_donor_grp").alias("dg"), F.col("_extra_g").alias("eg"))
     ).over(w_deliver)
@@ -283,6 +295,7 @@ def merge_across_turns(
     salt_bucket_size: int | str | None = None,
     persist_staged: bool = False,
     persisted_out: list | None = None,
+    conv_keys: tuple[str, ...] = ("conv_id",),
 ) -> DataFrame:
     """Add ``out_col``: per-turn kept blocks after the cross-turn merge.
 
@@ -310,6 +323,14 @@ def merge_across_turns(
 
     salt_bucket_size = resolve_salt_bucket_size(df, salt_bucket_size)
     blocks = F.col(blocks_col)
+    if tuple(conv_keys) != ("conv_id",) and salt_bucket_size:
+        # sessions already split the giant conversations the salted
+        # mode exists for; wiring composite keys through the salt
+        # stages is unimplemented on purpose
+        raise NotImplementedError(
+            "composite conv_keys are supported on the plain merge path "
+            "only — sessionized inputs should not need salting"
+        )
 
     if salt_bucket_size:
         # the salted path filters empty turns and unions them back —
@@ -380,8 +401,9 @@ def merge_across_turns(
     # REFINEMENT of conv, so hash(conv) satisfies their clustering and
     # no further exchange is planned — only partition-local sorts.
     # ------------------------------------------------------------------
-    staged = _stage_plain(df, blocks_col)
-    grp, donor_grp, extra_g, extra, amended = _plain_tail_exprs()
+    conv_keys = tuple(conv_keys)
+    staged = _stage_plain(df, blocks_col, conv_keys)
+    grp, donor_grp, extra_g, extra, amended = _plain_tail_exprs(conv_keys)
     staged = (
         staged.withColumn("_grp", grp)
         .withColumn("_donor_grp", donor_grp)

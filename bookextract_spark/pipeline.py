@@ -118,10 +118,12 @@ def sessionized_extract(
     timestamp is folded to integer micros map-side and rides the
     pruned ``(conv_id, turn_idx, us, blocks)`` frame, so the session
     window's conv-keyed exchange carries blocks — the raw text never
-    shuffles for session assignment.  The merge then re-keys on
-    ``conv_id#session_no`` (one further pruned exchange; a conv-
-    partitioning-satisfies-subkey fusion would eliminate it but
-    requires threading the session column through every merge window).
+    shuffles for session assignment.  The merge then runs with
+    ``conv_keys=("conv_id", "session_no")``: every merge window
+    clusters on a REFINEMENT of ``conv_id``, so the session window's
+    hash(conv_id) partitioning satisfies it and NO further exchange is
+    planned — the session variant matches the flagship's single
+    corpus-carrying exchange (plan-pinned in tests/test_plan_audit).
     Plain merge only: sessions already split the giant conversations
     the salted mode exists for.
     """
@@ -141,20 +143,16 @@ def sessionized_extract(
         id_col="turn_idx",
         gap_minutes=gap_minutes,
         us_col="_us",
+    ).drop("_us")
+    out = merge_across_turns(
+        df,
+        blocks_col="blocks",
+        out_col="merged_blocks",
+        conv_keys=("conv_id", "session_no"),
     )
-    # '#' cannot appear in conv ids (fixture + input_hint contract), so
-    # the composite key round-trips through split_part losslessly
-    df = df.select(
-        F.concat_ws("#", F.col("conv_id"), F.col("session_no")).alias("conv_id"),
-        "turn_idx",
-        "blocks",
-    )
-    out = merge_across_turns(df, blocks_col="blocks", out_col="merged_blocks")
     return out.select(
-        F.split_part(F.col("conv_id"), F.lit("#"), F.lit(1)).alias("conv_id"),
-        F.split_part(F.col("conv_id"), F.lit("#"), F.lit(2))
-        .cast("int")
-        .alias("session_no"),
+        "conv_id",
+        "session_no",
         "turn_idx",
         extracted_text_col(F.col("merged_blocks")).alias("extracted_text"),
     )

@@ -1961,10 +1961,14 @@ def q_session_extract(spark, sf_dir):
     view gains a deterministic per-turn timestamp (10-minute cadence
     with a 10-hour gap every 4th turn, phase-shifted per conversation
     by conv_no % 4), sessions are assigned with the 8-hour gap rule,
-    and the cross-turn merge runs WITHIN ``conv_id#session_no`` keys —
-    so a dangling fragment never merges across a session boundary.
-    Boilerplate statistics stay per-conversation (sessions must not
-    starve the repeated-line frequency maps)."""
+    and the cross-turn merge runs WITHIN ``(conv_id, session_no)``
+    scopes — so a dangling fragment never merges across a session
+    boundary.  Boilerplate statistics stay per-conversation (sessions
+    must not starve the repeated-line frequency maps).  The oracle
+    keys its merge CTEs on the equivalent ``conv_id || '#' ||
+    session_no`` composite string (grouping by the pair and by the
+    composite are definitionally equal; '#' never appears in conv
+    ids)."""
     from bookextract_spark.pipeline import sessionized_extract
 
     t = _derived_transcripts(spark, sf_dir).withColumnRenamed("content", "text")

@@ -216,13 +216,14 @@ BUDGETS = {
     # returning the manifest frame — the pinned plan is the final
     # manifest read (2 slim bucket exchanges, 1 scan of the run dir).
     "j3_resume": (2, 0, 0, 1),
-    # session_extract: pipeline_extract's budget (4 hash exchanges /
-    # 2 broadcasts / 1 Arrow classify stage / 3 scans) plus EXACTLY ONE
-    # extra hash exchange — the conv-keyed session-assignment window
-    # over the pruned (conv_id, turn_idx, us, blocks) frame; the merge
-    # then re-keys on conv#session (raw text never shuffles for session
-    # assignment — see pipeline.sessionized_extract's docstring).
-    "session_extract": (5, 2, 1, 3),
+    # session_extract: EXACTLY pipeline_extract's budget — the session-
+    # assignment window exchanges on conv_id (over the pruned blocks
+    # frame, replacing the flagship's merge exchange) and the merge
+    # then windows on conv_keys=(conv_id, session_no), a REFINEMENT of
+    # conv_id, so the existing hash(conv_id) partitioning satisfies it
+    # and no further exchange is planned (the subset-satisfaction
+    # fusion; see pipeline.sessionized_extract's docstring).
+    "session_extract": (4, 2, 1, 3),
     # curation_cluster_filter: dedup_clusters' pinned tail (the CC loop
     # executes during construction, lineage cut by localCheckpoint)
     # joined to the curation signals: the fingerprint window + the two
