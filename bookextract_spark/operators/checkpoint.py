@@ -171,10 +171,15 @@ def run_with_checkpoint(
     # cross-RUN flavor of the same flappiness — operators resuming a
     # job pass the previous run's printed `salt_bucket_size_resolved`
     # back via --salt-bucket-size).  The resolved value is recorded in
-    # the result dict for exactly that purpose.
-    salt_bucket_size = resolve_salt_bucket_size(transcripts, salt_bucket_size)
+    # EVERY result dict (crashed paths included — a resume follows
+    # exactly those) for that purpose.  A no-op re-submit (nothing
+    # pending) skips the pre-pass entirely: no batch will consume the
+    # resolution, so a full-corpus skew measurement would be pure
+    # waste on the idempotent-re-run path.
+    if pending:
+        salt_bucket_size = resolve_salt_bucket_size(transcripts, salt_bucket_size)
     run_id = uuid.uuid4().hex
-    out_path = os.path.join(base_dir, "turns")
+    out_path = turns_path(base_dir)
     done_batches = 0
     total_written = 0
     with_bucket = transcripts.withColumn("bucket", bucket_col(F.col("conv_id"), n_buckets))
@@ -237,6 +242,7 @@ def run_with_checkpoint(
                 "completed_buckets": 0,
                 "pending_before": len(pending),
                 "crashed": True,
+                "salt_bucket_size_resolved": salt_bucket_size,
             }
         # Manifest rows, built driver-side (the bucket list is already
         # known — no job over the data): one completion row per bucket
@@ -286,6 +292,7 @@ def run_with_checkpoint(
                 "completed_buckets": total_written,
                 "pending_before": len(pending),
                 "crashed": True,
+                "salt_bucket_size_resolved": salt_bucket_size,
             }
     return {
         "run_id": run_id,

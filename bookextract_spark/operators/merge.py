@@ -319,18 +319,38 @@ def merge_across_turns(
     in its own job first makes upstream run exactly once; in
     production this boundary is the intermediate checkpoint write.
     """
-    from bookextract_spark.operators.skew import resolve_salt_bucket_size
+    from bookextract_spark.operators import skew
 
-    salt_bucket_size = resolve_salt_bucket_size(df, salt_bucket_size)
     blocks = F.col(blocks_col)
-    if tuple(conv_keys) != ("conv_id",) and salt_bucket_size:
-        # sessions already split the giant conversations the salted
-        # mode exists for; wiring composite keys through the salt
-        # stages is unimplemented on purpose
-        raise NotImplementedError(
-            "composite conv_keys are supported on the plain merge path "
-            "only — sessionized inputs should not need salting"
-        )
+    conv_keys = tuple(conv_keys)
+    if conv_keys != ("conv_id",):
+        # Composite keys are supported on the plain path only: sessions
+        # already split the giant conversations the salted mode exists
+        # for.  The guard runs BEFORE any skew resolution so an
+        # explicit salt request fails deterministically, and "auto"
+        # measures the ACTUAL merge scope (the composite key), not the
+        # whole conversation — a conv of 3M turns in 30 sessions is
+        # fine on the plain path; a single >1M-turn session is not,
+        # and that raises loudly instead of running an unbounded
+        # window task.
+        if salt_bucket_size == skew.AUTO:
+            scoped = df.select(F.struct(*conv_keys).alias("_scope"))
+            mx = skew.max_rows_per_conv(scoped, "_scope")
+            if mx > skew.DEFAULT_CROSSOVER_ROWS:
+                raise NotImplementedError(
+                    f"a single merge scope {conv_keys} holds {mx} rows "
+                    "(> crossover); the salted path does not support "
+                    "composite keys — shorten the session gap or salt "
+                    "upstream"
+                )
+            salt_bucket_size = None
+        elif salt_bucket_size:
+            raise NotImplementedError(
+                "composite conv_keys are supported on the plain merge "
+                "path only — sessionized inputs should not need salting"
+            )
+    else:
+        salt_bucket_size = skew.resolve_salt_bucket_size(df, salt_bucket_size)
 
     if salt_bucket_size:
         # the salted path filters empty turns and unions them back —
@@ -401,7 +421,6 @@ def merge_across_turns(
     # REFINEMENT of conv, so hash(conv) satisfies their clustering and
     # no further exchange is planned — only partition-local sorts.
     # ------------------------------------------------------------------
-    conv_keys = tuple(conv_keys)
     staged = _stage_plain(df, blocks_col, conv_keys)
     grp, donor_grp, extra_g, extra, amended = _plain_tail_exprs(conv_keys)
     staged = (

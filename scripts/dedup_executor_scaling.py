@@ -32,6 +32,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -86,30 +87,49 @@ def worker(cpu_lo: int, cpu_hi: int, op: str) -> None:
 
 def launch(i: int, op: str):
     lo, hi = i * CORES_PER_EXEC, (i + 1) * CORES_PER_EXEC - 1
-    return subprocess.Popen(
-        [sys.executable, __file__, "--worker", f"{lo}-{hi}", "--op", op],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=REPO,
+    # stderr goes to a TEMP FILE, never a pipe: concurrent workers are
+    # drained sequentially, and a Spark JVM's WARN/progress chatter
+    # would fill a 64KB stderr pipe and block the worker mid-timed-run
+    # (inflating the very numbers this script records)
+    errf = tempfile.NamedTemporaryFile(
+        mode="w+", prefix=f"exec_scaling_{lo}_", suffix=".log", delete=False
     )
+    proc = subprocess.Popen(
+        [sys.executable, __file__, "--worker", f"{lo}-{hi}", "--op", op],
+        stdout=subprocess.PIPE, stderr=errf, text=True, cwd=REPO,
+    )
+    proc._errf = errf  # type: ignore[attr-defined]
+    return proc
 
 
 def _result(proc) -> dict:
-    out, err = proc.communicate()
+    out, _ = proc.communicate()
     lines = out.strip().splitlines()
+    errf = proc._errf
     if proc.returncode != 0 or not lines:
+        errf.seek(0)
+        tail = errf.read().strip().splitlines()[-15:]
         raise RuntimeError(
             f"worker failed (rc={proc.returncode}); stderr tail:\n"
-            + "\n".join(err.strip().splitlines()[-15:])
+            + "\n".join(tail)
         )
+    errf.close()
+    os.unlink(errf.name)
     return json.loads(lines[-1])
 
 
 def orchestrate(op: str) -> None:
     need = N_EXECS * CORES_PER_EXEC
-    have = len(os.sched_getaffinity(0))
-    if have < need:
+    allowed = os.sched_getaffinity(0)
+    # workers pin to the FIXED IDs 0..need-1, so the allowed mask must
+    # contain those specific IDs — a 16-CPU cgroup mask of {8..23}
+    # would pass a bare count check and then every setaffinity would
+    # fail with EINVAL
+    missing = sorted(set(range(need)) - allowed)
+    if missing:
         raise SystemExit(
-            f"need {need} CPUs for {N_EXECS} pinned local[{CORES_PER_EXEC}] "
-            f"workers, have {have}"
+            f"workers pin CPUs 0-{need - 1} but the allowed CPU mask "
+            f"lacks {missing} (mask: {sorted(allowed)})"
         )
     # fixture warm (page cache + datagen) before any timing
     solo = _result(launch(0, op))

@@ -91,6 +91,49 @@ def test_sessionized_extract_timezone_proof(spark, session_frame):
     )
 
 
+def test_merge_composite_keys_salt_guard(spark, session_frame):
+    """Composite conv_keys reject explicit salting deterministically
+    (before any skew measurement), and 'auto' measures the ACTUAL
+    merge scope — small sessions resolve plain even when the whole
+    conversation would cross the salt threshold."""
+    from bookextract_spark.operators import skew
+    from bookextract_spark.operators.merge import merge_across_turns
+    from bookextract_spark.operators.sessions import assign_sessions
+    from bookextract_spark.schemas import BLOCKS_ARRAY
+
+    df = assign_sessions(
+        session_frame, user_col="conv_id", ts_col="ts", id_col="turn_idx"
+    ).select(
+        "conv_id",
+        "session_no",
+        "turn_idx",
+        F.array(
+            F.struct(
+                F.lit("paragraph").alias("type"),
+                F.col("text").alias("content"),
+                F.lit(None).cast("string").alias("image"),
+                F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("string").alias("source"),
+            )
+        ).cast(BLOCKS_ARRAY).alias("blocks"),
+    )
+    keys = ("conv_id", "session_no")
+    with pytest.raises(NotImplementedError):
+        merge_across_turns(df, conv_keys=keys, salt_bucket_size=100)
+    # auto over tiny per-session scopes resolves plain and runs
+    out = merge_across_turns(df, conv_keys=keys, salt_bucket_size="auto")
+    assert out.count() == df.count()
+    # auto raises loudly when a SINGLE session scope crosses the
+    # threshold (retuned to the fixture size via the module constant)
+    prev = skew.DEFAULT_CROSSOVER_ROWS
+    skew.DEFAULT_CROSSOVER_ROWS = 1
+    try:
+        with pytest.raises(NotImplementedError):
+            merge_across_turns(df, conv_keys=keys, salt_bucket_size="auto")
+    finally:
+        skew.DEFAULT_CROSSOVER_ROWS = prev
+
+
 @pytest.fixture(scope="module")
 def chain_docs(spark):
     # A~B and B~C are near-dups (high shingle overlap) but A and C are
